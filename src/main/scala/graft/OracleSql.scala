@@ -1,0 +1,316 @@
+package graft
+
+/** DuckDB oracle SQL for every deterministic query in [[SparkEntry.queries]].
+  *
+  * Contract (see the driver notes in SparkEntry): same table names, same
+  * column aliases, same final ORDER BY as the Spark plan. Approximate /
+  * Spark-hash-seeded queries (q27-q31) are intentionally absent — the driver
+  * falls back to a rows-only check for those.
+  *
+  * Dialect notes that keep the hashes matching:
+  *  - counts are BIGINT in both engines; SUM(CASE ...) over ints is HUGEINT
+  *    in DuckDB, so those are CAST(... AS BIGINT) to match Spark's LongType;
+  *  - DuckDB `log` is log10 — natural log is `ln` (Spark `log` = ln);
+  *  - `list_sum` of an empty list is NULL in DuckDB → coalesce to 0;
+  *  - float math is upcast to DOUBLE elementwise and folded left-to-right
+  *    (list_reduce with a prepended 0) to reproduce Spark's
+  *    `aggregate(zip_with(...))` evaluation order bit-for-bit.
+  */
+object OracleSql {
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2001-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_unified_join" ->
+      """SELECT
+        |  c.c_nationkey AS nation_id,
+        |  o.o_custkey AS cust_id,
+        |  o.o_orderkey AS order_id,
+        |  o.o_totalprice AS total,
+        |  o.o_orderstatus AS status,
+        |  o.o_orderdate AS order_date,
+        |  o.o_orderpriority AS priority,
+        |  c.c_name AS name,
+        |  c.c_acctbal AS acctbal,
+        |  c.c_mktsegment AS segment,
+        |  n.n_name AS nation_name,
+        |  n.n_regionkey AS region_id
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY order_id""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o.o_orderkey AS order_id, c.c_name AS cust_name,
+        |  o.o_totalprice AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY total DESC, order_id
+        |LIMIT 5""".stripMargin,
+
+    "q04_topk_per_customer" ->
+      """SELECT o_custkey AS cust_id, rnk, o_orderkey AS order_id,
+        |  o_totalprice AS total
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY cust_id, rnk""".stripMargin,
+
+    "q05_customers_without_orders" ->
+      """SELECT c.c_custkey AS cust_id, c.c_name AS name
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY cust_id""".stripMargin,
+
+    "q06_customers_with_orders" ->
+      """SELECT c.c_custkey AS cust_id, c.c_name AS name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY cust_id""".stripMargin,
+
+    "q07_power_users" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY user_id
+        |HAVING count(*) > 5
+        |ORDER BY user_id""".stripMargin,
+
+    "q08_null_profile" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority
+        |FROM orders""".stripMargin,
+
+    "q09_value_buckets" ->
+      """SELECT event_type,
+        |  CASE WHEN value > 75.0 THEN 'high'
+        |       WHEN value < 25.0 THEN 'low'
+        |       ELSE 'mid' END AS bucket,
+        |  count(*) AS n,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q10_engagement" ->
+      """SELECT l_orderkey AS order_id,
+        |  CAST(l_linenumber AS BIGINT) AS line_no,
+        |  round(l_quantity + l_discount * 100.0 + l_tax * 100.0, 2) AS engagement_score,
+        |  CAST((CASE WHEN l_discount > 0.0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN l_tax > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_charges
+        |FROM lineitem
+        |ORDER BY order_id, line_no""".stripMargin,
+
+    "q11_daily_events" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY event_date""".stripMargin,
+
+    "q12_monthly_orders" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_month,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY order_month""".stripMargin,
+
+    "q13_degree_bidirectional" ->
+      """WITH und AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem
+        |    UNION ALL
+        |    SELECT l_partkey + 1000000 AS src, l_suppkey AS dst FROM lineitem))
+        |SELECT src AS node, count(*) AS degree
+        |FROM und GROUP BY src ORDER BY node""".stripMargin,
+
+    "q14_integrity_checks" ->
+      """SELECT 'dup_order_keys' AS chk,
+        |  (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |    GROUP BY o_orderkey HAVING count(*) > 1)) AS n
+        |UNION ALL
+        |SELECT 'lineitem_without_order',
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'order_without_customer',
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY chk""".stripMargin,
+
+    "q15_distinct_stats" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "q16_nation_revenue" ->
+      """SELECT n.n_name AS nation,
+        |  count(*) AS n_orders,
+        |  round(sum(o.o_totalprice), 2) AS revenue,
+        |  round(avg(o.o_totalprice), 4) AS avg_order_value
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1
+        |ORDER BY nation NULLS FIRST""".stripMargin,
+
+    "q17_elite_distribution" ->
+      """SELECT n.n_name AS nation, count(*) AS n_elite
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > 5000.0
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin,
+
+    "q18_user_activity" ->
+      """SELECT user_id,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |  max(ts) AS last_seen
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q19_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q20_top_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 50""".stripMargin,
+
+    "q21_text_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |    round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+        |      / greatest(len(toks), 1), 4) AS avg_token_len,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |      / greatest(len(toks), 1), 4) AS stop_ratio
+        |  FROM tk)
+        |SELECT doc_id, n_chars_calc, n_tokens, n_distinct_tokens, avg_token_len,
+        |  stop_ratio,
+        |  round(ln(1.0 + n_tokens) * (1.0 - stop_ratio), 4) AS quality_score
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q22_lang_id" ->
+      """WITH tk AS (
+        |  SELECT lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of'))) AS en,
+        |    len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'y'))) AS es,
+        |    len(list_filter(toks, x -> x IN ('le', 'les', 'et', 'une'))) AS fr,
+        |    len(list_filter(toks, x -> x IN ('der', 'die', 'und', 'das'))) AS de
+        |  FROM tk)
+        |SELECT lang,
+        |  CASE WHEN en >= greatest(es, fr, de) THEN 'en'
+        |       WHEN es >= greatest(fr, de) THEN 'es'
+        |       WHEN fr >= de THEN 'fr'
+        |       ELSE 'de' END AS pred_lang,
+        |  count(*) AS n
+        |FROM s
+        |GROUP BY 1, 2
+        |ORDER BY lang, pred_lang""".stripMargin,
+
+    "q23_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q24_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_id""".stripMargin,
+
+    "q25_jaccard_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS shingle
+        |  FROM tk, unnest(range(0, len(t) - 4)) AS g(i)
+        |  WHERE len(t) >= 5),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cm AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
+        |  FROM cm
+        |  JOIN sz na ON na.doc_id = id_a
+        |  JOIN sz nb ON nb.doc_id = id_b)
+        |SELECT id_a, id_b, jaccard FROM j
+        |WHERE jaccard >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q26_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |c AS (
+        |  SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])),
+        |      (s, x) -> s + x) / (qn * nrm) AS cos
+        |  FROM n, q WHERE n.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cosine
+        |FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin
+  )
+}

@@ -1,13 +1,74 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.CoreQueries
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible operator has BOTH a `queries` entry and an
+  * `oracleSql` entry (DuckDB dialect, same tables, same column aliases, same
+  * final ORDER BY). Approximate / hash-seeded operators (MinHash-LSH,
+  * SimHash, LSH-ANN, HLL) are in `queries` only — their semantics depend on
+  * Spark's xxhash64, which the oracle can't reproduce.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.unifiedAnalytics(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4/§2.10 aggregations
+    "q01_pricing_summary"   -> (CoreQueries.pricingSummary _),
+    "q16_nation_revenue"    -> (CoreQueries.nationRevenue _),
+    "q17_elite_distribution"-> (CoreQueries.eliteDistribution _),
+    "q18_user_activity"     -> (CoreQueries.userActivity _),
+    // §2.3 joins (left/inner/anti/semi) + §2.2 dynamic rename
+    "q02_unified_join"      -> (CoreQueries.unifiedAnalytics _),
+    "q05_customers_without_orders" -> (CoreQueries.customersWithoutOrders _),
+    "q06_customers_with_orders"    -> (CoreQueries.customersWithOrders _),
+    // §2.5 sort/limit/top-k/window
+    "q03_top_orders"        -> (CoreQueries.topOrders _),
+    "q04_topk_per_customer" -> (CoreQueries.topOrdersPerCustomer _),
+    // §2.4 grouped having, null profiling; §2.2 conditional/fold
+    "q07_power_users"       -> (CoreQueries.powerUsers _),
+    "q08_null_profile"      -> (CoreQueries.nullProfileOrders _),
+    "q09_value_buckets"     -> (CoreQueries.valueBuckets _),
+    "q10_engagement"        -> (CoreQueries.engagement _),
+    // §2.7 date/time + month rollup
+    "q11_daily_events"      -> (CoreQueries.dailyEvents _),
+    "q12_monthly_orders"    -> (CoreQueries.monthlyOrders _),
+    // §2.6 graph-flavored set ops / integrity
+    "q13_degree_bidirectional" -> (CoreQueries.degreeBidirectional _),
+    "q14_integrity_checks"  -> (CoreQueries.integrityChecks _),
+    "q15_distinct_stats"    -> (CoreQueries.distinctStats _),
+    // §2.7 from_json / JSON path
+    "q19_json_extract"      -> (CoreQueries.jsonExtract _),
+    // text analysis (training-data ops)
+    "q20_top_tokens"        -> (TextOps.topTokensQuery _),
+    "q21_text_stats"        -> (TextOps.textStatsQuery _),
+    "q22_lang_id"           -> (TextOps.langConfusionQuery _),
+    "q23_fingerprint"       -> (TextOps.fingerprintQuery _),
+    // dedup
+    "q24_dedup_exact"       -> (Dedup.exactQuery _),
+    "q25_jaccard_pairs"     -> (Dedup.jaccardQuery _),
+    "q27_minhash_lsh"       -> (Dedup.minhashQuery _),       // rows-only
+    "q28_simhash_pairs"     -> (Dedup.simhashQuery _),       // rows-only
+    // similarity search
+    "q26_cosine_topk"       -> (Similarity.cosineTopKQuery _),
+    "q29_lsh_ann_topk"      -> (Similarity.lshCosineTopKQuery _), // rows-only
+    "q30_embedding_near_dup"-> (Similarity.nearDupQuery _),       // rows-only
+    // 100 TB profiling posture
+    "q31_approx_distinct"   -> (CoreQueries.approxDistinctStats _) // rows-only
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,284 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.etl.UnifiedJoin
+
+/** Relational operator surface of the engine, expressed over the driver's
+  * TPC-H-ish testdata. Each query maps one or more reference operators
+  * (SURVEY.md §2 ids in the Scaladoc) onto an idiomatic, Catalyst-optimizable
+  * DataFrame plan. Every query:
+  *   - aliases every computed column (oracle compare is name-keyed),
+  *   - ends in a total-order `orderBy` (deterministic output),
+  *   - keeps all expressions inside codegen'd built-ins (no UDFs).
+  */
+object CoreQueries {
+
+  /** A7/A2 — grouped aggregation with filter pushdown (pricing summary à la
+    * "sentiment trends by city", `README.md:303-305`). Filter reaches the
+    * parquet scan as a PushedFilter.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** J1/J2/P3 — the reference's flagship: overlap-rename + two left joins
+    * into a wide unified table (`unified_data_analytics.py:25-47`).
+    * orders ≙ reviews (fact), customer ≙ users, nation ≙ businesses.
+    * Columns are stripped to generic names so `name` genuinely collides
+    * between customer and nation, exercising the dynamic rename.
+    */
+  def unifiedAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.orders(s, dir).select(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("cust_id"),
+      col("o_totalprice").as("total"),
+      col("o_orderstatus").as("status"),
+      col("o_orderdate").as("order_date"),
+      col("o_orderpriority").as("priority"))
+    val dim1 = Tables.customer(s, dir).select(
+      col("c_custkey").as("cust_id"),
+      col("c_name").as("name"),
+      col("c_nationkey").as("nation_id"),
+      col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("segment"))
+    val dim2 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("nation_id"),
+      col("n_name").as("name"),
+      col("n_regionkey").as("region_id"))
+    UnifiedJoin.unify(fact, dim1, dim2, key1 = "cust_id", key2 = "nation_id",
+        factPrefix = "order", dim2Prefix = "nation")
+      .orderBy(col("order_id"))
+  }
+
+  /** W1/J3 — top-k by sort with join + literal filter (top reviewers of a
+    * named business, `neo4j_test.cypher:50-53`). `TakeOrderedAndProject`
+    * physical op: no global sort materialization.
+    */
+  def topOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("o_orderkey").as("order_id"), col("c_name").as("cust_name"),
+        col("o_totalprice").as("total"))
+      .orderBy(col("total").desc, col("order_id"))
+      .limit(5)
+  }
+
+  /** W1 generalized — top-k *per group* via `row_number` window (the
+    * "top 5 reviewers of a business" pattern per-business, SURVEY.md §2.5).
+    */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey").as("cust_id"), col("rnk"),
+        col("o_orderkey").as("order_id"), col("o_totalprice").as("total"))
+      .orderBy(col("cust_id"), col("rnk"))
+  }
+
+  /** J4 — anti-join (reviews lacking a writer / orphan nodes,
+    * `neo4j_test.cypher:7-37`): customers with no orders.
+    */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("cust_id"), col("c_name").as("name"))
+      .orderBy(col("cust_id"))
+  }
+
+  /** J5 — semi-join (friendship endpoints must exist, `graph.cypher:93-95`):
+    * customers having at least one order.
+    */
+  def customersWithOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("cust_id"), col("c_name").as("name"))
+      .orderBy(col("cust_id"))
+  }
+
+  /** A3 — grouped count + HAVING (duplicate check, `neo4j_test.cypher:2-5`;
+    * here: power users with > 5 events).
+    */
+  def powerUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .filter(col("n_events") > 5)
+      .orderBy(col("user_id"))
+
+  /** A1 — single-pass null-count profiling of every column
+    * (`Review_ETL.py:58-63`, `User_ETL.py:55-60`). One aggregate row, one
+    * scan, no shuffle beyond the final combine.
+    */
+  def nullProfile(df: DataFrame): DataFrame =
+    df.select(df.columns.toSeq.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*)
+
+  def nullProfileOrders(s: SparkSession, dir: String): DataFrame =
+    nullProfile(Tables.orders(s, dir))
+
+  /** P8 — when/otherwise chains (sentiment labels at ±0.05,
+    * `Review_ETL.py:79-84`; here: value buckets over events).
+    */
+  def valueBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("bucket",
+        when(col("value") > 75.0, "high")
+          .when(col("value") < 25.0, "low")
+          .otherwise("mid"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** P10/P11 — per-row horizontal fold + derived arithmetic
+    * (engagement_score = useful+funny+cool, `Review_ETL.py:66-70`;
+    * days_open count-if fold, `Business_ETL.py:133-135`).
+    */
+  def engagement(s: SparkSession, dir: String): DataFrame = {
+    val charges = Seq(col("l_discount"), col("l_tax"))
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("order_id"),
+      col("l_linenumber").cast("long").as("line_no"),
+      round(col("l_quantity") + col("l_discount") * 100.0 + col("l_tax") * 100.0, 2)
+        .as("engagement_score"),
+      charges.map(c => when(c > 0.0, 1L).otherwise(0L)).reduce(_ + _).as("n_charges"))
+      .orderBy(col("order_id"), col("line_no"))
+  }
+
+  /** Time-series-lite — `to_date` truncation + daily rollup
+    * (`Review_ETL.py:92-93`; dashboard trends `README.md:303-305`).
+    */
+  def dailyEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("event_date", to_date(col("ts")))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_date"))
+
+  /** Month-grain rollup (trends "by month", SURVEY.md §2.10). */
+  def monthlyOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("order_month", date_trunc("month", col("o_orderdate")))
+      .groupBy(col("order_month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("order_month"))
+
+  /** D3/A6 — bidirectional edge closure + degree count
+    * (`graph.cypher:94-95`, `neo4j_test.cypher:40-44`): undirected
+    * supplier↔part edges from lineitem, deduped, per-node degree.
+    */
+  def degreeBidirectional(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(s, dir).select(
+      col("l_suppkey").as("src"), (col("l_partkey") + 1000000L).as("dst"))
+    val undirected = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    undirected.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+      .orderBy(col("node"))
+  }
+
+  /** J4/A3/D2 — graph-integrity checks as one summary table
+    * (`neo4j_test.cypher:1-47`): orphan edges + duplicate keys.
+    */
+  def integrityChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    def chk(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("chk"), col("n"))
+    val orphanLines  = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+    val orphanOrders = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+    val dupOrderKeys = o.groupBy(col("o_orderkey")).count().filter(col("count") > 1)
+    chk("dup_order_keys", dupOrderKeys)
+      .union(chk("lineitem_without_order", orphanLines))
+      .union(chk("order_without_customer", orphanOrders))
+      .orderBy(col("chk"))
+  }
+
+  /** Distinct-cardinality profiling (exact; the engine also exposes
+    * `approx_count_distinct` for the 100 TB posture — see
+    * [[approxDistinctStats]], non-oracle).
+    */
+  def distinctStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_suppliers"),
+      count(lit(1)).as("n_rows"))
+
+  /** HLL-sketch profiling for 100 TB scale (single pass, fixed memory);
+    * approximate → excluded from the DuckDB oracle.
+    */
+  def approxDistinctStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_orderkey")).as("n_orders"),
+      approx_count_distinct(col("l_partkey")).as("n_parts"),
+      approx_count_distinct(col("l_suppkey")).as("n_suppliers"))
+
+  /** §2.10 "sentiment trends by city" ≙ revenue by nation: 3-way join +
+    * grouped agg. Dim joins are broadcast (nation/customer ≪ orders).
+    */
+  def nationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        round(avg(col("o_totalprice")), 4).as("avg_order_value"))
+      .orderBy(col("nation"))
+  }
+
+  /** §2.10 "distribution of elite reviewers across locations" ≙ high-balance
+    * customers per nation: filter + join + grouped count (`README.md:307`).
+    */
+  def eliteDistribution(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_acctbal") > 5000.0)
+    val n = Tables.nation(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_elite"))
+      .orderBy(col("nation"))
+  }
+
+  /** §2.10 "reviewer activity and engagement scores" ≙ per-user event
+    * activity (`README.md:306`).
+    */
+  def userActivity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        max(col("ts")).as("last_seen"))
+      .orderBy(col("user_id"))
+
+  /** from_json / JSON-path extraction (`Business_ETL.py:72-81`): pull a typed
+    * field out of the `props` JSON-string column.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+}

@@ -1,0 +1,197 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextOps
+
+/** Deduplication operators for the training-data pipeline posture:
+  * exact (hash-groupBy), word-shingle Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB): every variant avoids the O(n²) all-pairs join —
+  * candidates are generated through an inverted index (shared shingle),
+  * LSH band buckets, or SimHash chunk buckets, so the shuffle carries
+  * (bucket-key, doc) pairs and only bucket-local pairs are materialized.
+  * Skewed buckets (a shingle shared by very many docs) are the known hot
+  * spot; `maxBucket` caps them (standard LSH practice — a bucket that large
+  * is a stop-shingle, not a near-dup signal).
+  */
+object Dedup {
+
+  /** shiftright/shiftleft with a *column* shift amount (the Scala
+    * `functions.shiftright` overload only takes a literal Int).
+    */
+  private def shr(x: Column, n: Column): Column = call_function("shiftright", x, n)
+  private def shl(x: Column, n: Column): Column = call_function("shiftleft", x, n)
+
+  /** Exact dedup by content: one representative (min id) per distinct text.
+    * `groupBy(text)` rather than `dropDuplicates` so the representative is
+    * deterministic (dropDuplicates keeps an arbitrary row).
+    * At scale, group by a 128-bit content hash instead of the full text to
+    * shrink shuffle width — see [[exactByHash]].
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  def exactQuery(s: SparkSession, dir: String): DataFrame =
+    exact(Tables.documents(s, dir))
+
+  /** Same semantics, but the shuffle key is xxhash64(text) — constant-width
+    * keys regardless of document size (the 100 TB variant). Collision risk
+    * 2⁻⁶⁴-ish per pair; acceptable for dedup, not for the oracle.
+    */
+  def exactByHash(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct word k-shingles per document: (doc_id, shingle) rows. */
+  def shingles(docs: DataFrame, k: Int): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
+    * docs sharing ≥1 shingle are candidates; J = |A∩B| / (|A|+|B|-|A∩B|).
+    * The self-join is on the shingle (inverted index), never doc×doc.
+    */
+  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def jaccardQuery(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(s, dir), k = 5, threshold = 0.2)
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions,
+    * the min over the doc's shingles of xxhash64(seed, shingle).
+    * One aggregation pass; signature is a fixed-width array column.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: split the signature into `bands` bands of
+    * `numHashes/bands` rows each; docs colliding on any full band are
+    * candidate pairs; candidates are then verified against the estimated
+    * Jaccard (fraction of matching minhashes). P[band collision] = s^rows,
+    * so 20 hashes / 5 bands (r=4) fires around s ≈ 0.5-0.7.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      k: Int = 5,
+      numHashes: Int = 20,
+      bands: Int = 5,
+      estThreshold: Double = 0.5,
+      maxBucket: Int = 50): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(shingles(docs, k), numHashes).cache()
+    val bandRows = sig.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")))))
+        .as(Seq("band", "bucket")))
+    // Cap pathological buckets (stop-shingle skew guard).
+    val bucketed = bandRows
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // Verify candidates with the estimated Jaccard from full signatures.
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          (x === y).cast("int")), v => v === 1)).cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def minhashQuery(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(Tables.documents(s, dir))
+
+  /** 64-bit SimHash over the document's distinct tokens: bit j of the
+    * signature is the sign of Σ_tokens (2·bit_j(xxhash64(token)) − 1).
+    * Computed with higher-order array expressions over the per-doc token
+    * set — no UDF, no per-bit explode (64× row blowup avoided).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(TextOps.tokens(col("text")))
+    docs
+      .select(col("doc_id"), transform(toks, t => xxhash64(t)).as("hs"))
+      .withColumn("votes", aggregate(
+        col("hs"),
+        transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+        (acc, h) => zip_with(acc, sequence(lit(0L), lit(63L)),
+          (a, j) => a + when(shr(h, j.cast("int")).bitwiseAND(1L) === 1L, 1L)
+            .otherwise(-1L))))
+      .select(col("doc_id"), aggregate(
+        zip_with(col("votes"), sequence(lit(0), lit(63)),
+          (v, j) => when(v >= 0L, shl(lit(1L), j.cast("int"))).otherwise(0L)),
+        lit(0L), (s, b) => s.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs with Hamming distance ≤ maxHamming
+    * (≤ 3 with 4 chunks): pigeonhole — any pair within distance 3 agrees on
+    * at least one of the 4 16-bit chunks, so the join is on chunk equality,
+    * never all-pairs. Exact Hamming verified with bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs).cache()
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => shr(col("simhash"), c.cast("int") * 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("chunk_idx", "chunk")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def simhashQuery(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(s, dir))
+}

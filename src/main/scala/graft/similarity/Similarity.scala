@@ -1,0 +1,124 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Two tiers:
+  *
+  *  - [[cosineTopK]] — brute-force exact cosine top-k. The query side is
+  *    broadcast (small), so the "cross join" is a broadcast-nested-loop with
+  *    no shuffle of the big side; per-partition the dot products are pure
+  *    codegen'd higher-order-array math. This is the correctness baseline
+  *    and also the right plan when |queries| is small.
+  *  - [[lshCosineTopK]] — the scale path: random-hyperplane LSH. Vectors are
+  *    bucketed by a b-bit sign sketch; each query probes only its own bucket
+  *    (plus multi-probe neighbors if recall demands), so work per query is
+  *    O(bucket) not O(N). Recall is approximate by construction → excluded
+  *    from the DuckDB oracle.
+  *
+  * All math is done in Double after an explicit upcast so results are
+  * reproducible across engines (float accumulation order would not be).
+  */
+object Similarity {
+
+  /** Elementwise Float→Double upcast. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product (same evaluation order as a naive loop). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (s, x) => s + x * x))
+
+  /** Exact cosine top-k: for each query vector, the k nearest neighbors by
+    * cosine similarity (self excluded). Ranking uses round(cos, 6) with the
+    * neighbor id as tie-break so order is stable across engines.
+    */
+  def cosineTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  def cosineTopKQuery(s: SparkSession, dir: String): DataFrame =
+    cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * hash-derived value in [-1, 1) — reproducible with no RNG state.
+    */
+  private def planeComponent(p: Int, j: Column): Column =
+    (pmod(xxhash64(lit(p), j), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+
+  /** b-bit random-hyperplane sign sketch of a vector. */
+  def lshBucket(v: Column, bits: Int): Column =
+    (0 until bits).map { p =>
+      val proj = aggregate(zip_with(v, sequence(lit(0L), size(v).cast("long") - 1L),
+        (x, j) => x * planeComponent(p, j)), lit(0.0), (s, x) => s + x)
+      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: exact cosine, but each query only scans its own
+    * sign-sketch bucket. Returns the same schema as [[cosineTopK]]; recall
+    * < 1 (a true neighbor on the far side of a hyperplane is missed).
+    */
+  def lshCosineTopK(embeddings: DataFrame, queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), bits))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  def lshCosineTopKQuery(s: SparkSession, dir: String): DataFrame =
+    lshCosineTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+
+  /** Embedding-cosine near-duplicate pairs (dedup flavor): all pairs with
+    * cosine ≥ threshold, generated through LSH buckets (not all-pairs).
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), bits))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def nearDupQuery(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.95)
+}

@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for the large-scale training-data pipeline
+  * posture: tokenization, quality scoring, language-ID, document
+  * fingerprinting. All are single-pass, shuffle-free per-row column
+  * expressions (higher-order array functions, fully codegen-friendly) —
+  * at 100 TB these run embarrassingly parallel over the scan.
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties removed (Spark `split` keeps trailing
+    * empty strings like the reference's `split(friends, ",")`,
+    * `User_ETL.py:98` — we guard, per SURVEY.md §7.4).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Token frequency over a corpus: explode → group → top-k.
+    * Explode is the row-multiplying hot spot (SURVEY.md §4) — at scale the
+    * aggregation is map-side-combined by Spark, so the shuffle carries only
+    * (token, partial count) pairs, not raw tokens.
+    */
+  def topTokens(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  def topTokensQuery(s: SparkSession, dir: String): DataFrame =
+    topTokens(Tables.documents(s, dir), 50)
+
+  /** Per-document token/quality statistics (length, token counts, mean token
+    * length, stopword ratio, and a log-scaled quality score). Mirrors the
+    * length/punct/stopword-ratio heuristics used for LLM corpus filtering.
+    */
+  def textStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      toks.as("toks"))
+    .withColumn("avg_token_len",
+      round(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / greatest(col("n_tokens"), lit(1L)), 4))
+    .withColumn("stop_ratio",
+      round(size(filter(col("toks"), t => t.isin("the", "a"))).cast("double")
+        / greatest(col("n_tokens"), lit(1L)), 4))
+    .withColumn("quality_score",
+      round(log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("stop_ratio")), 4))
+    .drop("toks")
+    .orderBy(col("doc_id"))
+  }
+
+  def textStatsQuery(s: SparkSession, dir: String): DataFrame =
+    textStats(Tables.documents(s, dir))
+
+  /** Language-ID by marker-token voting (n-gram-free heuristic: count hits
+    * against tiny per-language stopword lists, argmax with a fixed priority
+    * tie-break en > es > fr > de). Emits a (lang, pred_lang) confusion
+    * matrix over the corpus.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "et", "une"),
+    "de" -> Seq("der", "die", "und", "das"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+    // argmax with fixed priority: first language whose score >= all later ones
+    val Seq(en, es, fr, de) = scores.map(_._2)
+    when(en >= greatest(es, fr, de), "en")
+      .when(es >= greatest(fr, de), "es")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+  }
+
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), langId(col("text")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  def langConfusionQuery(s: SparkSession, dir: String): DataFrame =
+    langConfusion(Tables.documents(s, dir))
+
+  /** Polynomial rolling-hash document fingerprint:
+    * h = fold(chars) (h*31 + codepoint) mod 1e9+7.
+    * Pure column expression (sequence/transform/aggregate) — no UDF, stays
+    * inside whole-stage codegen; deterministic and oracle-expressible.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
+      lit(0L),
+      (h, c) => pmod(h * 31L + c.cast("long"), lit(1000000007L)))
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  def fingerprintQuery(s: SparkSession, dir: String): DataFrame =
+    fingerprints(Tables.documents(s, dir))
+}
