@@ -1,0 +1,61 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "a b c d e f g h"),          // base
+    (2L, "a b c d e f g h"),          // exact dup of 1
+    (3L, "a b c d e f g x"),          // near dup of 1 (7/9 shingle-ish)
+    (4L, "q r s t u v w z"))          // unrelated
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id as representative") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 3)
+    val m = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 2L) // doc 1+2 collapsed, representative is min id
+    assert(m(3L) == 1L && m(4L) == 1L)
+    // hash-keyed variant agrees (constant-width shuffle keys at scale)
+    val byHash = Dedup.exactByHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHash == m)
+  }
+
+  test("shingles: distinct k-grams, short docs filtered") {
+    val sh = Dedup.shingles(docs.filter(col("doc_id") === 1L), k = 5)
+    assert(sh.count() == 4) // 8 tokens → 4 distinct 5-shingles
+    val short = Dedup.shingles(Seq((9L, "a b c")).toDF("doc_id", "text"), k = 5)
+    assert(short.count() == 0)
+  }
+
+  test("jaccard pairs: exact dup = 1.0, near dup high, unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, k = 5, threshold = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash-lsh finds exact and near dups, est_jaccard=1 for identical") {
+    val out = Dedup.minhashLshPairs(docs, k = 5, numHashes = 20, bands = 5,
+      estThreshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs → distance 0; pairs respect maxHamming") {
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined && p12.get.getInt(2) == 0) // bit_count → IntegerType
+  }
+}

@@ -1,0 +1,57 @@
+package graft.graph
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.etl.{ReviewEtl, Schemas, UserEtl}
+
+/** Ports the reference's graph integrity suite
+  * (`test_cases/neo4j_test.cypher:1-53`) against the DataFrame projection.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  val asOf: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")
+
+  lazy val users = UserEtl.transform(jsonDf(Schemas.user,
+    """{"user_id":"u1","name":"Ann","review_count":2,"yelping_since":"2015-06-15 00:00:00","useful":1,"funny":0,"cool":0,"elite":"2020","friends":"u2","fans":1,"average_stars":4.0}""",
+    """{"user_id":"u2","name":"Bob","review_count":1,"yelping_since":"2018-01-01 00:00:00","useful":0,"funny":0,"cool":0,"elite":"","friends":"u1","fans":0,"average_stars":3.0}""",
+    """{"user_id":"u3","name":"Cal","review_count":0,"yelping_since":"2020-01-01 00:00:00","useful":0,"funny":0,"cool":0,"elite":"","friends":"","fans":0,"average_stars":0.0}"""),
+    asOf)
+
+  lazy val reviews = ReviewEtl.transform(jsonDf(Schemas.review,
+    """{"review_id":"r1","user_id":"u1","business_id":"b1","stars":5.0,"useful":1,"funny":0,"cool":0,"text":"great","date":"2021-05-01 12:00:00"}""",
+    """{"review_id":"r2","user_id":"u2","business_id":"b1","stars":4.0,"useful":0,"funny":0,"cool":0,"text":"good","date":"2021-05-02 12:00:00"}"""))
+
+  test("MERGE semantics: re-ingest (union of same batch) does not duplicate") {
+    val doubled = reviews.union(reviews)
+    assert(GraphExport.reviewNodes(doubled).count() == 2)
+    assert(GraphExport.wrote(doubled).count() == 2)
+    assert(GraphChecks.duplicateKeys(GraphExport.reviewNodes(doubled)).count() == 0)
+  }
+
+  test("FRIENDS_WITH closure is symmetric, deduped, no self-loops") {
+    val fw = GraphExport.friendsWith(users)
+    val edges = fw.select("src", "dst").as[(String, String)].collect().toSet
+    assert(edges == Set(("u1", "u2"), ("u2", "u1"))) // u3 has no friends
+    // symmetry: reversing the edge set is a no-op
+    assert(edges.map(_.swap) == edges)
+  }
+
+  test("referential integrity: orphan detection via anti-joins") {
+    val userNodes = GraphExport.userNodes(users)
+    val wrote = GraphExport.wrote(reviews)
+    assert(GraphChecks.orphanEdgesBySrc(wrote, userNodes).count() == 0)
+    // now a review written by an unknown user
+    val badWrote = wrote.union(Seq(("ghost", "r9")).toDF("src", "dst"))
+    val orphans = GraphChecks.orphanEdgesBySrc(badWrote, userNodes)
+    assert(orphans.select("src").as[String].collect().toSeq == Seq("ghost"))
+  }
+
+  test("friend_count matches actual FRIENDS_WITH degree (cypher L39-44)") {
+    val fw = GraphExport.friendsWith(users)
+    assert(GraphChecks.friendCountMismatch(users, fw).count() == 0)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // orthogonal + parallel vectors with known cosines
+  val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)),   // cos(0,1)=1
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // cos(0,2)=0
+    (3L, Array(1.0f, 1.0f, 0.0f, 0.0f)),   // cos(0,3)=√2/2≈0.7071
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))  // cos(0,4)=-1
+    .toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k: exact values, correct order, self excluded") {
+    val out = Similarity.cosineTopK(vecs, col("vec_id") === 0L, k = 4).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 3L, 2L, 4L))
+    val cos = out.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(cos(1L) == 1.0 && cos(2L) == 0.0 && cos(4L) == -1.0)
+    assert(math.abs(cos(3L) - 0.7071) < 1e-9)
+  }
+
+  test("lsh ann: same-direction vectors share a bucket; results subset of exact") {
+    val out = Similarity.lshCosineTopK(vecs, col("vec_id") === 0L, k = 4, bits = 4)
+      .collect()
+    // parallel vector 1 is always in vec 0's bucket (identical projections)
+    assert(out.map(_.getLong(2)).contains(1L))
+    val exact = Similarity.cosineTopK(vecs, col("vec_id") === 0L, k = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(out.map(_.getLong(2)).toSet.subsetOf(exact))
+  }
+
+  test("embedding near-dup pairs: parallel vectors found at high threshold") {
+    val out = Similarity.embeddingNearDupPairs(vecs, threshold = 0.95, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((0L, 1L)))
+    assert(!out.exists { case (a, b) => Set(a, b).contains(2L) && Set(a, b).contains(0L) })
+  }
+}

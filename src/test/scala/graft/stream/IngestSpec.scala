@@ -1,0 +1,44 @@
+package graft.stream
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.etl.{ReviewEtl, Schemas}
+
+/** End-to-end Structured-Streaming drain: files land in a domain dir, one
+  * AvailableNow drain appends them, a second drain with the same checkpoint
+  * processes nothing new (the exactly-once file index that replaces the
+  * reference's Lambda, SURVEY.md §2.9).
+  */
+class IngestSpec extends SparkSpec {
+
+  def writeJson(dir: String, name: String, lines: String*): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, name), lines.mkString("\n"))
+  }
+
+  def review(id: String): String =
+    s"""{"review_id":"$id","user_id":"u_$id","business_id":"b_$id","stars":4.0,"useful":1,"funny":0,"cool":0,"text":"great","date":"2021-05-01 12:30:00"}"""
+
+  test("AvailableNow drain: appends new files once, skips them on re-run") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    writeJson(in, "batch_1.json", review("r1"), review("r2"))
+    writeJson(in, "ignored.txt", "not json") // pathGlobFilter must skip this
+
+    Ingest.drainToParquet(spark, Schemas.review, in, ReviewEtl.transform, out, ckpt)
+    assert(spark.read.parquet(out).count() == 2)
+
+    // re-deliver the same file name + a genuinely new file
+    writeJson(in, "batch_2.json", review("r3"))
+    Ingest.drainToParquet(spark, Schemas.review, in, ReviewEtl.transform, out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3) // batch_1 NOT reprocessed (no append duplication)
+    assert(got.select("review_id").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("r1", "r2", "r3"))
+    // transform ran inside the stream: derived columns present
+    assert(got.columns.contains("sentiment_score"))
+  }
+}

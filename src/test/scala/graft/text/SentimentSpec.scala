@@ -1,0 +1,72 @@
+package graft.text
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Golden scores are OUR OWN (embedded lexicon), not the Python package's —
+  * the reference's observable contract is only: Float compound in [-1,1],
+  * 0.0 for null/empty, labels at ±0.05 (SURVEY.md §7.4).
+  */
+class SentimentSpec extends SparkSpec {
+
+  test("contract: null/empty/whitespace/punct-only → 0.0") {
+    assert(Sentiment.compound(null) == 0.0f)
+    assert(Sentiment.compound("") == 0.0f)
+    assert(Sentiment.compound("   ") == 0.0f)
+    assert(Sentiment.compound("... !!! ???") == 0.0f)
+  }
+
+  test("contract: compound always in [-1, 1] (property, 200 seeded samples)") {
+    val gen = Gen.listOf(Gen.oneOf(
+      Sentiment.lexicon.keys.toSeq ++ Seq("the", "very", "not", "!!!", "FOOD")))
+    (0 until 200).foreach { i =>
+      val words = gen.apply(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Nil)
+      val c = Sentiment.compound(words.mkString(" "))
+      assert(c >= -1.0f && c <= 1.0f, s"out of range for: $words")
+    }
+  }
+
+  test("polarity: positive, negative, neutral texts") {
+    assert(Sentiment.compound("great food") > 0.05f)
+    assert(Sentiment.compound("terrible service") < -0.05f)
+    assert(Sentiment.compound("the food was food") == 0.0f)
+  }
+
+  test("negation flips within a 3-token window") {
+    val pos = Sentiment.compound("good")
+    assert(Sentiment.compound("not good") < 0)
+    assert(Sentiment.compound("not very good") < 0)
+    // negator 4 tokens back is out of window
+    assert(Sentiment.compound("not a a a good") > 0)
+    assert(math.abs(Sentiment.compound("not good")) < pos) // dampened flip (×0.74)
+  }
+
+  test("boosters amplify, dampeners attenuate") {
+    val base = Sentiment.compound("good")
+    assert(Sentiment.compound("very good") > base)
+    assert(Sentiment.compound("slightly good") < base)
+    val nbase = Sentiment.compound("bad")
+    assert(Sentiment.compound("very bad") < nbase)
+  }
+
+  test("caps emphasis and exclamations amplify") {
+    val base = Sentiment.compound("this food is great")
+    assert(Sentiment.compound("this food is GREAT") > base)
+    assert(Sentiment.compound("this food is great!") > base)
+    assert(Sentiment.compound("this food is great!!!!") >=
+      Sentiment.compound("this food is great!"))
+    // ALL-caps text gets no per-word caps boost
+    assert(Sentiment.compound("THIS FOOD IS GREAT") == base)
+  }
+
+  test("golden scores (embedded lexicon, fixed rule set)") {
+    // hand-derived: good=1.9 → 1.9/√(1.9²+15) ≈ 0.44047
+    assert(math.abs(Sentiment.compound("good") - 0.44047f) < 1e-4f)
+    // not good = 1.9 × -0.74 = -1.406 → -1.406/√(-1.406²+15) ≈ -0.34125
+    assert(math.abs(Sentiment.compound("not good") - (-0.34125f)) < 1e-4f)
+    // very good = (1.9+0.293) → 2.193/√(2.193²+15) ≈ 0.49273
+    assert(math.abs(Sentiment.compound("very good") - 0.49273f) < 1e-4f)
+  }
+}

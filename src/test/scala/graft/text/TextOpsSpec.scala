@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the cat sat on the mat", "en"),
+    (2L, "el gato y la casa y los perros", "es"),
+    (3L, "a a a b", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("tokens: empties filtered (double-space guard)") {
+    val t = Seq((1L, "a  b   c")).toDF("id", "text")
+      .select(TextOps.tokens(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(t == Seq("a", "b", "c"))
+  }
+
+  test("topTokens: frequency order with alphabetical tie-break") {
+    val top = TextOps.topTokens(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "a"×3, "the"×2, "y"×2 — tie between the/y broken alphabetically
+    assert(top == Seq(("a", 3L), ("the", 2L), ("y", 2L)))
+  }
+
+  test("textStats: counts, ratios, quality on known doc") {
+    val r = TextOps.textStats(docs.filter(col("doc_id") === 3L)).collect().head
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("n_distinct_tokens") == 2L)
+    assert(r.getAs[Double]("avg_token_len") == 1.0)
+    assert(r.getAs[Double]("stop_ratio") == 0.75) // 3×"a" of 4
+    // quality = round(ln(5)·0.25, 4)
+    assert(math.abs(r.getAs[Double]("quality_score")
+      - BigDecimal(math.log(5.0) * 0.25).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("langId: marker voting classifies en and es") {
+    val preds = docs.select(col("doc_id"), TextOps.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en")
+    assert(preds(2L) == "es")
+  }
+
+  test("fingerprint: deterministic rolling hash, distinct for distinct text") {
+    val fp = TextOps.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute doc 3's hash in plain Scala
+    val expected = "a a a b".foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    assert(fp(3L) == expected)
+    assert(fp.values.toSet.size == 3)
+  }
+}
