@@ -189,8 +189,12 @@ object CoreQueries {
   def degreeBidirectional(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.lineitem(s, dir).select(
       col("l_suppkey").as("src"), (col("l_partkey") + 1000000L).as("dst"))
-    val undirected = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    undirected.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val undirected = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // degree = distinct neighbors — countDistinct under groupBy is ONE
+    // shuffle with map-side partial distinct, vs the naive
+    // union.distinct().groupBy().count() which shuffles the full edge list
+    // twice (by (src,dst), then by src). Halves shuffled bytes at scale.
+    undirected.groupBy(col("src")).agg(countDistinct(col("dst")).as("degree"))
       .select(col("src").as("node"), col("degree"))
       .orderBy(col("node"))
   }

@@ -73,8 +73,12 @@ object TextOps {
     "fr" -> Seq("le", "les", "et", "une"),
     "de" -> Seq("der", "die", "und", "das"))
 
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+  /** Language vote from an already-tokenized array column. Split from
+    * [[langId]] so callers can tokenize ONCE — inlining `tokens(lower(text))`
+    * here would re-split the text four times (once per language's filter),
+    * which dominated the q22 profile at sf0.1.
+    */
+  def langIdFromTokens(toks: Column): Column = {
     val scores = langMarkers.map { case (lang, markers) =>
       lang -> size(filter(toks, t => t.isin(markers: _*)))
     }
@@ -86,8 +90,11 @@ object TextOps {
       .otherwise("de")
   }
 
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
+
   def langConfusion(docs: DataFrame): DataFrame =
-    docs.select(col("lang"), langId(col("text")).as("pred_lang"))
+    docs.select(col("lang"), tokens(lower(col("text"))).as("toks"))
+      .select(col("lang"), langIdFromTokens(col("toks")).as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
