@@ -311,6 +311,11 @@ object OracleSql {
         |  FROM c)
         |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cosine
         |FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // Shared verbatim with the Spark side (see
+    // CoreQueries.topNationsPerRegionSql) — one SQL text, two engines.
+    "q33_sql_top_nations" ->
+      graft.analytics.CoreQueries.topNationsPerRegionSql
   )
 }

@@ -64,7 +64,11 @@ object SparkEntry {
     "q29_lsh_ann_topk"      -> (Similarity.lshCosineTopKQuery _), // rows-only
     "q30_embedding_near_dup"-> (Similarity.nearDupQuery _),       // rows-only
     // 100 TB profiling posture
-    "q31_approx_distinct"   -> (CoreQueries.approxDistinctStats _) // rows-only
+    "q31_approx_distinct"   -> (CoreQueries.approxDistinctStats _), // rows-only
+    // U1 sentiment (engine lexicon, not SQL-expressible)
+    "q32_sentiment_by_lang" -> (CoreQueries.sentimentByLang _),     // rows-only
+    // S8 catalog surface: temp views + spark.sql
+    "q33_sql_top_nations"   -> (CoreQueries.sqlTopNationsPerRegion _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.etl.UnifiedJoin
+import graft.text.Sentiment
 
 /** Relational operator surface of the engine, expressed over the driver's
   * TPC-H-ish testdata. Each query maps one or more reference operators
@@ -285,4 +286,44 @@ object CoreQueries {
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy(col("event_id"))
+
+  /** S8 catalog surface — temp-view registration + `spark.sql` (the engine's
+    * replacement for Glue/Athena, SURVEY.md §3.3). The SQL text is shared
+    * verbatim with the DuckDB oracle; window ranking orders by the ROUNDED
+    * revenue so float-sum noise can't flip near-ties across engines.
+    */
+  val topNationsPerRegionSql: String =
+    """SELECT region, nation, revenue, rnk FROM (
+      |  SELECT r.r_name AS region, n.n_name AS nation,
+      |    round(sum(o.o_totalprice), 2) AS revenue,
+      |    CAST(row_number() OVER (PARTITION BY r.r_name
+      |      ORDER BY round(sum(o.o_totalprice), 2) DESC, n.n_name) AS BIGINT) AS rnk
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY r.r_name, n.n_name
+      |) t WHERE rnk <= 3 ORDER BY region, rnk""".stripMargin
+
+  def sqlTopNationsPerRegion(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.region(s, dir).createOrReplaceTempView("region")
+    s.sql(topNationsPerRegionSql)
+  }
+
+  /** U1 surface over testdata — sentiment scoring rolled up by language.
+    * Depends on the engine's own lexicon (not SQL-expressible) → rows-only.
+    */
+  def sentimentByLang(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), Sentiment.scoreCol(col("text")).as("score"))
+      .withColumn("label", Sentiment.label(col("score")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 4).as("avg_sentiment"),
+        sum(when(col("label") === "positive", 1L).otherwise(0L)).as("n_positive"),
+        sum(when(col("label") === "negative", 1L).otherwise(0L)).as("n_negative"))
+      .orderBy(col("lang"))
 }

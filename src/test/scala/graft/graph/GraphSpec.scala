@@ -54,4 +54,23 @@ class GraphSpec extends SparkSpec {
     val fw = GraphExport.friendsWith(users)
     assert(GraphChecks.friendCountMismatch(users, fw).count() == 0)
   }
+
+  test("CSV round-trip: header export + schema-typed scan (S5/S6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val nodes = GraphExport.reviewNodes(reviews)
+    GraphExport.exportCsv(nodes, dir)
+    // typed coercion on re-read ≙ the Cypher toFloat/toInteger/date() calls
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("stars", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("sentiment_label", org.apache.spark.sql.types.StringType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+    assert(back.count() == 2)
+    assert(back.schema("stars").dataType.typeName == "double")
+    assert(back.schema("date").dataType.typeName == "date")
+    val r1 = back.filter(col("id") === "r1").collect().head
+    assert(r1.getDouble(1) == 5.0)
+    assert(r1.getDate(2).toString == "2021-05-01")
+  }
 }
