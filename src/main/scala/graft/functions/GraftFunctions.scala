@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration for the engine's custom Catalyst expressions.
+  *
+  * Two paths, both standard Spark extension points:
+  *  - [[register]] — runtime temp-function registration on an existing
+  *    session (works on any session, e.g. one handed in by a driver);
+  *  - [[GraftExtensions]] — `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    for sessions built from config (cluster-wide installs).
+  *
+  * After either, `graft_cosine(a, b)` is callable from SQL and via
+  * [[cosine]] from the DataFrame API.
+  */
+object GraftFunctions {
+
+  val cosineInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getCanonicalName, "graft_cosine")
+
+  private def cosineBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"graft_cosine expects 2 arguments, got ${args.length}")
+    CosineSimilarity(args(0), args(1))
+  }
+
+  /** Idempotent runtime registration into the session's function registry. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", cosineBuilder, "built-in")
+
+  /** DataFrame-API handle; requires [[register]] on the session first. */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      GraftFunctions.cosineInfo,
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`). Two tiers:
@@ -38,17 +39,21 @@ object Similarity {
   /** Exact cosine top-k: for each query vector, the k nearest neighbors by
     * cosine similarity (self excluded). Ranking uses round(cos, 6) with the
     * neighbor id as tie-break so order is stable across engines.
+    *
+    * The cosine itself is the engine's custom codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]) — bit-identical to the composed
+    * `zip_with`/`aggregate` fold (same sequential double accumulation) but
+    * a tight primitive loop, no per-row intermediate arrays.
     */
   def cosineTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val e = embeddings
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
     val q = e.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", GraftFunctions.cosine(col("q_embedding"), col("embedding")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -79,18 +84,18 @@ object Similarity {
     * < 1 (a true neighbor on the far side of a hyperplane is missed).
     */
   def lshCosineTopK(embeddings: DataFrame, queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", lshBucket(col("v"), bits))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", lshBucket(toDouble(col("embedding")), bits))
     val q = e.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", GraftFunctions.cosine(col("q_embedding"), col("embedding")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -106,13 +111,13 @@ object Similarity {
     * cosine ≥ threshold, generated through LSH buckets (not all-pairs).
     */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", lshBucket(col("v"), bits))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", lshBucket(toDouble(col("embedding")), bits))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(col("cos"), 4).as("cosine"))
