@@ -316,6 +316,18 @@ object OracleSql {
     // Shared verbatim with the Spark side (see
     // CoreQueries.topNationsPerRegionSql) — one SQL text, two engines.
     "q33_sql_top_nations" ->
-      graft.analytics.CoreQueries.topNationsPerRegionSql
+      graft.analytics.CoreQueries.topNationsPerRegionSql,
+
+    // Spark's window() buckets align to the epoch; so does time_bucket for
+    // hour-divisible intervals.
+    "q34_event_windows" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin
   )
 }

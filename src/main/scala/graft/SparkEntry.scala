@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.CoreQueries
 import graft.dedup.Dedup
 import graft.similarity.Similarity
+import graft.stream.WindowedAggs
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -68,7 +69,11 @@ object SparkEntry {
     // U1 sentiment (engine lexicon, not SQL-expressible)
     "q32_sentiment_by_lang" -> (CoreQueries.sentimentByLang _),     // rows-only
     // S8 catalog surface: temp views + spark.sql
-    "q33_sql_top_nations"   -> (CoreQueries.sqlTopNationsPerRegion _)
+    "q33_sql_top_nations"   -> (CoreQueries.sqlTopNationsPerRegion _),
+    // event-time tumbling window (same code runs on readStream)
+    "q34_event_windows"     -> ((s, dir) =>
+      WindowedAggs.tumbling(Tables.events(s, dir), "1 hour")
+        .orderBy("window_start", "event_type"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
