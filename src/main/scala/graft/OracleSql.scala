@@ -328,6 +328,17 @@ object OracleSql {
         |  round(sum(value), 2) AS total_value
         |FROM events
         |GROUP BY 1, 2, 3
-        |ORDER BY window_start, event_type""".stripMargin
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // Spark `percentile` and DuckDB `quantile_cont` both linearly
+    // interpolate on the sorted values.
+    "q35_value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

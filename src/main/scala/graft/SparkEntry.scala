@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.analytics.CoreQueries
 import graft.dedup.Dedup
@@ -73,7 +74,19 @@ object SparkEntry {
     // event-time tumbling window (same code runs on readStream)
     "q34_event_windows"     -> ((s, dir) =>
       WindowedAggs.tumbling(Tables.events(s, dir), "1 hour")
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+    // exact interpolated percentiles
+    "q35_value_percentiles" -> (CoreQueries.valuePercentiles _),
+    // multimodal decode plumbing over deterministic synthetic media
+    // (no media table in testdata → rows-only)
+    "q36_media_features"    -> ((s, _) =>
+      graft.multimodal.Multimodal.decode(s, graft.multimodal.Multimodal.syntheticMedia(s, 300))
+        .toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          avg(col("duration_ms")).as("avg_duration_ms"),
+          avg(col("n_frames")).as("avg_frames"))
+        .orderBy(col("kind")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -316,6 +316,21 @@ object CoreQueries {
   /** U1 surface over testdata — sentiment scoring rolled up by language.
     * Depends on the engine's own lexicon (not SQL-expressible) → rows-only.
     */
+  /** Exact interpolated percentiles (Spark `percentile` ≙ DuckDB
+    * `quantile_cont`, both linear interpolation on the sorted values).
+    * Exact percentile needs the full sorted group at 100 TB — the
+    * approximate path for scale is [[approxDistinctStats]]-style sketches
+    * via `percentile_approx` (see q31 pattern).
+    */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("lang"), Sentiment.scoreCol(col("text")).as("score"))
