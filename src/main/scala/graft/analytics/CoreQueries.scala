@@ -331,9 +331,10 @@ object CoreQueries {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy(col("event_type"))
 
-  def sentimentByLang(s: SparkSession, dir: String): DataFrame =
+  def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
-      .select(col("lang"), Sentiment.scoreCol(col("text")).as("score"))
+      .select(col("lang"), graft.functions.GraftFunctions.sentiment(col("text")).as("score"))
       .withColumn("label", Sentiment.label(col("score")))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -341,4 +342,5 @@ object CoreQueries {
         sum(when(col("label") === "positive", 1L).otherwise(0L)).as("n_positive"),
         sum(when(col("label") === "negative", 1L).otherwise(0L)).as("n_negative"))
       .orderBy(col("lang"))
+  }
 }

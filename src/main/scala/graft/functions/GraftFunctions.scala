@@ -28,20 +28,34 @@ object GraftFunctions {
     CosineSimilarity(args(0), args(1))
   }
 
+  private def sentimentBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"graft_sentiment expects 1 argument, got ${args.length}")
+    SentimentScore(args(0))
+  }
+
   /** Idempotent runtime registration into the session's function registry. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sentiment", sentimentBuilder, "built-in")
+  }
 
-  /** DataFrame-API handle; requires [[register]] on the session first. */
+  /** DataFrame-API handles; require [[register]] on the session first. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def sentiment(text: Column): Column = call_function("graft_sentiment", text)
 }
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       GraftFunctions.cosineInfo,
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sentiment"),
+      new ExpressionInfo(classOf[SentimentScore].getCanonicalName, "graft_sentiment"),
+      (args: Seq[Expression]) => SentimentScore(args(0))))
+  }
 }
