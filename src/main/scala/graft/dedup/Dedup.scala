@@ -89,9 +89,29 @@ object Dedup {
   def jaccardQuery(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.documents(s, dir), k = 5, threshold = 0.2)
 
+  /** Distinct (doc_id, shingle) pairs with the shingle pre-hashed to a
+    * 64-bit key — the scale variant feeding MinHash: the dedup shuffle and
+    * every downstream row carry 8 bytes instead of a k-token string
+    * (collision odds ~n²/2⁶⁵ — irrelevant for near-dup mining, which is
+    * why the exact-Jaccard path keeps real strings).
+    */
+  def shingleHashes(docs: DataFrame, k: Int): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("shingle"))
+      .distinct()
+  }
+
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
     * the min over the doc's shingles of xxhash64(seed, shingle).
     * One aggregation pass; signature is a fixed-width array column.
+    * Works over [[shingles]] (string column) or [[shingleHashes]] (long
+    * column) — xxhash64 is type-generic.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
@@ -116,7 +136,7 @@ object Dedup {
       maxBucket: Int = 50): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(shingles(docs, k), numHashes).cache()
+    val sig = minhashSignatures(shingleHashes(docs, k), numHashes).cache()
     val bandRows = sig.select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
