@@ -65,6 +65,7 @@ object SparkEntry {
     "q26_cosine_topk"       -> (Similarity.cosineTopKQuery _),
     "q29_lsh_ann_topk"      -> (Similarity.lshCosineTopKQuery _), // rows-only
     "q30_embedding_near_dup"-> (Similarity.nearDupQuery _),       // rows-only
+    "q37_ivf_ann_topk"      -> (Similarity.ivfTopKQuery _),       // rows-only
     // 100 TB profiling posture
     "q31_approx_distinct"   -> (CoreQueries.approxDistinctStats _), // rows-only
     // U1 sentiment (engine lexicon, not SQL-expressible)

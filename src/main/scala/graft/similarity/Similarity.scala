@@ -126,4 +126,62 @@ object Similarity {
 
   def nearDupQuery(s: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.95)
+
+  /** Deterministic IVF coarse quantizer: `nlist` centroids chosen by vector-id
+    * hash order (reproducible, no RNG/training iterations — at scale swap in
+    * k-means centroids without touching the probe path).
+    */
+  def ivfCentroids(embeddings: DataFrame, nlist: Int): DataFrame =
+    embeddings
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nlist)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col("embedding").as("centroid"))
+
+  /** Nearest-`nprobe` centroid assignment per vector (IVF list membership).
+    * The centroid table is tiny → broadcast cross join; per-row cost is
+    * nlist cosine evaluations through the codegen'd expression.
+    */
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    embeddings.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", GraftFunctions.cosine(col("embedding"), col("centroid")))
+      .withColumn("c_rnk", row_number().over(w))
+      .filter(col("c_rnk") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** IVF ANN top-k: vectors live in their single nearest list; each query
+    * probes its `nprobe` nearest lists and scans only those inverted lists.
+    * Work per query ≈ nprobe/nlist of the corpus (vs all of it brute-force);
+    * recall < 1 when a true neighbor's list isn't probed.
+    */
+  def ivfCosineTopK(
+      embeddings: DataFrame, queryPred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val centroids = ivfCentroids(e, nlist)
+    val lists = ivfAssign(e, centroids, nprobe = 1) // each vector in ONE list
+    val probes = ivfAssign(e.filter(queryPred), centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        col("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
+    lists.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", GraftFunctions.cosine(col("q_embedding"), col("embedding")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .dropDuplicates("query_id", "neighbor_id") // multi-probe overlap
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  def ivfTopKQuery(s: SparkSession, dir: String): DataFrame =
+    ivfCosineTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
 }

