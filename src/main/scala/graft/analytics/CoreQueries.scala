@@ -124,16 +124,11 @@ object CoreQueries {
       .filter(col("n_events") > 5)
       .orderBy(col("user_id"))
 
-  /** A1 — single-pass null-count profiling of every column
-    * (`Review_ETL.py:58-63`, `User_ETL.py:55-60`). One aggregate row, one
-    * scan, no shuffle beyond the final combine.
+  /** A1 — single-pass null-count profiling (delegates to the quality
+    * library, `graft.quality.Profiling.nullProfile`).
     */
-  def nullProfile(df: DataFrame): DataFrame =
-    df.select(df.columns.toSeq.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*)
-
   def nullProfileOrders(s: SparkSession, dir: String): DataFrame =
-    nullProfile(Tables.orders(s, dir))
+    graft.quality.Profiling.nullProfile(Tables.orders(s, dir))
 
   /** P8 — when/otherwise chains (sentiment labels at ±0.05,
     * `Review_ETL.py:79-84`; here: value buckets over events).

@@ -16,6 +16,13 @@ import graft.text.TextOps
   * Skewed buckets (a shingle shared by very many docs) are the known hot
   * spot; `maxBucket` caps them (standard LSH practice — a bucket that large
   * is a stop-shingle, not a near-dup signal).
+  *
+  * Caching contract: the pair-mining operators (`jaccardPairs`,
+  * `minhashLshPairs`, `simhashPairs`) `cache()` an intermediate that is
+  * consumed from several branches of the returned (lazy) plan, so they
+  * cannot unpersist it themselves. Long-lived sessions should
+  * `spark.catalog.clearCache()` after materializing results — Verify and
+  * Bench do exactly that per query.
   */
 object Dedup {
 
@@ -50,6 +57,13 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Array of word k-shingle strings over a token-array column (the shared
+    * windowing for [[shingles]] / [[shingleHashes]]).
+    */
+  private def shingleArray(toks: Column, k: Int): Column =
+    transform(sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+
   /** Distinct word k-shingles per document: (doc_id, shingle) rows. */
   def shingles(docs: DataFrame, k: Int): DataFrame = {
     val toks = TextOps.tokens(col("text"))
@@ -57,9 +71,7 @@ object Dedup {
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), size(col("toks")) - k),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))).as("shingle"))
+        explode(shingleArray(col("toks"), k)).as("shingle"))
       .distinct()
   }
 
@@ -101,10 +113,9 @@ object Dedup {
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), size(col("toks")) - k),
-          i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("shingle"))
-      .distinct()
+        explode(transform(shingleArray(col("toks"), k), s => xxhash64(s)))
+          .as("shingle"))
+      .distinct() // dedup on the 8-byte hash, not the string — that IS the point
   }
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
@@ -207,8 +218,10 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: chunk collisions vastly outnumber true
+      // near-dups, so dropping them first shrinks the dedup shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -43,7 +43,15 @@ object UnifiedJoin {
     val overlapFactDim1 = (factCols & dim1Cols) -- keys
     val overlapDim2     = ((factCols | dim1Cols) & dim2.columns.toSet) -- keys
     val f  = prefixRename(fact, overlapFactDim1, factPrefix)
+    // If BOTH fact and dim1 carry key2, the first join would emit two key2
+    // columns and the second join's USING-resolution would be ambiguous.
+    // The fact side's key2 drives the dim2 lookup (review.business_id in the
+    // reference); dim1's copy is prefix-renamed out of the way.
+    val d1 =
+      if (factCols.contains(key2) && dim1Cols.contains(key2))
+        dim1.withColumnRenamed(key2, s"${dim2Prefix}_ref_$key2")
+      else dim1
     val d2 = prefixRename(dim2, overlapDim2, dim2Prefix)
-    f.join(dim1, Seq(key1), "left").join(d2, Seq(key2), "left")
+    f.join(d1, Seq(key1), "left").join(d2, Seq(key2), "left")
   }
 }

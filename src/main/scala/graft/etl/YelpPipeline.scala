@@ -45,6 +45,13 @@ object YelpPipeline {
   /** Full run from raw JSON dirs; domain outputs appended, unified table
     * overwritten (the reference's incremental-append / full-recompute split,
     * `README.md:217-223`).
+    *
+    * WARNING — reference-parity behavior: re-running over the SAME input
+    * files appends duplicate rows (the reference's append-duplication trap,
+    * SURVEY.md §7.4). For at-least-once delivery use the checkpointed
+    * streaming path ([[graft.stream.Ingest]]), whose file index makes
+    * re-delivery a no-op; this batch entry point deliberately mirrors the
+    * reference's run-once contract.
     */
   def run(
       spark: SparkSession,

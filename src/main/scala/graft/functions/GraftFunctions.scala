@@ -33,17 +33,25 @@ object GraftFunctions {
     SentimentScore(args(0))
   }
 
+  private def fingerprintBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"graft_fingerprint expects 1 argument, got ${args.length}")
+    RollingHashFingerprint(args(0))
+  }
+
   /** Idempotent runtime registration into the session's function registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sentiment", sentimentBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fingerprint", fingerprintBuilder, "built-in")
   }
 
   /** DataFrame-API handles; require [[register]] on the session first. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def sentiment(text: Column): Column = call_function("graft_sentiment", text)
+  def fingerprint(text: Column): Column = call_function("graft_fingerprint", text)
 }
 
 /** `spark.sql.extensions` entry point. */

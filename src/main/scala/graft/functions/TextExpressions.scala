@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{DataType, FloatType, StringType}
+import org.apache.spark.sql.types.{DataType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.text.Sentiment
@@ -52,5 +52,58 @@ case class SentimentScore(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): SentimentScore =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[RollingHashFingerprint]] — kept as a plain method so
+  * generated code calls straight into JIT-compiled Scala.
+  */
+object TextHash {
+  final val Modulus = 1000000007L
+  final val Base = 31L
+
+  /** h = fold(chars)((h*31 + char) mod 1e9+7). Iterates UTF-16 units, which
+    * equals per-character code points for BMP text (the corpora here are
+    * ASCII; the composed-HOF variant in TextOps uses `ascii()` with the same
+    * equivalence).
+    */
+  def fingerprint(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h * Base + str.charAt(i)) % Modulus
+      i += 1
+    }
+    h
+  }
+}
+
+/** Native codegen rolling-hash document fingerprint. The composed version
+  * (`TextOps.fingerprint`: sequence → transform → aggregate) allocates an
+  * index array per row and evaluates the fold lambda per character on the
+  * interpreted higher-order-function path — ~10× slower on real corpora.
+  * Same values (q23's DuckDB oracle covers both).
+  */
+case class RollingHashFingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.fingerprint(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = TextHash.getClass.getName // "graft.functions.TextHash$"
+    defineCodeGen(ctx, ev, c => s"$kernel.MODULE$$.fingerprint($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashFingerprint =
     copy(child = newChild)
 }

@@ -34,6 +34,14 @@ object SkewJoin {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full outer would emit every unmatched small-side row `salts`
+    // times (one per exploded salt) — only shapes where the small side's
+    // unmatched rows are dropped are salting-safe
+    require(Set("inner", "left", "leftouter", "leftsemi")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi joins, got '$joinType'")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs already contain a _salt column")
     val saltedBig = big.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
     val saltedSmall = small

@@ -49,8 +49,10 @@ object Profiling {
     */
   def recomputeMismatch(
       df: DataFrame, derived: String, inputs: Seq[String]): DataFrame =
-    df.filter(col(derived) =!=
-      inputs.map(c => coalesce(col(c), lit(0L))).reduce(_ + _))
+    // null-safe inequality: a NULL derived value IS a mismatch (plain =!=
+    // yields null there and the filter would silently pass the broken row)
+    df.filter(!(col(derived) <=>
+      inputs.map(c => coalesce(col(c), lit(0L))).reduce(_ + _)))
 
   /** One-row summary of the standard invariants for dashboards/alerts. */
   def summary(df: DataFrame, keys: Seq[String]): DataFrame = {

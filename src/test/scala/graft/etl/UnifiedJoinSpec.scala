@@ -24,6 +24,20 @@ class UnifiedJoinSpec extends SparkSpec {
     assert(cols.contains("onlyd2"))
   }
 
+  test("key2 on both fact and dim1: dim1's copy renamed, no ambiguity") {
+    // review-shaped: fact carries business_id (drives the dim2 join), and
+    // dim1 ALSO has a business_id column (schema drift)
+    val fact = Seq((1L, 100L, 7L)).toDF("k1", "k2", "payload")
+    val dim1 = Seq((1L, 999L, "d1")).toDF("k1", "k2", "other")
+    val dim2 = Seq((100L, "d2")).toDF("k2", "attr")
+    val out = UnifiedJoin.unify(fact, dim1, dim2, "k1", "k2", "f", "b")
+    assert(out.count() == 1)
+    val r = out.collect().head
+    assert(r.getAs[Long]("k2") == 100L)        // fact's key drove the join
+    assert(r.getAs[Long]("b_ref_k2") == 999L)  // dim1's copy kept, renamed
+    assert(r.getAs[String]("attr") == "d2")    // dim2 matched on fact's key
+  }
+
   test("rename is deterministic (sorted fold) and left joins preserve fact rows") {
     val fact = Seq((1L, 99L), (2L, 10L)).toDF("k1", "k2") // k1=1 has no dim1 match? keys below
     val dim1 = Seq((1L, "a")).toDF("k1", "v1")

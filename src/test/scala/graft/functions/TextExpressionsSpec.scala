@@ -34,6 +34,21 @@ class TextExpressionsSpec extends SparkSpec {
     assert(!r.isNullAt(0) && r.getFloat(0) == 0.0f)
   }
 
+  test("fingerprint expression agrees with the composed-HOF fold and plain Scala") {
+    GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val both = docs.select(col("doc_id"), col("text"),
+      GraftFunctions.fingerprint(col("text")).as("expr_fp"),
+      graft.text.TextOps.fingerprint(col("text")).as("hof_fp"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = r.getString(1).foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+      assert(r.getLong(2) == expected && r.getLong(3) == expected,
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("callable from SQL, inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // parquet-backed so the projection isn't constant-folded into a

@@ -30,6 +30,15 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("outer joins that would duplicate unmatched small-side rows are rejected") {
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, "key", salts = 4, joinType = "full")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, "key", salts = 4, joinType = "right")
+    }
+  }
+
   test("salt actually spreads the hot key across buckets") {
     val salts = 8
     val saltedBig = big.withColumn("_salt",

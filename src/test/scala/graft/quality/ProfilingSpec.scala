@@ -31,6 +31,12 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.recomputeMismatch(d, "derived", Seq("a", "b")).count() == 1)
   }
 
+  test("recomputeMismatch: NULL derived value is a mismatch, not a pass") {
+    val d = Seq((Some(1L), Some(2L), Some(3L)), (Some(1L), Some(2L), None))
+      .toDF("a", "b", "derived")
+    assert(Profiling.recomputeMismatch(d, "derived", Seq("a", "b")).count() == 1)
+  }
+
   test("summary: row count + key nulls + flatness in one row") {
     val r = Profiling.summary(df, Seq("id", "name")).collect().head
     assert(r.getAs[Long]("n_rows") == 3L)
