@@ -182,10 +182,20 @@ object Dedup {
 
   /** 64-bit SimHash over the document's distinct tokens: bit j of the
     * signature is the sign of Σ_tokens (2·bit_j(xxhash64(token)) − 1).
-    * Computed with higher-order array expressions over the per-doc token
-    * set — no UDF, no per-bit explode (64× row blowup avoided).
+    * Production path: the codegen'd [[graft.functions.SimHash64]] kernel
+    * (two tight loops); [[simhashComposed]] keeps the pure-column variant
+    * whose per-token × per-bit lambdas run interpreted (the parity spec
+    * pins the two together).
     */
   def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash64(
+        array_distinct(TextOps.tokens(col("text")))).as("simhash"))
+  }
+
+  /** Composed-HOF SimHash reference implementation (see [[simhash]]). */
+  def simhashComposed(docs: DataFrame): DataFrame = {
     val toks = array_distinct(TextOps.tokens(col("text")))
     docs
       .select(col("doc_id"), transform(toks, t => xxhash64(t)).as("hs"))

@@ -38,6 +38,11 @@ object GraftFunctions {
     RollingHashFingerprint(args(0))
   }
 
+  private def simhashBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"graft_simhash expects 1 argument, got ${args.length}")
+    SimHash64(args(0))
+  }
+
   /** Idempotent runtime registration into the session's function registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -46,12 +51,15 @@ object GraftFunctions {
       "graft_sentiment", sentimentBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fingerprint", fingerprintBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", simhashBuilder, "built-in")
   }
 
   /** DataFrame-API handles; require [[register]] on the session first. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def sentiment(text: Column): Column = call_function("graft_sentiment", text)
   def fingerprint(text: Column): Column = call_function("graft_fingerprint", text)
+  def simhash64(tokens: Column): Column = call_function("graft_simhash", tokens)
 }
 
 /** `spark.sql.extensions` entry point. */

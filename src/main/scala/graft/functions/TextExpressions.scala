@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{DataType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.text.Sentiment
@@ -77,6 +77,64 @@ object TextHash {
     }
     h
   }
+
+  /** 64-bit SimHash of a token array: per-token xxhash64 (Spark's default
+    * seed 42), per-bit vote, sign → bit.
+    */
+  def simhash(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** Native codegen 64-bit SimHash over a token array. The composed version
+  * (`Dedup.simhashComposed`: aggregate + zip_with over a 64-slot vote
+  * array) evaluates its lambdas per token × 64 bits on the interpreted HOF
+  * path; this kernel is two tight loops. Bit math is identical: xxhash64
+  * (seed 42, Spark's default) per token, vote per bit, bit set when votes
+  * ≥ 0 — DedupSpec asserts parity.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simhash(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = TextHash.getClass.getName
+    defineCodeGen(ctx, ev, c => s"$kernel.MODULE$$.simhash($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
 }
 
 /** Native codegen rolling-hash document fingerprint. The composed version

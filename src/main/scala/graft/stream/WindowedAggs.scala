@@ -4,8 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time streaming aggregations — the engine's streaming posture
   * beyond the reference's file-granularity micro-batching (the reference
@@ -91,6 +90,40 @@ object WindowedAggs {
           state.update(st)
           UserSession(userId, new Timestamp(st.start), new Timestamp(st.last),
             st.n, st.total)
+      }
+  }
+
+  /** flatMapGroupsWithState variant emitting EVERY session the gap rule
+    * closes (plus the still-open tail) — the full sessionization semantics
+    * [[sessionize]]'s single-output shape simplifies away. Append output
+    * mode: each emitted row is final.
+    */
+  def sessionizeAll(
+      spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val closed = scala.collection.mutable.ListBuffer[UserSession]()
+          var st = state.getOption.getOrElse(
+            SessionState(Long.MaxValue, Long.MinValue, 0, 0.0))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.n == 0 || t - st.last <= gapMs) {
+              st = SessionState(math.min(st.start, t), math.max(st.last, t),
+                st.n + 1, st.total + e.value)
+            } else {
+              closed += UserSession(userId, new Timestamp(st.start),
+                new Timestamp(st.last), st.n, st.total)
+              st = SessionState(t, t, 1, e.value)
+            }
+          }
+          state.update(st)
+          (closed += UserSession(userId, new Timestamp(st.start),
+            new Timestamp(st.last), st.n, st.total)).iterator
       }
   }
 }

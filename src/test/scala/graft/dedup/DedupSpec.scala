@@ -50,6 +50,13 @@ class DedupSpec extends SparkSpec {
     assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("simhash: codegen kernel matches the composed-HOF implementation") {
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val expr = Dedup.simhash(real).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = Dedup.simhashComposed(real).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expr == hof)
+  }
+
   test("simhash: identical docs → distance 0; pairs respect maxHamming") {
     val sig = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

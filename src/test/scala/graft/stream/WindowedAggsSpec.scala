@@ -38,6 +38,21 @@ class WindowedAggsSpec extends SparkSpec {
     assert(out.count(_.startsWith("2024-01-01 10:")) == 2)
   }
 
+  test("sessionizeAll: every closed session emitted, not just the last") {
+    val ds = events.as[WindowedAggs.Event]
+    val sessions = WindowedAggs.sessionizeAll(spark, ds, gapMs = 30 * 60 * 1000L)
+      .collect().groupBy(_.user_id)
+    // user 1: {10:05,10:20} then {11:10} — two sessions
+    val u1 = sessions(1L).sortBy(_.session_start.getTime)
+    assert(u1.length == 2)
+    assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+    assert(u1(0).session_end == ts("2024-01-01 10:20:00"))
+    assert(u1(1).n_events == 1 && u1(1).total_value == 3.0)
+    // user 2: {10:50} and {13:00}
+    assert(sessions(2L).length == 2)
+    assert(sessions(2L).map(_.total_value).sorted.toSeq == Seq(10.0, 20.0))
+  }
+
   test("sessionize: gap rule splits sessions, state folds within gap") {
     val ds = events.as[WindowedAggs.Event]
     val sessions = WindowedAggs.sessionize(spark, ds, gapMs = 30 * 60 * 1000L)
