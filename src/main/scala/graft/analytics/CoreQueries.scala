@@ -277,10 +277,14 @@ object CoreQueries {
     * field out of the `props` JSON-string column.
     */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    // sort FIRST, parse after: a global orderBy range-partitions by sampling
+    // its child, so putting the parse below the sort would execute the JSON
+    // path twice (sampling pass + real pass)
     Tables.events(s, dir)
+      .select(col("event_id"), col("props"))
+      .orderBy(col("event_id"))
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .orderBy(col("event_id"))
 
   /** S8 catalog surface — temp-view registration + `spark.sql` (the engine's
     * replacement for Glue/Athena, SURVEY.md §3.3). The SQL text is shared
