@@ -43,6 +43,16 @@ object GraftFunctions {
     SimHash64(args(0))
   }
 
+  private def lshBucketBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"graft_lsh_bucket expects 2 arguments, got ${args.length}")
+    val bits = args(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case _ => throw new IllegalArgumentException(
+        "graft_lsh_bucket's bits argument must be an integer literal")
+    }
+    HyperplaneSketch(args(0), bits)
+  }
+
   /** Idempotent runtime registration into the session's function registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -53,6 +63,8 @@ object GraftFunctions {
       "graft_fingerprint", fingerprintBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", simhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_bucket", lshBucketBuilder, "built-in")
   }
 
   /** DataFrame-API handles; require [[register]] on the session first. */
@@ -60,6 +72,8 @@ object GraftFunctions {
   def sentiment(text: Column): Column = call_function("graft_sentiment", text)
   def fingerprint(text: Column): Column = call_function("graft_fingerprint", text)
   def simhash64(tokens: Column): Column = call_function("graft_simhash", tokens)
+  def lshBucket(v: Column, bits: Int): Column =
+    call_function("graft_lsh_bucket", v, org.apache.spark.sql.functions.lit(bits))
 }
 
 /** `spark.sql.extensions` entry point. */

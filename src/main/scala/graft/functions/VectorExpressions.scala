@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<float>` embedding columns.
@@ -89,4 +89,73 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+/** Static kernel shared by [[HyperplaneSketch]]'s eval and generated code. */
+object VectorHash {
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * chained xxhash64 of (plane, dim) — exactly the composed
+    * `Similarity.lshBucket` formula (pmod ≡ floorMod, same ascending-dim
+    * double accumulation), so buckets are bit-identical.
+    */
+  def planeComponent(p: Int, j: Long): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    var h = XxHash64Function.hash(p, IntegerType, 42L)
+    h = XxHash64Function.hash(j, LongType, h)
+    (Math.floorMod(h, 2000001L) - 1000000L).toDouble / 1000000.0
+  }
+
+  def hyperplaneSketch(arr: ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    var sketch = 0L
+    var p = 0
+    while (p < bits) {
+      var proj = 0.0
+      var j = 0
+      while (j < n) {
+        proj += arr.getFloat(j).toDouble * planeComponent(p, j.toLong)
+        j += 1
+      }
+      if (proj >= 0.0) sketch |= (1L << p)
+      p += 1
+    }
+    sketch
+  }
+}
+
+/** Native codegen b-bit random-hyperplane sign sketch over an
+  * `array<float>` embedding — the LSH bucket id for ANN/near-dup search.
+  * The composed column version evaluates its fold lambda per (plane × dim)
+  * on the interpreted HOF path AND recomputes the plane components' hash
+  * chain per row; this kernel is two tight loops. Bit-identical output
+  * (parity pinned in VectorExpressionsSpec).
+  */
+case class HyperplaneSketch(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits > 0 && bits <= 64, s"bits must be in [1, 64], got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorHash.hyperplaneSketch(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = VectorHash.getClass.getName
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kernel.MODULE$$.hyperplaneSketch($c, $bits);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSketch =
+    copy(child = newChild)
 }

@@ -71,8 +71,12 @@ object Similarity {
   private def planeComponent(p: Int, j: Column): Column =
     (pmod(xxhash64(lit(p), j), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
 
-  /** b-bit random-hyperplane sign sketch of a vector. */
-  def lshBucket(v: Column, bits: Int): Column =
+  /** b-bit random-hyperplane sign sketch — composed-HOF reference
+    * implementation over a DOUBLE array; the production path is the
+    * bit-identical codegen'd [[graft.functions.HyperplaneSketch]] over the
+    * raw float array (see the parity test in VectorExpressionsSpec).
+    */
+  def lshBucketComposed(v: Column, bits: Int): Column =
     (0 until bits).map { p =>
       val proj = aggregate(zip_with(v, sequence(lit(0L), size(v).cast("long") - 1L),
         (x, j) => x * planeComponent(p, j)), lit(0.0), (s, x) => s + x)
@@ -87,7 +91,7 @@ object Similarity {
     GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings
       .select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", lshBucket(toDouble(col("embedding")), bits))
+      .withColumn("bucket", GraftFunctions.lshBucket(col("embedding"), bits))
     val q = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
         col("bucket"))
@@ -114,7 +118,7 @@ object Similarity {
     GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings
       .select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", lshBucket(toDouble(col("embedding")), bits))
+      .withColumn("bucket", GraftFunctions.lshBucket(col("embedding"), bits))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))

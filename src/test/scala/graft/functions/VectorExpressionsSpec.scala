@@ -45,6 +45,17 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(both.filter(col("expr_cos") =!= col("fold_cos")).count() == 0)
   }
 
+  test("hyperplane sketch expression bit-identical to the composed column version") {
+    GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    val both = e.select(col("vec_id"),
+      GraftFunctions.lshBucket(col("embedding"), 8).as("expr_b"),
+      Similarity.lshBucketComposed(Similarity.toDouble(col("embedding")), 8).as("hof_b"))
+    assert(both.filter(col("expr_b") =!= col("hof_b")).count() == 0)
+    // buckets are spread, not degenerate
+    assert(both.select(col("expr_b")).distinct().count() > 1)
+  }
+
   test("SQL path after registration: graft_cosine callable from spark.sql") {
     GraftFunctions.register(spark)
     vecs.createOrReplaceTempView("vx")
