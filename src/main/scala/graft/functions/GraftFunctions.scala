@@ -45,27 +45,46 @@ object GraftFunctions {
 
   private def lshBucketBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, s"graft_lsh_bucket expects 2 arguments, got ${args.length}")
-    val bits = args(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case _ => throw new IllegalArgumentException(
-        "graft_lsh_bucket's bits argument must be an integer literal")
+    // any constant-foldable integer works (bare literal, negated literal,
+    // CAST, ...) — evaluate it rather than pattern-matching Literal
+    val bitsExpr = args(1)
+    require(bitsExpr.foldable,
+      "graft_lsh_bucket's bits argument must be a constant integer")
+    val bits = bitsExpr.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_bucket's bits argument must be a constant integer, got $other")
     }
     HyperplaneSketch(args(0), bits)
   }
 
+  /** One (name, info, arity-checked builder) triple per engine function —
+    * the single source both registration paths install from.
+    */
+  val allBuilders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", cosineInfo, cosineBuilder _),
+    ("graft_sentiment",
+      new ExpressionInfo(classOf[SentimentScore].getCanonicalName, "graft_sentiment"),
+      sentimentBuilder _),
+    ("graft_fingerprint",
+      new ExpressionInfo(classOf[RollingHashFingerprint].getCanonicalName, "graft_fingerprint"),
+      fingerprintBuilder _),
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHash64].getCanonicalName, "graft_simhash"),
+      simhashBuilder _),
+    ("graft_lsh_bucket",
+      new ExpressionInfo(classOf[HyperplaneSketch].getCanonicalName, "graft_lsh_bucket"),
+      lshBucketBuilder _))
+
   /** Idempotent runtime registration into the session's function registry. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", cosineBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sentiment", sentimentBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_fingerprint", fingerprintBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash", simhashBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lsh_bucket", lshBucketBuilder, "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    allBuilders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 
   /** DataFrame-API handles; require [[register]] on the session first. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
@@ -76,16 +95,12 @@ object GraftFunctions {
     call_function("graft_lsh_bucket", v, org.apache.spark.sql.functions.lit(bits))
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point — installs the same five functions
+  * (same arity-checked builders) as [[GraftFunctions.register]].
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      GraftFunctions.cosineInfo,
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_sentiment"),
-      new ExpressionInfo(classOf[SentimentScore].getCanonicalName, "graft_sentiment"),
-      (args: Seq[Expression]) => SentimentScore(args(0))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.allBuilders.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }

@@ -88,7 +88,13 @@ object TextHash {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      // null token → seed, matching Spark's xxhash64-of-null semantics in
+      // the composed variant; without the explicit check the result would
+      // depend on the array's physical representation (UnsafeArrayData's
+      // zeroed null slot reads as an empty string)
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

@@ -107,15 +107,28 @@ object VectorHash {
     (Math.floorMod(h, 2000001L) - 1000000L).toDouble / 1000000.0
   }
 
+  /** Plane matrix cache: a plane row is a pure function of (plane, dims) —
+    * without this, every row would redo bits × dims × 2 xxhash64 calls,
+    * which dominates the dot product the kernel exists to speed up.
+    * Bounded: bits ≤ 64 × the handful of distinct embedding widths in play.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def planeRow(p: Int, dims: Int): Array[Double] =
+    planeCache.computeIfAbsent((p, dims),
+      _ => Array.tabulate(dims)(j => planeComponent(p, j.toLong)))
+
   def hyperplaneSketch(arr: ArrayData, bits: Int): Long = {
     val n = arr.numElements()
     var sketch = 0L
     var p = 0
     while (p < bits) {
+      val plane = planeRow(p, n)
       var proj = 0.0
       var j = 0
       while (j < n) {
-        proj += arr.getFloat(j).toDouble * planeComponent(p, j.toLong)
+        proj += arr.getFloat(j).toDouble * plane(j)
         j += 1
       }
       if (proj >= 0.0) sketch |= (1L << p)

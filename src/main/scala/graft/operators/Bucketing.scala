@@ -40,25 +40,15 @@ object Bucketing {
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
 
   /** Number of shuffle Exchange operators in the EXECUTED plan — 0 proves
-    * co-location. Executes the frame (AQE only finalizes its plan after an
-    * action) and descends through AdaptiveSparkPlanExec/QueryStageExec
-    * wrappers, whose `children` are empty — a naive `plan.collect` on an
-    * adaptive plan silently sees no exchanges at all.
+    * co-location. Materializes the frame's own QueryExecution first (an API
+    * action like `count()` builds a derived plan, leaving this one's AQE
+    * plan un-finalized) and walks through the adaptive wrappers via
+    * [[PlanWalk]].
     */
   def numShuffles(df: DataFrame): Int = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    df.count()
-    def walk(p: SparkPlan): Int = {
-      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      self + kids.map(walk).sum
-    }
-    walk(df.queryExecution.executedPlan)
+    PlanWalk.collectPlan(PlanWalk.executedPlanOf(df)) {
+      case e: ShuffleExchangeLike => e
+    }.size
   }
 }

@@ -36,18 +36,8 @@ object Layout {
     */
   def partitionsScanned(df: DataFrame): Long = {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.SparkPlan
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
-      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Seq.empty }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      self ++ kids.flatMap(scans)
-    }
-    scans(df.queryExecution.executedPlan)
-      .map(_.selectedPartitions.partitionCount.toLong).sum
+    PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }.map(_.selectedPartitions.partitionCount.toLong).sum
   }
 }

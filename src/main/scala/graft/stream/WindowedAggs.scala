@@ -56,8 +56,10 @@ object WindowedAggs {
 
   /** Custom sessionization state machine via `mapGroupsWithState`
     * (the arbitrary-stateful path for semantics windowed aggs can't
-    * express): events within `gapMs` of each other belong to one session;
-    * a processing-time timeout flushes idle sessions.
+    * express): events within `gapMs` of each other belong to one session.
+    * A processing-time timeout of `gapMs` flushes idle users' state — in a
+    * long-running stream, keys stop accumulating once their user goes
+    * quiet (timeouts never fire in batch, where state dies with the query).
     *
     * In streaming, emits one row per updated session per micro-batch; in
     * batch (as used by the spec), each group is processed once with all its
@@ -69,34 +71,49 @@ object WindowedAggs {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, UserSession](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // fold this batch's events (sorted by event time) into the state,
-          // tracking only the LAST session — prior sessions closed by the
-          // gap rule are summarized into it for the demo's single-output
-          // shape; a flatMapGroupsWithState variant would emit each.
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.getOrElse(
-            SessionState(Long.MaxValue, Long.MinValue, 0, 0.0))
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            st =
-              if (st.n == 0 || t - st.last <= gapMs)
-                SessionState(math.min(st.start, t), math.max(st.last, t),
-                  st.n + 1, st.total + e.value)
-              else // gap exceeded: start a fresh session
-                SessionState(t, t, 1, e.value)
+          if (state.hasTimedOut) {
+            // idle user: emit the stored session one final time, drop state
+            val st = state.get
+            state.remove()
+            UserSession(userId, new Timestamp(st.start), new Timestamp(st.last),
+              st.n, st.total)
+          } else {
+            // fold this batch's events (sorted by event time) into the
+            // state, tracking only the LAST session — prior sessions closed
+            // by the gap rule are summarized into it for the single-output
+            // shape; sessionizeAll emits each.
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(
+              SessionState(Long.MaxValue, Long.MinValue, 0, 0.0))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st =
+                if (st.n == 0 || t - st.last <= gapMs)
+                  SessionState(math.min(st.start, t), math.max(st.last, t),
+                    st.n + 1, st.total + e.value)
+                else // gap exceeded: start a fresh session
+                  SessionState(t, t, 1, e.value)
+            }
+            state.update(st)
+            state.setTimeoutDuration(gapMs)
+            UserSession(userId, new Timestamp(st.start), new Timestamp(st.last),
+              st.n, st.total)
           }
-          state.update(st)
-          UserSession(userId, new Timestamp(st.start), new Timestamp(st.last),
-            st.n, st.total)
       }
   }
 
   /** flatMapGroupsWithState variant emitting EVERY session the gap rule
-    * closes (plus the still-open tail) — the full sessionization semantics
-    * [[sessionize]]'s single-output shape simplifies away. Append output
-    * mode: each emitted row is final.
+    * closes, plus the still-open tail — the full sessionization semantics
+    * [[sessionize]]'s single-output shape simplifies away.
+    *
+    * Output contract: gap-closed rows are final; the OPEN tail session is
+    * provisional and re-emitted (extended) on each micro-batch that touches
+    * the user, until the gap rule or the idle timeout closes it — consumers
+    * needing exactly-one-row-per-session should upsert on (user_id,
+    * session_start). The processing-time timeout flushes and removes idle
+    * users' state (never fires in batch).
     */
   def sessionizeAll(
       spark: SparkSession, events: Dataset[Event],
@@ -104,26 +121,34 @@ object WindowedAggs {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val closed = scala.collection.mutable.ListBuffer[UserSession]()
-          var st = state.getOption.getOrElse(
-            SessionState(Long.MaxValue, Long.MinValue, 0, 0.0))
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.n == 0 || t - st.last <= gapMs) {
-              st = SessionState(math.min(st.start, t), math.max(st.last, t),
-                st.n + 1, st.total + e.value)
-            } else {
-              closed += UserSession(userId, new Timestamp(st.start),
-                new Timestamp(st.last), st.n, st.total)
-              st = SessionState(t, t, 1, e.value)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, new Timestamp(st.start),
+              new Timestamp(st.last), st.n, st.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ListBuffer[UserSession]()
+            var st = state.getOption.getOrElse(
+              SessionState(Long.MaxValue, Long.MinValue, 0, 0.0))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.n == 0 || t - st.last <= gapMs) {
+                st = SessionState(math.min(st.start, t), math.max(st.last, t),
+                  st.n + 1, st.total + e.value)
+              } else {
+                closed += UserSession(userId, new Timestamp(st.start),
+                  new Timestamp(st.last), st.n, st.total)
+                st = SessionState(t, t, 1, e.value)
+              }
             }
+            state.update(st)
+            state.setTimeoutDuration(gapMs)
+            (closed += UserSession(userId, new Timestamp(st.start),
+              new Timestamp(st.last), st.n, st.total)).iterator
           }
-          state.update(st)
-          (closed += UserSession(userId, new Timestamp(st.start),
-            new Timestamp(st.last), st.n, st.total)).iterator
       }
   }
 }
