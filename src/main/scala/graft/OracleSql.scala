@@ -330,6 +330,16 @@ object OracleSql {
         |GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
 
+    // Java regex (Spark) and RE2 (DuckDB) agree on this alternation-of-
+    // simple-atoms pattern (leftmost-first in both).
+    "q38_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // Spark `percentile` and DuckDB `quantile_cont` both linearly
     // interpolate on the sorted values.
     "q35_value_percentiles" ->

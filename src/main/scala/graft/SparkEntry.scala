@@ -56,6 +56,7 @@ object SparkEntry {
     "q21_text_stats"        -> (TextOps.textStatsQuery _),
     "q22_lang_id"           -> (TextOps.langConfusionQuery _),
     "q23_fingerprint"       -> (TextOps.fingerprintQuery _),
+    "q38_token_counts"      -> (TextOps.tokenCountsQuery _),
     // dedup
     "q24_dedup_exact"       -> (Dedup.exactQuery _),
     "q25_jaccard_pairs"     -> (Dedup.jaccardQuery _),

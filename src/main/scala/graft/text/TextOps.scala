@@ -20,6 +20,29 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** GPT-2-style pre-tokenizer regex: contractions, space-prefixed letter
+    * runs, digit runs, punctuation runs, residual whitespace. A real BPE
+    * would merge within these pre-tokens; for corpus statistics the
+    * pre-token count is the standard cheap proxy.
+    */
+  val bpeIshPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeIshPattern), lit(0))
+
+  /** Per-document token counts, whitespace and BPE-ish (the two standard
+    * corpus-sizing measures).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  def tokenCountsQuery(s: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.documents(s, dir))
+
   /** Token frequency over a corpus: explode → group → top-k.
     * Explode is the row-multiplying hot spot (SURVEY.md §4) — at scale the
     * aggregation is map-side-combined by Spark, so the shuffle carries only

@@ -45,6 +45,17 @@ class TextOpsSpec extends SparkSpec {
     assert(preds(2L) == "es")
   }
 
+  test("bpe-ish tokens: contractions, digit runs, punctuation runs split out") {
+    val toks = Seq((1L, "it's 42 degrees, isn't it?!")).toDF("doc_id", "text")
+      .select(TextOps.bpeTokens(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(toks == Seq("it", "'s", " 42", " degrees", ",", " isn", "'t", " it", "?!"))
+    val counts = TextOps.tokenCounts(
+      Seq((1L, "it's 42 degrees, isn't it?!")).toDF("doc_id", "text")).collect().head
+    assert(counts.getLong(1) == 5L) // whitespace tokens
+    assert(counts.getLong(2) == 9L) // bpe-ish pre-tokens
+  }
+
   test("fingerprint: deterministic rolling hash, distinct for distinct text") {
     val fp = TextOps.fingerprints(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
