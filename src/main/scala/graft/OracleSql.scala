@@ -269,10 +269,15 @@ object OracleSql {
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS shingle
         |  FROM tk, unnest(range(0, len(t) - 4)) AS g(i)
         |  WHERE len(t) >= 5),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM sh0)
+        |  WHERE df <= 100),
         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |cm AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common

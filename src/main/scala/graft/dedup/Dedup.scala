@@ -78,9 +78,24 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
     * docs sharing ≥1 shingle are candidates; J = |A∩B| / (|A|+|B|-|A∩B|).
     * The self-join is on the shingle (inverted index), never doc×doc.
+    *
+    * Scale guard: a shingle appearing in more than `maxDf` documents is a
+    * stop-shingle — its inverted-index bucket alone would emit O(df²)
+    * candidate pairs (one hot 5-gram shared by 10⁶ docs → 10¹² pairs), and
+    * it carries no near-dup signal. Such shingles are dropped from the
+    * universe BEFORE sizes and intersections are computed, so the result
+    * is the exact Jaccard over the non-stop shingle sets — a predicate the
+    * DuckDB oracle mirrors verbatim (same df window + filter). The df
+    * window shuffles by shingle, the same key the self-join shuffles by.
     */
-  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, k).cache()
+  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
+      maxDf: Int = 100): DataFrame = {
+    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val sh = shingles(docs, k)
+      .withColumn("df", count(lit(1)).over(dfWin))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -99,7 +114,7 @@ object Dedup {
   }
 
   def jaccardQuery(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.documents(s, dir), k = 5, threshold = 0.2)
+    jaccardPairs(Tables.documents(s, dir), k = 5, threshold = 0.2, maxDf = 100)
 
   /** Distinct (doc_id, shingle) pairs with the shingle pre-hashed to a
     * 64-bit key — the scale variant feeding MinHash: the dedup shuffle and

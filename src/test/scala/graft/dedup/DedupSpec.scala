@@ -42,6 +42,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("jaccard: stop-shingle df cap kills the quadratic candidate blowup") {
+    // 30 decoy docs share one hot 5-gram and nothing else; 2 genuine dups
+    // share only rare shingles. Uncapped, the hot shingle's inverted-index
+    // bucket alone emits C(30,2)=435 candidate pairs (the quadratic path);
+    // capped, the hot shingle leaves the universe and only the real dup
+    // pair survives — computed over its rare shingles, so still J=1.0.
+    val stop = "the quick brown fox jumps"
+    val decoys = (1 to 30).map(i => (i.toLong, s"$stop only$i unique$i here$i"))
+    val dups = Seq((100L, "zebra yak xylo wolf vole umbra"),
+      (101L, "zebra yak xylo wolf vole umbra"))
+    val corpus = (decoys ++ dups).toDF("doc_id", "text")
+    // each decoy: 8 tokens → 4 shingles, 1 shared → J = 1/7 ≈ 0.143 ≥ 0.1
+    val uncapped = Dedup.jaccardPairs(corpus, k = 5, threshold = 0.1,
+      maxDf = Int.MaxValue)
+    assert(uncapped.count() == 435 + 1)
+    val capped = Dedup.jaccardPairs(corpus, k = 5, threshold = 0.1, maxDf = 10)
+      .collect()
+    assert(capped.length == 1)
+    assert(capped.head.getLong(0) == 100L && capped.head.getLong(1) == 101L
+      && capped.head.getDouble(2) == 1.0)
+  }
+
   test("minhash-lsh finds exact and near dups, est_jaccard=1 for identical") {
     val out = Dedup.minhashLshPairs(docs, k = 5, numHashes = 20, bands = 5,
       estThreshold = 0.5).collect()
