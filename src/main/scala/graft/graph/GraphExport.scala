@@ -47,6 +47,29 @@ object GraphExport {
   def categoryNodes(b: DataFrame): DataFrame =
     b.select(col("category").as("id")).filter(col("id").isNotNull).dropDuplicates("id")
 
+  /** The boolean amenity flags of the processed business table — the
+    * engine's `business_feature` feed (the reference ships it as a CSV,
+    * `graph.cypher:6,83-90`; its rows are the amenities a business offers).
+    */
+  val featureFlags: Seq[String] =
+    graft.etl.Schemas.booleanAttrs.map(graft.etl.BusinessEtl.toSnake) ++
+      Seq("ambience_casual", "ambience_classy", "parking_lot", "parking_garage")
+
+  /** (business_id, feature) rows — one per amenity flag that is true.
+    * Single narrow pass: the per-flag `when`s land in one array that is
+    * exploded once (no per-flag scans), nulls (false/missing flags)
+    * filtered after the generate.
+    */
+  def businessFeatures(b: DataFrame, flags: Seq[String] = featureFlags): DataFrame =
+    b.select(col("business_id"),
+        explode(array(flags.map(f => when(col(f) === true, lit(f))): _*)).as("feature"))
+      .filter(col("feature").isNotNull)
+      .dropDuplicates("business_id", "feature")
+
+  /** Feature lookup nodes (`graph.cypher:19,86` — unique names). */
+  def featureNodes(b: DataFrame, flags: Seq[String] = featureFlags): DataFrame =
+    businessFeatures(b, flags).select(col("feature").as("id")).dropDuplicates("id")
+
   /** Edge tables (src, dst[, props]), one per relationship type
     * (`graph.cypher:50-97`).
     */
@@ -71,6 +94,11 @@ object GraphExport {
     b.select(col("business_id").as("src"), col("category").as("dst"))
       .filter(col("dst").isNotNull).dropDuplicates("src", "dst")
 
+  /** (b)-[:OFFERS]->(f) edges (`graph.cypher:85-86`). */
+  def offers(b: DataFrame, flags: Seq[String] = featureFlags): DataFrame =
+    businessFeatures(b, flags)
+      .select(col("business_id").as("src"), col("feature").as("dst"))
+
   /** Bidirectional FRIENDS_WITH closure (`graph.cypher:93-95`): union with
     * reversed endpoints, deduped; self-loops and null friends dropped.
     */
@@ -84,4 +112,14 @@ object GraphExport {
   /** CSV export of any node/edge table (`graph.cypher:5` feed format). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Schema-typed CSV scan — the library side of the round-trip (S6):
+    * `LOAD CSV WITH HEADERS` plus the Cypher `toFloat`/`toInteger`/`date()`
+    * coercions (`graph.cypher:23,27-29,40-43`) become an explicit schema,
+    * so typing happens in the scan (pushed into the CSV reader), not in a
+    * post-pass.
+    */
+  def importCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
 }

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.etl.{ReviewEtl, Schemas, UserEtl}
+import graft.etl.{BusinessEtl, ReviewEtl, Schemas, UserEtl}
 
 /** Ports the reference's graph integrity suite
   * (`test_cases/neo4j_test.cypher:1-53`) against the DataFrame projection.
@@ -24,6 +24,28 @@ class GraphSpec extends SparkSpec {
   lazy val reviews = ReviewEtl.transform(jsonDf(Schemas.review,
     """{"review_id":"r1","user_id":"u1","business_id":"b1","stars":5.0,"useful":1,"funny":0,"cool":0,"text":"great","date":"2021-05-01 12:00:00"}""",
     """{"review_id":"r2","user_id":"u2","business_id":"b1","stars":4.0,"useful":0,"funny":0,"cool":0,"text":"good","date":"2021-05-02 12:00:00"}"""))
+
+  lazy val businesses = BusinessEtl.transform(jsonDf(Schemas.business,
+    """{"business_id":"b1","name":"Biz One","city":"Springfield","state":"IL","latitude":1.0,"longitude":2.0,"stars":4.0,"review_count":10,"is_open":1,"categories":"Food, Bar","hours":{"Monday":"9:0-17:0"},"attributes":{"HasTV":"True","DogsAllowed":"False","BusinessParking":"{'lot': 'True'}"}}""",
+    """{"business_id":"b2","name":"Biz Two","city":"Springfield","state":"IL","latitude":1.0,"longitude":2.0,"stars":3.0,"review_count":5,"is_open":1,"categories":"Food","hours":{"Monday":"9:0-17:0"},"attributes":{"HasTV":"True"}}"""))
+
+  test("Feature nodes + OFFERS edges project from amenity flags (cypher L83-90)") {
+    // b1 fans out to 2 category rows — businessFeatures must still emit one
+    // row per (business, feature); false/missing flags never surface.
+    val feats = GraphExport.businessFeatures(businesses)
+      .as[(String, String)].collect()
+    assert(feats.length == 3)
+    assert(feats.toSet == Set(
+      ("b1", "has_tv"), ("b1", "parking_lot"), ("b2", "has_tv")))
+    val nodes = GraphExport.featureNodes(businesses)
+    assert(nodes.select("id").as[String].collect().toSet
+      == Set("has_tv", "parking_lot"))
+    // uniqueness constraint ≙ graph.cypher:19; orphan checks cover OFFERS
+    assert(GraphChecks.duplicateKeys(nodes).count() == 0)
+    val off = GraphExport.offers(businesses)
+    assert(GraphChecks.orphanEdgesBySrc(off, GraphExport.businessNodes(businesses)).count() == 0)
+    assert(GraphChecks.orphanEdgesByDst(off, nodes).count() == 0)
+  }
 
   test("MERGE semantics: re-ingest (union of same batch) does not duplicate") {
     val doubled = reviews.union(reviews)
@@ -65,7 +87,7 @@ class GraphSpec extends SparkSpec {
       org.apache.spark.sql.types.StructField("stars", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.DateType),
       org.apache.spark.sql.types.StructField("sentiment_label", org.apache.spark.sql.types.StringType)))
-    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+    val back = GraphExport.importCsv(spark, dir, schema)
     assert(back.count() == 2)
     assert(back.schema("stars").dataType.typeName == "double")
     assert(back.schema("date").dataType.typeName == "date")
