@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * pipeline posture: media as opaque `binary` columns with typed metadata,
   * processed by per-partition batch operators.
   *
-  * The actual codec work (JPEG decode, audio resample, video frame-split)
-  * needs native libraries that are NOT in this environment — those steps are
-  * STUBBED with a deterministic fake (clearly marked below) so the
-  * Spark-side plumbing is real and testable: schemas, partitioning, batch
-  * iteration shape, and the metadata contracts are exactly what a real
-  * decoder plugs into.
+  * Codec status:
+  *  - images: REAL decode via `javax.imageio` (JPEG/PNG/BMP/GIF — pure JDK,
+  *    no native deps): true width/height + a 16-bin luminance histogram as
+  *    the feature vector;
+  *  - audio: REAL decode via `javax.sound.sampled` (WAV/AIFF/AU — pure
+  *    JDK): true duration from frame count/rate + an amplitude histogram;
+  *  - video: no pure-JDK codec exists, so the frame-split step remains
+  *    STUBBED with a deterministic fake (clearly marked below); a payload
+  *    that fails real decode also falls back to the stub rather than
+  *    poisoning the batch (per-row error containment).
   *
   * Scale design:
   *  - media rows are large (MBs); `repartitionForMedia` sizes partitions by
@@ -50,14 +54,77 @@ object Multimodal {
 
   val FeatureDim = 16
 
+  /** Payload integrity hash (order-dependent fold — stable across JVMs). */
+  def payloadChecksum(content: Array[Byte]): Long =
+    content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+
+  /** Real image decode: `javax.imageio` gives true pixel dimensions; the
+    * feature vector is a 16-bin luminance histogram sampled on a stride
+    * grid (≤ ~64k pixels touched regardless of image size, so decode cost
+    * per row is bounded). None ⇢ payload isn't a JDK-readable image.
+    */
+  def decodeImage(row: MediaRow): Option[MediaFeatures] =
+    try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.content))).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (sx, sy) = (math.max(1, w / 256), math.max(1, h / 256))
+      val bins = new Array[Float](FeatureDim)
+      var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = ((rgb >> 16 & 0xFF) * 299 + (rgb >> 8 & 0xFF) * 587
+            + (rgb & 0xFF) * 114) / 1000
+          bins(lum * FeatureDim / 256) += 1f
+          n += 1
+          x += sx
+        }
+        y += sy
+      }
+      if (n > 0) { var i = 0; while (i < FeatureDim) { bins(i) /= n; i += 1 } }
+      MediaFeatures(row.media_id, row.kind, w, h, 0L, 1,
+        payloadChecksum(row.content), bins)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real audio decode: `javax.sound.sampled` gives true duration
+    * (frameLength / frameRate); the feature vector is a 16-bin histogram of
+    * sample-byte magnitudes over at most the first 64 KiB of PCM.
+    */
+  def decodeAudio(row: MediaRow): Option[MediaFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(row.content))
+      try {
+        val fmt = in.getFormat
+        if (in.getFrameLength < 0 || fmt.getFrameRate <= 0) None
+        else {
+          val durMs = (in.getFrameLength * 1000.0 / fmt.getFrameRate).toLong
+          val buf = new Array[Byte](64 << 10)
+          val read = in.read(buf)
+          val bins = new Array[Float](FeatureDim)
+          var i = 0
+          while (i < read) {
+            bins((buf(i) & 0xFF) * FeatureDim / 256) += 1f
+            i += 1
+          }
+          if (read > 0) { var j = 0; while (j < FeatureDim) { bins(j) /= read; j += 1 } }
+          Some(MediaFeatures(row.media_id, row.kind, 0, 0, durMs, 0,
+            payloadChecksum(row.content), bins))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** ==== STUB ====
-    * Deterministic fake decoder standing in for the native codec call
-    * (e.g. libjpeg / ffmpeg). Derives stable pseudo-metadata from the
-    * payload bytes so tests are reproducible. A real implementation
-    * replaces ONLY this function; every caller keeps its shape.
+    * Deterministic fake decoder standing in for the remaining native codec
+    * call (video frame-split, e.g. ffmpeg) and for payloads the real
+    * decoders can't parse. Derives stable pseudo-metadata from the payload
+    * bytes so tests are reproducible. A real video implementation replaces
+    * ONLY this function; every caller keeps its shape.
     */
   def decodeStub(row: MediaRow): MediaFeatures = {
-    val h = row.content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+    val h = payloadChecksum(row.content)
     def pick(lo: Int, hi: Int, salt: Int): Int =
       lo + math.floorMod(h ^ salt, (hi - lo).toLong).toInt
     val feature = Array.tabulate(FeatureDim)(i =>
@@ -89,16 +156,25 @@ object Multimodal {
     df.repartition(parts, col("media_id"))
   }
 
-  /** Decode stage: per-partition batch map on a typed Dataset. The real
-    * decoder would initialize its native context once per partition
+  /** Per-row decode dispatch: real JDK codecs for image/audio, stub for
+    * video and for payloads the real decoders reject.
+    */
+  def decodeRow(row: MediaRow): MediaFeatures = row.kind match {
+    case "image" => decodeImage(row).getOrElse(decodeStub(row))
+    case "audio" => decodeAudio(row).getOrElse(decodeStub(row))
+    case _ => decodeStub(row)
+  }
+
+  /** Decode stage: per-partition batch map on a typed Dataset. A native
+    * (non-JDK) decoder would initialize its context once per partition
     * (the `mapPartitions` body), amortizing setup across the batch —
     * this is the JVM analog of a vectorized pandas-batch UDF.
     */
   def decode(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      // per-partition init hook for the native codec would go here
-      it.map(decodeStub)
+      // per-partition init hook for a native codec would go here
+      it.map(decodeRow)
     }
   }
 
@@ -128,14 +204,61 @@ object Multimodal {
         round(col("width") * col("scale")).cast("int").as("target_width"),
         round(col("height") * col("scale")).cast("int").as("target_height"))
 
-  /** Synthetic media table for tests/demos (deterministic payloads). */
+  /** In-memory PNG encode of a deterministic gradient image (test/demo data
+    * that the REAL image decoder parses).
+    */
+  def syntheticPng(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (x * 37 + y * 101 + seed * 131) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** In-memory WAV encode of a deterministic 8-bit mono PCM tone at
+    * `rateHz` (test/demo data that the REAL audio decoder parses).
+    */
+  def syntheticWav(frames: Int, seed: Int, rateHz: Float = 8000f): Array[Byte] = {
+    val pcm = Array.tabulate[Byte](frames)(j =>
+      (math.sin(j * 0.07 + seed) * 100).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz, 8, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic media table for tests/demos: REAL deterministic payloads —
+    * in-memory PNG and WAV so the true decoders run end-to-end; video rows
+    * carry opaque bytes (stub path, no JDK video codec). Rows are built on
+    * the driver, which is fine at demo scale; a production media table
+    * arrives as parquet/binaryFile scans.
+    */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     (0 until n).map { i =>
-      val kind = Seq("image", "audio", "video")(i % 3)
-      val content = Array.tabulate[Byte](64 + i % 128)(j => ((i * 31 + j) % 127).toByte)
-      MediaRow(i.toLong, kind, s"mem://media/$i", content, content.length.toLong,
-        s"$kind/x-test")
+      Seq("image", "audio", "video")(i % 3) match {
+        case "image" =>
+          val c = syntheticPng(16 + i % 48, 16 + (i * 7) % 48, i)
+          MediaRow(i.toLong, "image", s"mem://media/$i", c, c.length.toLong, "image/png")
+        case "audio" =>
+          val c = syntheticWav(400 + (i % 50) * 80, i)
+          MediaRow(i.toLong, "audio", s"mem://media/$i", c, c.length.toLong, "audio/wav")
+        case _ =>
+          val c = Array.tabulate[Byte](64 + i % 128)(j => ((i * 31 + j) % 127).toByte)
+          MediaRow(i.toLong, "video", s"mem://media/$i", c, c.length.toLong, "video/x-test")
+      }
     }.toDF()
   }
 }

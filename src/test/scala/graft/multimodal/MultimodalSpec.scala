@@ -18,6 +18,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.feature.forall(v => v >= 0.0f && v < 1.0f))
   }
 
+  test("real decoders: true PNG dimensions, WAV duration, payload fallback") {
+    import spark.implicits._
+    val png = Multimodal.syntheticPng(37, 23, seed = 5)
+    val wav = Multimodal.syntheticWav(8000, seed = 5) // 8000 frames @ 8kHz = 1s
+    val junk = Array.tabulate[Byte](100)(_.toByte)    // not a decodable image
+    val media = Seq(
+      Multimodal.MediaRow(900L, "image", "mem://png", png, png.length.toLong, "image/png"),
+      Multimodal.MediaRow(901L, "audio", "mem://wav", wav, wav.length.toLong, "audio/wav"),
+      Multimodal.MediaRow(902L, "image", "mem://junk", junk, 100L, "image/png")).toDF()
+    val out = Multimodal.decode(spark, media).collect().map(f => f.media_id -> f).toMap
+    assert(out(900L).width == 37 && out(900L).height == 23)
+    assert(math.abs(out(900L).feature.sum - 1.0) < 1e-3) // true histogram
+    assert(out(901L).duration_ms == 1000L)
+    assert(out(902L).width > 0) // junk image falls back to the stub, not an error
+  }
+
   test("kind-specific metadata: image has dims, audio duration, video both") {
     val byKind = feats.collect().groupBy(_.kind)
     assert(byKind("image").forall(f => f.width > 0 && f.duration_ms == 0L))
