@@ -86,15 +86,25 @@ object Similarity {
   /** LSH-bucketed ANN: exact cosine, but each query only scans its own
     * sign-sketch bucket. Returns the same schema as [[cosineTopK]]; recall
     * < 1 (a true neighbor on the far side of a hyperplane is missed).
+    *
+    * `multiProbe ≥ 1` also probes every bucket at Hamming distance 1 from
+    * the query's sketch (standard multi-probe LSH): a neighbor at angle θ
+    * agrees with the sketch per-bit w.p. 1−θ/π, so allowing one flipped
+    * bit multiplies recall several-fold at moderate θ while scanning only
+    * `bits`+1 of the 2^bits buckets. The fan-out happens on the QUERY side
+    * (small, broadcast) — the corpus is still bucketed exactly once.
     */
-  def lshCosineTopK(embeddings: DataFrame, queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
+  def lshCosineTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      bits: Int = 8, multiProbe: Int = 1): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings
       .select(col("vec_id"), col("embedding"))
       .withColumn("bucket", GraftFunctions.lshBucket(col("embedding"), bits))
+    val masks: Seq[Column] = lit(0L) +:
+      (if (multiProbe >= 1) (0 until bits).map(b => lit(1L << b)) else Nil)
     val q = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
-        col("bucket"))
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
     e.join(broadcast(q), Seq("bucket"))
@@ -145,16 +155,35 @@ object Similarity {
   /** Nearest-`nprobe` centroid assignment per vector (IVF list membership).
     * The centroid table is tiny → broadcast cross join; per-row cost is
     * nlist cosine evaluations through the codegen'd expression.
+    *
+    * nprobe = 1 (the corpus-side list assignment — the big input) is an
+    * argmax, expressed as a `max_by` aggregate instead of a row_number
+    * window: the partial (map-side) aggregate collapses the nlist scored
+    * copies of each vector before the exchange, so the shuffle carries one
+    * row per vector and there is no per-partition sort. The window path
+    * remains for nprobe > 1 (query-side probing — small input).
     */
   def ivfAssign(embeddings: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("centroid_id"))
-    embeddings.crossJoin(broadcast(centroids))
+    val scored = embeddings.crossJoin(broadcast(centroids))
       .withColumn("c_cos", GraftFunctions.cosine(col("embedding"), col("centroid")))
-      .withColumn("c_rnk", row_number().over(w))
-      .filter(col("c_rnk") <= nprobe)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    if (nprobe == 1) {
+      // ties break toward the smallest centroid_id, matching the window's
+      // (c_cos desc, centroid_id asc) — hence the negated id in the max key
+      scored.groupBy(col("vec_id"))
+        .agg(
+          max_by(col("centroid_id"),
+            struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("centroid_id"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    } else {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("centroid_id"))
+      scored
+        .withColumn("c_rnk", row_number().over(w))
+        .filter(col("c_rnk") <= nprobe)
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    }
   }
 
   /** IVF ANN top-k: vectors live in their single nearest list; each query

@@ -55,4 +55,36 @@ class PlanSpec extends SparkSpec {
     val jsonIdx = plan.indexOf("get_json_object")
     assert(sortIdx >= 0 && jsonIdx >= 0 && jsonIdx < sortIdx, plan)
   }
+
+  test("q25/q27/q28: pair mining never plans a cartesian or nested-loop join") {
+    // The 100 TB-safety property of the dedup family: candidates come from
+    // bucketed equi-joins (inverted index / LSH bands / SimHash chunks) —
+    // a CartesianProduct or BroadcastNestedLoopJoin anywhere means a
+    // refactor silently degraded to all-pairs.
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val mining = Seq(
+      "q25" -> graft.dedup.Dedup.jaccardQuery(spark, dir),
+      "q27" -> graft.dedup.Dedup.minhashQuery(spark, dir),
+      "q28" -> graft.dedup.Dedup.simhashQuery(spark, dir))
+    mining.foreach { case (name, df) =>
+      val bad = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec => b
+      }
+      assert(bad.isEmpty, s"$name planned ${bad.map(_.nodeName)}:\n"
+        + df.queryExecution.executedPlan.toString)
+    }
+    spark.catalog.clearCache() // the pair miners cache intermediates
+  }
+
+  test("q37: corpus-side IVF list assignment aggregates, no window sort") {
+    // nprobe=1 assignment is an argmax via max_by: only the query-side
+    // probe (nprobe>1) and the final ranking may plan windows — exactly 2.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.similarity.Similarity.ivfTopKQuery(spark, dir)
+    val windows = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(windows.size == 2, df.queryExecution.executedPlan.toString)
+  }
 }

@@ -1,0 +1,84 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Numeric quality floors for the approximate operators that the DuckDB
+  * oracle cannot reach (xxhash64-seeded / sketch semantics): each is
+  * cross-validated against its exact counterpart on the real sf0.001
+  * testdata, so a regression in recall/precision/error fails CI even
+  * though the row-level results are seed-dependent.
+  */
+class QualityFloorsSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  def topkPairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q29/q37 ANN planted-neighbor recall floors") {
+    // The testdata embeddings are near-orthogonal random vectors — the
+    // regime where ANN recall against an arbitrary exact top-k is
+    // meaningless (the "top" neighbors are barely above noise, and a sign
+    // sketch agrees with a ~90° neighbor on all 8 bits w.p. ~2^-8). The
+    // guarantee ANN actually makes is: vectors that ARE near get found.
+    // Plant 20 noisy copies (cos ≈ 0.95, θ ≈ 18°) and require the base
+    // vector in the query's top-5.
+    val emb = graft.Tables.embeddings(spark, dir)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) + lit(0.45)
+            * sin(i.cast("double") * 1.7 + col("vec_id")))).cast("float"))
+          .as("embedding"))
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val isQuery = col("vec_id") >= 10000L
+    def plantedRecall(df: DataFrame): Double = {
+      val hits = topkPairs(df)
+      (0 until 20).count(i => hits((i + 10000L, i.toLong))) / 20.0
+    }
+    val lshR = plantedRecall(Similarity.lshCosineTopK(corpus, isQuery, k = 5))
+    val ivfR = plantedRecall(Similarity.ivfCosineTopK(corpus, isQuery, k = 5))
+    info(s"LSH planted recall = $lshR, IVF planted recall = $ivfR")
+    assert(lshR >= 0.6, s"LSH planted recall@5 = $lshR")
+    assert(ivfR >= 0.6, s"IVF planted recall@5 = $ivfR")
+    // single-probe comparison: multi-probe must never lose recall
+    val singleR = plantedRecall(
+      Similarity.lshCosineTopK(corpus, isQuery, k = 5, multiProbe = 0))
+    info(s"LSH single-probe recall = $singleR")
+    assert(lshR >= singleR)
+  }
+
+  test("q27 MinHash-LSH precision/recall vs q25 exact Jaccard") {
+    val docs = graft.Tables.documents(spark, dir)
+    // exact Jaccard at the MinHash estimate's own firing threshold (0.5),
+    // uncapped so the reference set is the full truth
+    val exact = Dedup.jaccardPairs(docs, k = 5, threshold = 0.5,
+      maxDf = Int.MaxValue).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashLshPairs(docs).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && mh.nonEmpty)
+    val precision = mh.intersect(exact).size.toDouble / mh.size
+    val recall = mh.intersect(exact).size.toDouble / exact.size
+    assert(precision >= 0.8, s"MinHash precision = $precision (${mh.size} pairs)")
+    assert(recall >= 0.8, s"MinHash recall = $recall (${exact.size} true pairs)")
+    spark.catalog.clearCache()
+  }
+
+  test("q31 HLL approx distinct within 5% of q15 exact counts") {
+    val exact = CoreQueries.distinctStats(spark, dir).collect().head
+    val approx = CoreQueries.approxDistinctStats(spark, dir).collect().head
+    Seq(0, 1, 2).foreach { i =>
+      val (e, a) = (exact.getLong(i), approx.getLong(i))
+      val relErr = math.abs(a - e).toDouble / e
+      assert(relErr <= 0.05, s"col $i: exact=$e approx=$a relErr=$relErr")
+    }
+  }
+}
