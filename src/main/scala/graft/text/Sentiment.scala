@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions.{udf, when, col, lit}
   */
 object Sentiment {
 
-  /** Compact embedded valence lexicon, VADER-scale [-4, 4]. */
+  /** Embedded valence lexicon (~380 entries), VADER-scale [-4, 4] — our own
+    * curation, not a port of the Python package's 7.5k-entry file. Degree
+    * words ("kind", "barely", …) live ONLY in [[boosters]]/[[negators]] so a
+    * token never plays two roles.
+    */
   val lexicon: Map[String, Double] = Map(
     // strong positive
     "amazing" -> 2.8, "awesome" -> 3.1, "excellent" -> 2.7, "fantastic" -> 2.6,
@@ -47,7 +51,98 @@ object Sentiment {
     // strong negative
     "terrible" -> -2.1, "awful" -> -2.0, "horrible" -> -2.5, "worst" -> -3.1,
     "disgusting" -> -2.4, "nasty" -> -2.6, "unacceptable" -> -2.2,
-    "atrocious" -> -2.8, "appalling" -> -2.5, "dreadful" -> -2.5)
+    "atrocious" -> -2.8, "appalling" -> -2.5, "dreadful" -> -2.5) ++ Map(
+    // ---- extended lexicon (round 2): same VADER scale, our own curation ----
+    // positive: praise & quality
+    "admirable" -> 2.6, "adore" -> 2.9, "adored" -> 2.8, "alluring" -> 1.9,
+    "astonishing" -> 2.1, "astounding" -> 2.3, "breathtaking" -> 3.0,
+    "charming" -> 2.2, "classy" -> 2.0, "commendable" -> 2.2, "dazzling" -> 2.7,
+    "delightful" -> 2.8, "divine" -> 2.7, "elegant" -> 2.1, "exceptional" -> 2.7,
+    "exquisite" -> 2.9, "extraordinary" -> 2.5, "fabulous" -> 2.9,
+    "flawless" -> 2.9, "glorious" -> 2.8, "gorgeous" -> 3.0, "graceful" -> 2.0,
+    "grand" -> 2.2, "heavenly" -> 2.9, "ideal" -> 2.3, "immaculate" -> 2.4,
+    "impeccable" -> 2.7, "inviting" -> 1.9, "lovely" -> 2.8, "luxurious" -> 2.4,
+    "magical" -> 2.6, "magnificent" -> 3.0, "marvelous" -> 2.9,
+    "masterful" -> 2.5, "memorable" -> 1.9, "pristine" -> 2.1, "radiant" -> 2.4,
+    "refined" -> 1.8, "remarkable" -> 2.4, "spectacular" -> 2.9,
+    "splendid" -> 2.8, "stellar" -> 2.8, "striking" -> 1.8, "stunning" -> 2.9,
+    "stylish" -> 1.9, "sublime" -> 2.6, "terrific" -> 2.8, "top" -> 1.8,
+    "unbeatable" -> 2.7, "unforgettable" -> 2.3, "unmatched" -> 2.4,
+    // positive: food & experience
+    "appetizing" -> 2.0, "authentic" -> 1.6, "creamy" -> 1.2, "crisp" -> 1.2,
+    "crispy" -> 1.3, "decadent" -> 1.5, "delectable" -> 2.7, "divey" -> 0.4,
+    "flavorful" -> 2.1, "generous" -> 2.2, "hearty" -> 1.5, "juicy" -> 1.5,
+    "mouthwatering" -> 2.6, "rich" -> 1.6, "savory" -> 1.7, "scrumptious" -> 2.7,
+    "succulent" -> 2.2, "sweet" -> 1.8, "tender" -> 1.4, "yummy" -> 2.4,
+    "zesty" -> 1.4,
+    // positive: people & service
+    "accommodating" -> 1.9, "caring" -> 2.2, "cheerful" -> 2.4,
+    "courteous" -> 2.0, "dedicated" -> 1.8, "efficient" -> 1.7,
+    "energetic" -> 1.6, "engaging" -> 1.7, "enthusiastic" -> 2.0,
+    "genuine" -> 1.7, "gracious" -> 2.1, "honest" -> 2.1, "hospitable" -> 2.1,
+    "knowledgeable" -> 1.9, "passionate" -> 2.0, "patient" -> 1.6,
+    "personable" -> 1.9, "professional" -> 1.6, "prompt" -> 1.5,
+    "respectful" -> 1.9, "responsive" -> 1.6, "skilled" -> 1.8, "smart" -> 1.7,
+    "talented" -> 2.1, "thoughtful" -> 2.1, "warm" -> 1.8, "welcoming" -> 2.1,
+    // positive: emotion & outcome
+    "amazed" -> 2.3, "appreciate" -> 1.9, "appreciated" -> 2.0, "bliss" -> 2.7,
+    "blessed" -> 2.6, "calm" -> 1.3, "comfortable" -> 1.6, "content" -> 1.4,
+    "delighted" -> 2.9, "eager" -> 1.5, "ecstatic" -> 3.1, "excited" -> 2.2,
+    "fascinated" -> 1.9, "glad" -> 2.0, "grateful" -> 2.2, "gratified" -> 1.9,
+    "impressed" -> 2.2, "joy" -> 2.8, "joyful" -> 2.9, "optimistic" -> 1.7,
+    "overjoyed" -> 3.0, "pleased" -> 2.2, "proud" -> 2.1, "relaxed" -> 1.6,
+    "relieved" -> 1.6, "satisfied" -> 1.9, "satisfying" -> 2.0, "thankful" -> 2.1,
+    "thrilled" -> 2.8, "upbeat" -> 1.9,
+    // positive: value & recommendation
+    "affordable" -> 1.6, "bargain" -> 1.8, "convenient" -> 1.4, "deal" -> 1.3,
+    "favorite" -> 2.4, "gem" -> 2.4, "perfectly" -> 2.5, "quality" -> 1.5,
+    "reasonable" -> 1.4, "reliable" -> 1.8, "solid" -> 1.2, "spotless" -> 2.1,
+    "thorough" -> 1.4, "trustworthy" -> 2.1, "valuable" -> 1.7, "worth" -> 1.3,
+    "worthwhile" -> 1.7, "wow" -> 2.8,
+    // negative: quality & experience
+    "abysmal" -> -3.0, "average" -> -0.5, "boring" -> -1.3, "broken" -> -1.6,
+    "chaotic" -> -1.4, "cheap" -> -0.9, "clumsy" -> -1.1, "cramped" -> -1.2,
+    "crowded" -> -0.8, "dated" -> -0.9, "defective" -> -1.9, "deficient" -> -1.5,
+    "depressing" -> -2.0, "dingy" -> -1.5, "disorganized" -> -1.4,
+    "dismal" -> -2.2, "dull" -> -1.2, "faulty" -> -1.7, "filthy" -> -2.5,
+    "flavorless" -> -1.5, "greasy" -> -1.1, "grimy" -> -1.8, "gross" -> -2.1,
+    "inadequate" -> -1.6, "inedible" -> -2.5, "inferior" -> -1.7,
+    "lackluster" -> -1.3, "lousy" -> -2.0, "messy" -> -1.3, "moldy" -> -2.3,
+    "noisy" -> -1.1, "outdated" -> -1.0, "pathetic" -> -2.3, "pricey" -> -1.0,
+    "rancid" -> -2.5, "rotten" -> -2.4, "rundown" -> -1.4, "shabby" -> -1.5,
+    "shoddy" -> -1.9, "sloppy" -> -1.5, "soggy" -> -1.2, "sour" -> -0.9,
+    "subpar" -> -1.6, "tasteless" -> -1.6, "underwhelming" -> -1.4,
+    "unsanitary" -> -2.4, "worthless" -> -2.4,
+    // negative: people & service
+    "aggressive" -> -1.6, "arrogant" -> -2.1, "careless" -> -1.7,
+    "clueless" -> -1.7, "condescending" -> -2.1, "dishonest" -> -2.3,
+    "dismissive" -> -1.7, "disrespectful" -> -2.2, "hostile" -> -2.3,
+    "ignorant" -> -1.9, "ignored" -> -1.5, "impatient" -> -1.3,
+    "incompetent" -> -2.2, "inconsiderate" -> -1.9, "indifferent" -> -1.2,
+    "insulting" -> -2.2, "lazy" -> -1.6, "obnoxious" -> -2.1, "pushy" -> -1.5,
+    "rough" -> -1.0, "sketchy" -> -1.5, "snobby" -> -1.8, "unfriendly" -> -1.9,
+    "unhelpful" -> -1.8, "unprofessional" -> -2.0, "unresponsive" -> -1.6,
+    // negative: emotion & outcome
+    "angry" -> -2.3, "annoyed" -> -1.8, "anxious" -> -1.4, "ashamed" -> -1.9,
+    "cheated" -> -2.2, "confused" -> -1.1, "disappoint" -> -2.0,
+    "disappoints" -> -2.0, "disgusted" -> -2.6, "dissatisfied" -> -2.0,
+    "embarrassed" -> -1.7, "enraged" -> -2.8, "frustrated" -> -2.1,
+    "frustrating" -> -2.1, "furious" -> -2.7, "heartbroken" -> -2.5,
+    "horrified" -> -2.6, "infuriating" -> -2.6, "insulted" -> -2.0,
+    "irritated" -> -1.8, "livid" -> -2.6, "miserable" -> -2.4,
+    "offended" -> -1.8, "outraged" -> -2.5, "regret" -> -1.9, "sad" -> -2.1,
+    "scared" -> -1.8, "shocked" -> -1.4, "sick" -> -1.7, "suffering" -> -2.2,
+    "uncomfortable" -> -1.4, "unhappy" -> -2.0, "upset" -> -1.9,
+    // negative: failure & problems
+    "avoid" -> -1.4, "awry" -> -1.3, "blunder" -> -1.7, "botched" -> -2.0,
+    "cancel" -> -1.0, "cancelled" -> -1.2, "complaint" -> -1.4,
+    "complaints" -> -1.5, "damaged" -> -1.6, "deceptive" -> -2.1,
+    "delay" -> -1.1, "delayed" -> -1.2, "error" -> -1.4, "errors" -> -1.5,
+    "fail" -> -2.0, "failed" -> -2.1, "failure" -> -2.2, "fraud" -> -2.7,
+    "mess" -> -1.4, "mistake" -> -1.6, "mistakes" -> -1.7, "nightmare" -> -2.6,
+    "refund" -> -1.0, "ripoff" -> -2.3, "ruined" -> -2.2, "scam" -> -2.6,
+    "trouble" -> -1.5, "unreliable" -> -1.8, "useless" -> -2.1, "waste" -> -1.9,
+    "wasted" -> -2.0)
 
   val negators: Set[String] = Set(
     "not", "no", "never", "none", "nothing", "neither", "nobody", "nowhere",

@@ -61,6 +61,18 @@ class SentimentSpec extends SparkSpec {
     assert(Sentiment.compound("THIS FOOD IS GREAT") == base)
   }
 
+  test("extended lexicon: breadth, range, no role overlap with modifiers") {
+    assert(Sentiment.lexicon.size >= 300, s"size = ${Sentiment.lexicon.size}")
+    assert(Sentiment.lexicon.values.forall(v => v >= -4.0 && v <= 4.0))
+    // degree/negation words must not double as valence words
+    assert(Sentiment.lexicon.keySet.intersect(Sentiment.boosters.keySet).isEmpty)
+    assert(Sentiment.lexicon.keySet.intersect(Sentiment.negators).isEmpty)
+    // spot polarity of round-2 additions
+    assert(Sentiment.compound("exquisite flavorful meal") > 0.05f)
+    assert(Sentiment.compound("unprofessional staff ruined it") < -0.05f)
+    assert(Sentiment.compound("not impressed") < 0f)
+  }
+
   test("golden scores (embedded lexicon, fixed rule set)") {
     // hand-derived: good=1.9 → 1.9/√(1.9²+15) ≈ 0.44047
     assert(math.abs(Sentiment.compound("good") - 0.44047f) < 1e-4f)
