@@ -354,6 +354,98 @@ object OracleSql {
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN ≙ the engine's union-and-sweep
+    // backward as-of join; ties on (custkey, orderdate) pre-reduced to the
+    // max orderkey on BOTH sides so the attached row is deterministic.
+    "q39_asof_last_order" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |         max(o_orderkey) AS last_orderkey,
+        |         max_by(o_totalprice, o_orderkey) AS last_totalprice
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, ts FROM events)
+        |SELECT e.event_id, e.user_id, e.ts, o.last_orderkey,
+        |       round(o.last_totalprice, 2) AS last_totalprice
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    // Connected components of the q25 pair graph via recursive label
+    // reachability: min reachable id per vertex = cluster id.
+    "q40_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS shingle
+        |  FROM tk, unnest(range(0, len(t) - 4)) AS g(i)
+        |  WHERE len(t) >= 5),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM sh0)
+        |  WHERE df <= 100),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cm AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b
+        |  FROM cm
+        |  JOIN sz na ON na.doc_id = id_a
+        |  JOIN sz nb ON nb.doc_id = id_b
+        |  WHERE round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 4) >= 0.2),
+        |ed AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM p),
+        |walk(id, lbl) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT e.src, w.lbl FROM ed e JOIN walk w ON w.id = e.dst)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id
+        |FROM walk GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Identical raw-string synthesis, identical RE2/Java-compatible
+    // patterns; DuckDB needs the 'g' flag to match Spark's replace-all.
+    "q41_pii_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        'reach ' || c_name || ' at user' || c_custkey ||
+        |        '@mail.example.com or +1-555-0' || c_custkey ||
+        |        ' or https://example.com/u/' || c_custkey,
+        |        'https?://[^\s]+', '[URL]', 'g'),
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS clean
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Ranking uses the ROUNDED tf·ln(N/df) so tie-break order matches.
+    "q42_tfidf_top_terms" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 4) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT doc_id, rnk, term, tfidf FROM r
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin
   )
 }

@@ -88,7 +88,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           avg(col("duration_ms")).as("avg_duration_ms"),
           avg(col("n_frames")).as("avg_frames"))
-        .orderBy(col("kind")))
+        .orderBy(col("kind"))),
+    // backward as-of join (temporal feature attachment)
+    "q39_asof_last_order"   -> (graft.operators.AsOfJoin.lastOrderQuery _),
+    // transitive closure of near-dup pairs → keep/drop clusters
+    "q40_dedup_clusters"    -> (Dedup.clustersQuery _),
+    // PII redaction (emails/phones/URLs → typed placeholders)
+    "q41_pii_redact"        -> (graft.text.Redact.redactQuery _),
+    // TF-IDF top terms per document
+    "q42_tfidf_top_terms"   -> (TextOps.tfidfQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -252,4 +252,52 @@ object Dedup {
 
   def simhashQuery(s: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(s, dir))
+
+  /** Connected components over an undirected near-dup pair graph:
+    * (doc_id, cluster_id) where cluster_id is the minimum doc_id reachable
+    * through any chain of pairs — the step that turns pairwise near-dup
+    * hits into keep/drop groups (transitive closure of "is a near-dup of").
+    *
+    * Algorithm: iterative min-label propagation. Each round, every vertex
+    * takes the min of its own label and its neighbors' labels (one
+    * edges⋈labels shuffle per round); `localCheckpoint` truncates the plan
+    * lineage so round N doesn't recompute rounds 1..N-1. Rounds needed =
+    * graph diameter; near-dup clusters are near-cliques (diameter ~2), and
+    * `maxIter` guards the pathological chain. Convergence is verified —
+    * a non-converged result throws rather than returning silently wrong
+    * clusters. (At extreme diameters the large-star/small-star algorithm
+    * [Kiveris et al., "Connected Components in MapReduce"] converges in
+    * O(log n) rounds; the per-round join below is the same primitive.)
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .cache() // re-joined every round
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** q40: near-dup clusters from the exact-Jaccard pair graph. */
+  def clustersQuery(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(jaccardQuery(s, dir).select(col("id_a"), col("id_b")))
+      .orderBy(col("doc_id"))
 }

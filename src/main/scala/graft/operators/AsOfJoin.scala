@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the right row with the
+  * greatest timestamp ≤ the left timestamp within the same key group —
+  * the temporal join Spark has no built-in operator for (DuckDB/Pandas
+  * call it ASOF JOIN / merge_asof).
+  *
+  * Implementation is the scalable union-and-sweep, NOT a range join:
+  * tag both inputs, union them on (key, ts), and run one
+  * `last(..., ignoreNulls)` window sweep ordered by (ts, side) with
+  * rights sorting before lefts at equal ts (backward-inclusive
+  * semantics). Cost is a single hash shuffle on the key plus one sort —
+  * identical shape to a sort-merge join — versus the naive
+  * `left.join(right, key && rightTs <= leftTs)` whose intermediate is
+  * |left| × |matching rights| rows before the per-row argmax. At 100 TB
+  * the sweep's shuffle carries each row exactly once.
+  *
+  * The right payload travels as ONE struct through the sweep, so a null
+  * inside a payload column can never mix fields from different right
+  * rows (no row tearing).
+  *
+  * Contract: right rows should be unique per (key, ts) — pre-reduce ties
+  * deterministically (e.g. `max_by`) or the attached row is undefined.
+  * Left rows with a null timestamp attach nothing (they sort before all
+  * right rows).
+  */
+object AsOfJoin {
+
+  /** @param left       left (probe) table
+    * @param right      right (reference) table, unique per (key, ts)
+    * @param key        equi-join key column name (same name both sides)
+    * @param leftTs     left timestamp column name
+    * @param rightTs    right timestamp column name
+    * @param rightCols  right payload columns to attach (null when no right
+    *                   row is at-or-before the left row — LEFT as-of join)
+    */
+  def backward(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
+    // side 0 sorts before side 1 at equal ts → a right row AT the left
+    // row's timestamp is visible to it (inclusive ≤)
+    val l = left
+      .select((Seq(col(key), col(leftTs).as("__ts"), lit(1).as("__side"))
+        ++ leftCols.filterNot(_ == key).map(col)
+        :+ lit(null).cast(payloadType).as("__r")): _*)
+    val r = right
+      .select((Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side"))
+        ++ leftCols.filterNot(_ == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))
+        :+ struct(rightCols.map(col): _*).as("__r")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col)
+        ++ rightCols.map(c => col(s"__r.$c").as(c))): _*)
+  }
+
+  /** q39: each event annotated with the customer's most recent order at or
+    * before the event time (the "state of the world as of the event" —
+    * the canonical feature-engineering join in a training pipeline).
+    * Ties on (custkey, orderdate) are pre-reduced to the max orderkey so
+    * the attached row is deterministic on both engines.
+    */
+  def lastOrderQuery(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(s, dir).select("event_id", "user_id", "ts")
+    val o = graft.Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("last_totalprice"))
+    backward(e, o, "user_id", "ts", "o_orderdate",
+        Seq("last_orderkey", "last_totalprice"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_orderkey"), round(col("last_totalprice"), 2).as("last_totalprice"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -147,4 +147,34 @@ object TextOps {
 
   def fingerprintQuery(s: SparkSession, dir: String): DataFrame =
     fingerprints(Tables.documents(s, dir))
+
+  /** TF-IDF top-`k` terms per document: tf = term count in the doc,
+    * idf = ln(N/df) over the corpus, top-k by (rounded score desc, term).
+    *
+    * Plan shape at scale: tf is one explode + hash aggregate on
+    * (doc_id, term); df is a second aggregate over tf's (already tiny)
+    * output; the corpus size N joins in as a broadcast scalar; ranking is
+    * a per-doc window over ≤ |vocab per doc| rows. Ranking uses the
+    * ROUNDED score so the tie-break order is reproducible across engines.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  def tfidfQuery(s: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(s, dir), k = 3)
 }

@@ -79,6 +79,28 @@ class DedupSpec extends SparkSpec {
     assert(expr == hof)
   }
 
+  test("connected components: chains close transitively, islands stay apart") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain → one cluster rooted at 1
+      (10L, 11L), (10L, 12L),       // star → cluster rooted at 10
+      (20L, 21L))                   // island pair
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: non-convergence throws instead of lying") {
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    // and the same chain converges with room to spare
+    val cc = Dedup.connectedComponents(chain).collect()
+    assert(cc.forall(_.getLong(1) == 1L))
+  }
+
   test("simhash: identical docs → distance 0; pairs respect maxHamming") {
     val sig = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -56,6 +56,22 @@ class TextOpsSpec extends SparkSpec {
     assert(counts.getLong(2) == 9L) // bpe-ish pre-tokens
   }
 
+  test("tfidf: corpus-unique terms outrank ubiquitous ones") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana durian durian durian")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(corpus, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(3)))
+      .toMap
+    // banana is in every doc → idf = ln(1) = 0 → never rank 1
+    assert(out((1L, 1L))._1 == "apple")
+    assert(math.abs(out((1L, 1L))._2 - 2.1972) < 1e-4) // 2·ln(3)
+    assert(out((3L, 1L))._1 == "durian")
+    assert(math.abs(out((3L, 1L))._2 - 3.2958) < 1e-4) // 3·ln(3)
+    assert(out((2L, 2L)) == ("banana", 0.0))
+  }
+
   test("fingerprint: deterministic rolling hash, distinct for distinct text") {
     val fp = TextOps.fingerprints(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
