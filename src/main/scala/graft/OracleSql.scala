@@ -446,6 +446,38 @@ object OracleSql {
         |  FROM s)
         |SELECT doc_id, rnk, term, tfidf FROM r
         |WHERE rnk <= 3
-        |ORDER BY doc_id, rnk""".stripMargin
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    // Plain inequality LEFT JOIN ≙ the engine's bucketed range join;
+    // micros resolution on both sides (events carry sub-second parts).
+    "q43_events_after_order" ->
+      """SELECT o.o_orderkey,
+        |  CAST(count(e.event_id) AS BIGINT) AS n_events
+        |FROM orders o LEFT JOIN events e
+        |  ON e.user_id = o.o_custkey
+        | AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
+        | AND epoch_us(e.ts) < epoch_us(o.o_orderdate) + 604800000000
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // Same multiplicative-hash arithmetic (all int64, no RNG) → identical
+    // sample membership and split labels on any engine.
+    "q44_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    (doc_id % 1000003) * 2654435761 % 2147483648 AS hu
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, hu,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hu, doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT doc_id, lang,
+        |  CASE WHEN CAST(floor(hu * 10 / 2147483648.0) AS BIGINT) < 8 THEN 'train'
+        |       WHEN CAST(floor(hu * 10 / 2147483648.0) AS BIGINT) = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r
+        |WHERE rnk <= ceil(n * 0.2)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -96,7 +96,11 @@ object SparkEntry {
     // PII redaction (emails/phones/URLs → typed placeholders)
     "q41_pii_redact"        -> (graft.text.Redact.redactQuery _),
     // TF-IDF top terms per document
-    "q42_tfidf_top_terms"   -> (TextOps.tfidfQuery _)
+    "q42_tfidf_top_terms"   -> (TextOps.tfidfQuery _),
+    // bucketed point-in-interval range join (events within 7d of an order)
+    "q43_events_after_order" -> (graft.operators.RangeJoin.eventsAfterOrderQuery _),
+    // deterministic stratified sample + train/val/test split labels
+    "q44_stratified_sample" -> (graft.operators.Sampling.sampleQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and stratified sampling for training
+  * pipelines. Both are pure column arithmetic — no RNG state, no
+  * `rand()` — so a re-run (or a different engine: see the q44 oracle)
+  * assigns every row identically, and assignment survives repartitioning.
+  *
+  * The hash is a multiplicative (Knuth) hash restricted to plain int64
+  * ops: h = ((id mod 1000003) · 2654435761) mod 2³¹, buckets taken from
+  * the HIGH bits (low bits of a multiplicative hash are biased — with
+  * K ≡ 1 (mod 10), (x·K) mod 10 would just echo x mod 10). The mod-p
+  * pre-fold keeps every intermediate < 2⁶³. For adversarial id spaces use
+  * xxhash64 instead (same shape, engine-only — not oracle-reproducible).
+  */
+object Sampling {
+
+  private val P = 1000003L          // prime pre-fold (bounds the product)
+  private val K = 2654435761L       // Knuth's multiplicative constant
+  private val M = 2147483648L       // 2^31
+
+  /** Hash to [0, 2³¹) — uniform enough for splits, exactly reproducible
+    * in any engine with int64 arithmetic.
+    */
+  def hashUnit(id: Column): Column =
+    pmod(pmod(id, lit(P)) * lit(K), lit(M))
+
+  /** Hash bucket in [0, buckets) from the hash's high bits. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    floor(hashUnit(id) * lit(buckets.toLong) / lit(M.toDouble)).cast("long")
+
+  /** train/val/test label at 80/10/10 over 10 hash buckets. */
+  def splitLabel(id: Column): Column = {
+    val b = hashBucket(id, 10)
+    when(b < 8, "train").when(b === 8, "val").otherwise("test")
+  }
+
+  /** Deterministic stratified sample: within each stratum, rank rows by
+    * (hash, id) and keep the first ⌈n·frac⌉ — every stratum contributes
+    * its exact proportion (ceil), and membership is stable under re-runs
+    * and engine changes. One window shuffle on the stratum key.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratum: String, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac in (0, 1]")
+    val w = Window.partitionBy(col(stratum)).orderBy(hashUnit(col(idCol)), col(idCol))
+    val cw = Window.partitionBy(col(stratum))
+    df.withColumn("__rnk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__rnk") <= ceil(col("__n") * frac))
+      .drop("__rnk", "__n")
+  }
+
+  /** q44: a 20% language-stratified sample of the corpus with each doc's
+    * train/val/test split label — the front door of a training pipeline.
+    */
+  def sampleQuery(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(graft.Tables.documents(s, dir), "doc_id", "lang", 0.2)
+      .select(col("doc_id"), col("lang"), splitLabel(col("doc_id")).as("split"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  val points = Seq(
+    (1L, "A", 5L), (2L, "A", 10L), (3L, "A", 15L), (4L, "B", 5L))
+    .toDF("pid", "k", "t")
+  val intervals = Seq(
+    (100L, "A", 0L, 10L),    // [0, 10) — end exclusive
+    (101L, "A", 10L, 20L),   // [10, 20)
+    (102L, "A", 0L, 20L),    // spans several buckets
+    (103L, "B", 100L, 200L)) // no points inside
+    .toDF("iid", "k", "start", "end")
+
+  def matches(bucketWidth: Long): Set[(Long, Long)] =
+    RangeJoin.pointInInterval(points, intervals, "k", "t", "start", "end",
+        bucketWidth)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+
+  test("point-in-interval: inclusive start, exclusive end, key-scoped") {
+    val expected = Set(
+      (1L, 100L), (1L, 102L),          // t=5 ∈ [0,10) and [0,20)
+      (2L, 101L), (2L, 102L),          // t=10: end-exclusive of 100, start of 101
+      (3L, 101L), (3L, 102L))          // t=15
+    assert(matches(bucketWidth = 7L) == expected)
+  }
+
+  test("bucket width does not change semantics (1, 3, 1000)") {
+    val ref = matches(7L)
+    assert(matches(1L) == ref)
+    assert(matches(3L) == ref)
+    assert(matches(1000L) == ref) // everything in one bucket still works
+  }
+
+  test("plan: equi-join on (key, bucket), never a nested-loop/cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = RangeJoin.pointInInterval(points, intervals, "k", "t", "start",
+      "end", 7L)
+    val bad = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, df.queryExecution.executedPlan.toString)
+  }
+}
