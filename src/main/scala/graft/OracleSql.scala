@@ -478,6 +478,121 @@ object OracleSql {
         |       ELSE 'test' END AS split
         |FROM r
         |WHERE rnk <= ceil(n * 0.2)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // lag-flag-cumsum sessionization; micros resolution; (t, event_id)
+    // ordering makes the running session counter deterministic.
+    "q45_event_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(new_sess) OVER (
+        |      PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(t) AS start_us, max(t) AS end_us,
+        |  round((max(t) - min(t)) / 1000000.0, 3) AS duration_sec
+        |FROM s
+        |GROUP BY 1, 2
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // RANGE frame over epoch micros = trailing-week moving aggregate.
+    "q46_rolling_revenue" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS t, o_totalprice
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER w, 2) AS rolling_7d_spend,
+        |  CAST(count(*) OVER w AS BIGINT) AS rolling_7d_orders
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY t
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Exact interpolated percentiles (q35 precedent) as clip bounds.
+    "q47_winsorized_stats" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(avg(e.value), 4) AS raw_mean,
+        |  round(avg(least(greatest(e.value, b.p05), b.p95)), 4) AS winsorized_mean
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // The full curation chain: token gate → exact-dup keep-min → near-dup
+    // cluster representatives (recursive CTE = q40) → hash split labels.
+    "q48_curation" ->
+      """WITH RECURSIVE tk0 AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |      / greatest(len(toks), 1), 4) AS stop_ratio
+        |  FROM tk0),
+        |gated AS (
+        |  SELECT doc_id, lang, text, n_tokens,
+        |    round(ln(1.0 + n_tokens) * (1.0 - stop_ratio), 4) AS quality_score
+        |  FROM st WHERE n_tokens >= 20),
+        |exact AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep
+        |    FROM gated) WHERE doc_id = keep),
+        |tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS shingle
+        |  FROM tk, unnest(range(0, len(t) - 4)) AS g(i)
+        |  WHERE len(t) >= 5),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM sh0)
+        |  WHERE df <= 100),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cm AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b
+        |  FROM cm
+        |  JOIN sz na ON na.doc_id = id_a
+        |  JOIN sz nb ON nb.doc_id = id_b
+        |  WHERE round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 4) >= 0.2),
+        |ed AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM p),
+        |walk(id, lbl) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT e.src, w.lbl FROM ed e JOIN walk w ON w.id = e.dst),
+        |cc AS (
+        |  SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+        |SELECT x.doc_id, x.lang, x.n_tokens, x.quality_score,
+        |  CASE WHEN CAST(floor(((x.doc_id % 1000003) * 2654435761 % 2147483648)
+        |         * 10 / 2147483648.0) AS BIGINT) < 8 THEN 'train'
+        |       WHEN CAST(floor(((x.doc_id % 1000003) * 2654435761 % 2147483648)
+        |         * 10 / 2147483648.0) AS BIGINT) = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM exact x LEFT JOIN cc ON x.doc_id = cc.doc_id
+        |WHERE cc.cluster_id IS NULL OR cc.cluster_id = x.doc_id
+        |ORDER BY x.doc_id""".stripMargin
   )
 }

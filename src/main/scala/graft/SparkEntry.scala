@@ -100,7 +100,15 @@ object SparkEntry {
     // bucketed point-in-interval range join (events within 7d of an order)
     "q43_events_after_order" -> (graft.operators.RangeJoin.eventsAfterOrderQuery _),
     // deterministic stratified sample + train/val/test split labels
-    "q44_stratified_sample" -> (graft.operators.Sampling.sampleQuery _)
+    "q44_stratified_sample" -> (graft.operators.Sampling.sampleQuery _),
+    // batch sessionization (lag-flag-cumsum window chain)
+    "q45_event_sessions"    -> (CoreQueries.eventSessions _),
+    // trailing-week RANGE-frame moving aggregate
+    "q46_rolling_revenue"   -> (CoreQueries.rollingRevenue _),
+    // percentile clipping (outlier winsorization)
+    "q47_winsorized_stats"  -> (CoreQueries.winsorizedStats _),
+    // flagship composition: gate → dedup → cluster reps → split
+    "q48_curation"          -> (graft.pipeline.Curation.curateQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -333,6 +333,71 @@ object CoreQueries {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy(col("event_type"))
 
+  /** q45: batch sessionization — a gap over 30 minutes starts a new
+    * session (the lag-flag-cumsum window chain; the streaming counterpart
+    * is `stream.WindowedAggs.sessionize` via mapGroupsWithState). All
+    * event-time math at microsecond resolution; the per-user session
+    * counter is deterministic because the window orders by (t, event_id).
+    * One shuffle on user_id serves both windows AND the final group-by.
+    */
+  def eventSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("new_sess",
+        when(lag(col("t"), 1).over(w).isNull
+          || col("t") - lag(col("t"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("t")).as("start_us"), max(col("t")).as("end_us"))
+      .withColumn("duration_sec",
+        round((col("end_us") - col("start_us")) / 1000000.0, 3))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** q46: 7-day rolling spend per customer — a RANGE-frame window over
+    * epoch micros (each row's frame is its trailing week), the moving
+    * aggregate pattern for temporal feature engineering.
+    */
+  def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekUs = 7L * 86400L * 1000000L
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("t"))
+      .rangeBetween(-weekUs, 0)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        col("o_totalprice"))
+      .withColumn("rolling_7d_spend", round(sum(col("o_totalprice")).over(w), 2))
+      .withColumn("rolling_7d_orders",
+        count(lit(1)).over(w).cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("rolling_7d_spend"), col("rolling_7d_orders"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q47: winsorized per-type value stats — clip at the exact p05/p95
+    * (training pipelines clamp outliers before normalization), then
+    * compare the clipped mean against the raw mean.
+    */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val bounds = e.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.05)").as("p05"),
+      expr("percentile(value, 0.95)").as("p95"))
+    e.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("clipped", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("raw_mean"),
+        round(avg(col("clipped")), 4).as("winsorized_mean"))
+      .orderBy(col("event_type"))
+  }
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.operators.Sampling
+import graft.text.TextOps
+
+/** End-to-end training-data curation — the flagship composition query:
+  * the whole document pipeline a pre-training run needs, chained from the
+  * engine's own operators, fully deterministic and SQL-mirrorable:
+  *
+  *   1. quality gate     — token floor from [[TextOps.textStats]]
+  *   2. exact dedup      — keep the min doc_id per identical text
+  *   3. near-dup dedup   — keep only cluster representatives from the
+  *                         exact-Jaccard pair graph's connected components
+  *   4. split assignment — deterministic hash split ([[Sampling]])
+  *
+  * Plan shape: the gate is a narrow filter over one stats projection; the
+  * exact-dedup keep-rule is a window min over text (same single shuffle a
+  * groupBy would cost, but keeps all columns without a self-join); the
+  * near-dup drop is one left join against the (tiny) cluster table; the
+  * split label is pure arithmetic. Nothing collects to the driver except
+  * the CC convergence counters.
+  */
+object Curation {
+
+  /** @param minTokens quality-gate floor (documents shorter than this are
+    *                  noise for training purposes)
+    */
+  def curate(docs: DataFrame, minTokens: Long = 20L): DataFrame = {
+    val stats = TextOps.textStats(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val gated = docs.join(stats, "doc_id")
+      .filter(col("n_tokens") >= minTokens)
+    val byText = Window.partitionBy(col("text"))
+    val exactKept = gated
+      .withColumn("__keep", min(col("doc_id")).over(byText))
+      .filter(col("doc_id") === col("__keep"))
+      .drop("__keep")
+    // near-dup clusters over the FULL corpus (drop decisions must not
+    // depend on what the quality gate removed first)
+    val clusters = Dedup.connectedComponents(
+      Dedup.jaccardPairs(docs, k = 5, threshold = 0.2, maxDf = 100)
+        .select(col("id_a"), col("id_b")))
+    exactKept.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"),
+        Sampling.splitLabel(col("doc_id")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def curateQuery(s: SparkSession, dir: String): DataFrame =
+    curate(Tables.documents(s, dir))
+}

@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 24 distinct tokens — passes the 20-token gate
+  val base = (1 to 24).map(i => s"w$i").mkString(" ")
+  // shares the 23-token prefix with base (J ≈ 0.7) but is 30 tokens long
+  val nearDup = base.split(" ").dropRight(1).mkString(" ") + " zz " +
+    (1 to 6).map(i => s"y$i").mkString(" ")
+
+  val docs = Seq(
+    (1L, base, "en"),
+    (2L, base, "en"),           // exact duplicate → dropped (keep-min)
+    (3L, nearDup, "en"),        // near-dup of 1 → dropped (not cluster rep)
+    (4L, "too short", "en"),    // fails the token gate
+    (5L, (100 to 125).map(i => s"v$i").mkString(" "), "fr")) // kept
+    .toDF("doc_id", "text", "lang")
+
+  test("curation keeps gated, deduped cluster representatives with splits") {
+    val out = Curation.curate(docs, minTokens = 20L).collect()
+    val kept = out.map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L))
+    val splits = out.map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(splits.values.forall(Set("train", "val", "test")))
+    // langs survive the chain
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "en", 5L -> "fr"))
+  }
+
+  test("near-dup drop decisions do not depend on the quality gate") {
+    // raise the gate so doc 1 (24 tokens) is gated while doc 3 (30 tokens)
+    // passes — doc 3 must STILL be dropped: clusters form over the full
+    // corpus and its representative (doc 1) is not doc 3
+    val out = Curation.curate(docs, minTokens = 26L).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(5L))
+  }
+}
