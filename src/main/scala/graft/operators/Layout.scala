@@ -40,4 +40,36 @@ object Layout {
       case f: FileSourceScanExec => f
     }.map(_.selectedPartitions.partitionCount.toLong).sum
   }
+
+  /** Total on-disk bytes of a parquet dataset directory (driver-side file
+    * listing — metadata only, no data read).
+    */
+  def datasetBytes(spark: SparkSession, path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    bytes
+  }
+
+  /** Small-file compaction: rewrite a parquet dataset into files of about
+    * `targetFileBytes` each, sized from the dataset's MEASURED bytes (row
+    * counts say nothing about file size when row width varies 1000×). At
+    * 100 TB a streaming sink's thousands of KB-sized files per day turn
+    * every downstream scan into a file-listing storm; compaction restores
+    * ~128 MB scan units. Uses coalesce (no shuffle) — output files track
+    * input locality; pass a sort column first if clustering matters.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): Long = {
+    val bytes = datasetBytes(spark, inPath)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).coalesce(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles.toLong
+  }
 }

@@ -186,6 +186,48 @@ object Similarity {
     }
   }
 
+  /** Lloyd (k-means) refinement of [[ivfCentroids]]: each round assigns
+    * every vector to its nearest centroid (the same broadcast argmax as
+    * [[ivfAssign]] nprobe=1) and recomputes centroids as the elementwise
+    * mean of their members. Fully deterministic: hash-ordered init, argmax
+    * tie-breaks, and the per-dimension mean is an `avg` aggregate (order-
+    * insensitive up to fp association — identical plan each run). Clusters
+    * that lose all members drop out (standard Lloyd behavior), so the
+    * result may have fewer than `nlist` rows.
+    *
+    * Per round: one narrow broadcast-scored pass + two hash aggregations
+    * (on (centroid, dim) then centroid) — no driver-side data movement.
+    * Better centroids concentrate true neighbors into fewer probed lists,
+    * which is where IVF recall comes from at scale.
+    */
+  def kmeansCentroids(embeddings: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    var centroids = ivfCentroids(embeddings, nlist).localCheckpoint()
+    for (_ <- 0 until iters) {
+      centroids = ivfAssign(embeddings, centroids, nprobe = 1)
+        .select(col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+        .localCheckpoint() // truncate lineage between rounds
+    }
+    centroids
+  }
+
+  /** Mean best-cosine of every vector against its nearest centroid — the
+    * (cosine-flavored) k-means objective, for asserting refinement helps.
+    */
+  def quantizerObjective(embeddings: DataFrame, centroids: DataFrame): Double = {
+    GraftFunctions.register(embeddings.sparkSession)
+    embeddings.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", GraftFunctions.cosine(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id")).agg(max(col("c_cos")).as("best"))
+      .agg(avg(col("best"))).collect()(0).getDouble(0)
+  }
+
   /** IVF ANN top-k: vectors live in their single nearest list; each query
     * probes its `nprobe` nearest lists and scans only those inverted lists.
     * Work per query ≈ nprobe/nlist of the corpus (vs all of it brute-force);
@@ -193,10 +235,12 @@ object Similarity {
     */
   def ivfCosineTopK(
       embeddings: DataFrame, queryPred: Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    val centroids = ivfCentroids(e, nlist)
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(e, nlist, trainIters)
+      else ivfCentroids(e, nlist)
     val lists = ivfAssign(e, centroids, nprobe = 1) // each vector in ONE list
     val probes = ivfAssign(e.filter(queryPred), centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),

@@ -39,4 +39,15 @@ object StreamJoins {
       .select(col("imp_user").as("user_id"), col("imp_id"), col("imp_ts"),
         col("click_id"), col("click_ts"))
   }
+
+  /** Watermarked streaming deduplication: drop re-deliveries of the same
+    * `idCol` (at-least-once sources re-send), holding only ids younger
+    * than the watermark in state. Without the watermark the seen-id state
+    * grows without bound; with it, an id older than `lateness` can only
+    * reappear behind the watermark, where it is dropped as late anyway.
+    */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+      lateness: String): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCol)
 }

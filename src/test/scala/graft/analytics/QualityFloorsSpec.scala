@@ -55,6 +55,20 @@ class QualityFloorsSpec extends SparkSpec {
     assert(lshR >= singleR)
   }
 
+  test("k-means refinement improves the IVF quantizer objective") {
+    val emb = graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val init = Similarity.ivfCentroids(emb, nlist = 16)
+    val refined = Similarity.kmeansCentroids(emb, nlist = 16, iters = 3)
+    val before = Similarity.quantizerObjective(emb, init)
+    val after = Similarity.quantizerObjective(emb, refined)
+    info(f"objective: init=$before%.4f refined=$after%.4f")
+    assert(after > before, s"refinement did not improve: $before -> $after")
+    // deterministic: a re-run lands on identical centroids
+    val again = Similarity.kmeansCentroids(emb, nlist = 16, iters = 3)
+    assert(refined.collect().map(_.toString).sorted
+      sameElements again.collect().map(_.toString).sorted)
+  }
+
   test("q27 MinHash-LSH precision/recall vs q25 exact Jaccard") {
     val docs = graft.Tables.documents(spark, dir)
     // exact Jaccard at the MinHash estimate's own firing threshold (0.5),

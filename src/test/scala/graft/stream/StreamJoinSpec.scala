@@ -52,4 +52,33 @@ class StreamJoinSpec extends SparkSpec {
       assert(spark.table("attr_out").count() == 1) // dropped, state expired
     } finally query.stop()
   }
+
+  test("streaming dedup: re-delivered ids dropped, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Click]
+    val deduped = StreamJoins.dedupStream(src.toDF(), "click_id", "click_ts",
+      lateness = "10 minutes")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(
+        Click(1L, 100L, ts("2024-01-01 10:00:00")),
+        Click(1L, 100L, ts("2024-01-01 10:00:30")), // same id re-delivered
+        Click(2L, 100L, ts("2024-01-01 10:01:00")))
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+
+      // a later batch re-sending id 1 within the watermark window: dropped
+      src.addData(Click(1L, 100L, ts("2024-01-01 10:02:00")))
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+
+      // far future event advances the watermark; id 2's state can expire,
+      // and genuinely new ids still pass
+      src.addData(Click(3L, 100L, ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 3)
+    } finally query.stop()
+  }
 }
