@@ -42,6 +42,10 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(rightCols.forall(!leftCols.contains(_)),
+      s"rightCols ${rightCols.filter(leftCols.contains)} collide with left " +
+        "columns — rename before joining (duplicate output names would fail " +
+        "at the first downstream reference, far from here)")
     val payloadType = org.apache.spark.sql.types.StructType(
       rightCols.map(c => right.schema(c)))
     // side 0 sorts before side 1 at equal ts → a right row AT the left
@@ -50,7 +54,10 @@ object AsOfJoin {
       .select((Seq(col(key), col(leftTs).as("__ts"), lit(1).as("__side"))
         ++ leftCols.filterNot(_ == key).map(col)
         :+ lit(null).cast(payloadType).as("__r")): _*)
-    val r = right
+    // a null right timestamp would sort nulls-first (= -infinity) and leak
+    // its payload into every otherwise-unmatched left row; ASOF semantics
+    // never match on null, so drop such rows before the sweep
+    val r = right.filter(col(rightTs).isNotNull)
       .select((Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side"))
         ++ leftCols.filterNot(_ == key)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))

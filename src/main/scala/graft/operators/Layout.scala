@@ -68,8 +68,14 @@ object Layout {
       targetFileBytes: Long = 128L << 20): Long = {
     val bytes = datasetBytes(spark, inPath)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(inPath).coalesce(nFiles)
-      .write.mode("overwrite").parquet(outPath)
+    val src = spark.read.parquet(inPath)
+    // coalesce can only DECREASE partition count — splitting fewer, larger
+    // files into more, smaller ones needs a real repartition (one shuffle;
+    // the usual compaction direction still takes the shuffle-free path)
+    val sized =
+      if (nFiles <= src.rdd.getNumPartitions) src.coalesce(nFiles)
+      else src.repartition(nFiles)
+    sized.write.mode("overwrite").parquet(outPath)
     nFiles.toLong
   }
 }

@@ -38,10 +38,15 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val b = lit(bucketWidth)
     // end is exclusive: an interval ending exactly on a bucket boundary
-    // does not reach into that bucket — hence the (end - 1) upper bucket
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(start) / b).cast("long"),
-        floor((col(end) - 1) / b).cast("long"))))
+    // does not reach into that bucket — hence the (end - 1) upper bucket.
+    // Empty/inverted intervals (end <= start) match nothing by definition
+    // and MUST be dropped first: Spark's sequence(lo, hi) is DESCENDING
+    // when hi < lo, so one corrupt swapped-bounds row would otherwise
+    // explode into |span|/bucketWidth shuffle rows.
+    val iv = intervals.filter(col(end) > col(start))
+      .withColumn("__bucket",
+        explode(sequence(floor(col(start) / b).cast("long"),
+          floor((col(end) - 1) / b).cast("long"))))
     val pt = points.withColumn("__bucket", floor(col(t) / b).cast("long"))
     pt.join(iv, Seq(key, "__bucket"))
       .filter(col(start) <= col(t) && col(t) < col(end))

@@ -32,9 +32,9 @@ object Curation {
     *                  noise for training purposes)
     */
   def curate(docs: DataFrame, minTokens: Long = 20L): DataFrame = {
-    val stats = TextOps.textStats(docs)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val gated = docs.join(stats, "doc_id")
+    // narrow stat columns — a join against textStats(docs) would shuffle
+    // the whole corpus on doc_id to reattach a per-row projection
+    val gated = TextOps.withQuality(docs)
       .filter(col("n_tokens") >= minTokens)
     val byText = Window.partitionBy(col("text"))
     val exactKept = gated

@@ -87,21 +87,24 @@ object Similarity {
     * sign-sketch bucket. Returns the same schema as [[cosineTopK]]; recall
     * < 1 (a true neighbor on the far side of a hyperplane is missed).
     *
-    * `multiProbe ≥ 1` also probes every bucket at Hamming distance 1 from
-    * the query's sketch (standard multi-probe LSH): a neighbor at angle θ
-    * agrees with the sketch per-bit w.p. 1−θ/π, so allowing one flipped
-    * bit multiplies recall several-fold at moderate θ while scanning only
-    * `bits`+1 of the 2^bits buckets. The fan-out happens on the QUERY side
-    * (small, broadcast) — the corpus is still bucketed exactly once.
+    * `multiProbe = d` also probes every bucket within Hamming distance d
+    * of the query's sketch (standard multi-probe LSH): a neighbor at
+    * angle θ agrees with the sketch per-bit w.p. 1−θ/π, so allowing
+    * flipped bits multiplies recall several-fold at moderate θ while
+    * scanning Σ_{i≤d} C(bits,i) of the 2^bits buckets. The fan-out
+    * happens on the QUERY side (small, broadcast) — the corpus is still
+    * bucketed exactly once.
     */
   def lshCosineTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       bits: Int = 8, multiProbe: Int = 1): DataFrame = {
+    require(bits <= 20, "mask enumeration is 2^bits — keep bits ≤ 20")
     GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings
       .select(col("vec_id"), col("embedding"))
       .withColumn("bucket", GraftFunctions.lshBucket(col("embedding"), bits))
-    val masks: Seq[Column] = lit(0L) +:
-      (if (multiProbe >= 1) (0 until bits).map(b => lit(1L << b)) else Nil)
+    val masks: Seq[Column] = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= multiProbe)
+      .map(lit)
     val q = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))

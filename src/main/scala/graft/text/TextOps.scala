@@ -148,6 +148,23 @@ object TextOps {
   def fingerprintQuery(s: SparkSession, dir: String): DataFrame =
     fingerprints(Tables.documents(s, dir))
 
+  /** Append `n_tokens` and `quality_score` as NARROW columns — no join, no
+    * shuffle; the projection-only twin of [[textStats]] for pipelines that
+    * need the gate columns alongside the document columns (Curation).
+    * Formulas are identical to [[textStats]] (and the q21/q48 oracles).
+    */
+  def withQuality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("__stop_ratio",
+        round(size(filter(toks, t => t.isin("the", "a"))).cast("double")
+          / greatest(col("n_tokens"), lit(1L)), 4))
+      .withColumn("quality_score",
+        round(log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("__stop_ratio")), 4))
+      .drop("__stop_ratio")
+  }
+
   /** TF-IDF top-`k` terms per document: tf = term count in the doc,
     * idf = ln(N/df) over the corpus, top-k by (rounded score desc, term).
     *

@@ -77,6 +77,18 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache() // the pair miners cache intermediates
   }
 
+  test("q45/q46: one keyed shuffle each (plus only the output-order sort)") {
+    // Sessionization: both windows AND the final rollup ride the single
+    // user_id exchange (the group-by's distribution is satisfied by the
+    // window partitioning). Rolling revenue: one custkey exchange for the
+    // RANGE frame. The second exchange in each is the deterministic
+    // output ORDER BY's range partitioning — no other shuffle allowed.
+    assert(graft.operators.Bucketing.numShuffles(
+      CoreQueries.eventSessions(spark, dir)) == 2)
+    assert(graft.operators.Bucketing.numShuffles(
+      CoreQueries.rollingRevenue(spark, dir)) == 2)
+  }
+
   test("q37: corpus-side IVF list assignment aggregates, no window sort") {
     // nprobe=1 assignment is an argmax via max_by: only the query-side
     // probe (nprobe>1) and the final ranking may plan windows — exactly 2.

@@ -48,11 +48,13 @@ class QualityFloorsSpec extends SparkSpec {
     info(s"LSH planted recall = $lshR, IVF planted recall = $ivfR")
     assert(lshR >= 0.6, s"LSH planted recall@5 = $lshR")
     assert(ivfR >= 0.6, s"IVF planted recall@5 = $ivfR")
-    // single-probe comparison: multi-probe must never lose recall
+    // probe-distance monotonicity: more probing never loses recall
     val singleR = plantedRecall(
       Similarity.lshCosineTopK(corpus, isQuery, k = 5, multiProbe = 0))
-    info(s"LSH single-probe recall = $singleR")
-    assert(lshR >= singleR)
+    val twoR = plantedRecall(
+      Similarity.lshCosineTopK(corpus, isQuery, k = 5, multiProbe = 2))
+    info(s"LSH recall by probe distance: d0=$singleR d1=$lshR d2=$twoR")
+    assert(lshR >= singleR && twoR >= lshR)
   }
 
   test("k-means refinement improves the IVF quantizer objective") {

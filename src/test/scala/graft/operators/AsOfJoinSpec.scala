@@ -50,6 +50,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("price")))
   }
 
+  test("null right timestamps never match (no -infinity leak)") {
+    val q = Seq(
+      ("A", null.asInstanceOf[Timestamp], 99.0, "qnull"),
+      ("A", ts("2024-01-01 10:00:00"), 100.0, "q1"))
+      .toDF("sym", "qts", "price", "qid")
+    val t = Seq(
+      (1L, "A", ts("2024-01-01 09:00:00")),  // before q1 → must be unmatched
+      (2L, "A", ts("2024-01-01 11:00:00")))  // after q1 → q1
+      .toDF("trade_id", "sym", "tts")
+    val out = AsOfJoin.backward(t, q, "sym", "tts", "qts", Seq("qid"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("qid"))).toMap
+    assert(out(1L).isEmpty) // NOT qnull
+    assert(out(2L).contains("q1"))
+  }
+
+  test("right payload colliding with a left column fails fast") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(trades, quotes.withColumnRenamed("qid", "trade_id"),
+        "sym", "tts", "qts", Seq("trade_id"))
+    }
+  }
+
   test("plan: one shuffle total (union + keyed window sweep, no join)") {
     val df = AsOfJoin.backward(trades, quotes, "sym", "tts", "qts", Seq("price"))
     assert(Bucketing.numShuffles(df) == 1,

@@ -24,6 +24,20 @@ class LayoutSpec extends SparkSpec {
       .collect().head.getLong(0) == 6400L * 6399L / 2)
   }
 
+  test("compaction can also SPLIT: more files than read partitions") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-split").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    (0L until 6400L).toDF("id").coalesce(1).write.parquet(in) // one file
+    val target = math.max(1L, Layout.datasetBytes(spark, in) / 4)
+    val n = Layout.compact(spark, in, out, targetFileBytes = target)
+    val files = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(n >= 4 && files == n, s"returned $n, wrote $files") // coalesce alone could not
+    assert(spark.read.parquet(out).count() == 6400)
+  }
+
   test("date partitioning: range scan prunes to the selected directories") {
     val path = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/events"
     val events = Tables.events(spark, "/root/testdata/sf0.001") // 30 days of data

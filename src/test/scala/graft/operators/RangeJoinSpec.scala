@@ -37,6 +37,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(matches(1000L) == ref) // everything in one bucket still works
   }
 
+  test("inverted/empty intervals match nothing and do not explode") {
+    // sequence(lo, hi) is DESCENDING for hi < lo — a swapped-bounds row
+    // must be filtered out, not exploded into |span|/width bucket rows
+    val bad = Seq(
+      (200L, "A", 1000000L, 0L), // inverted: would be 10^6/7 bucket rows
+      (201L, "A", 5L, 5L))       // empty
+      .toDF("iid", "k", "start", "end")
+    val out = RangeJoin.pointInInterval(points, bad, "k", "t", "start", "end",
+      bucketWidth = 7L)
+    assert(out.count() == 0)
+    // and the exploded side is empty, not merely filtered post-hoc
+    val exploded = bad.filter(col("end") > col("start")).count()
+    assert(exploded == 0)
+  }
+
   test("plan: equi-join on (key, bucket), never a nested-loop/cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val df = RangeJoin.pointInInterval(points, intervals, "k", "t", "start",
