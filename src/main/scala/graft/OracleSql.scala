@@ -593,6 +593,36 @@ object OracleSql {
         |       ELSE 'test' END AS split
         |FROM exact x LEFT JOIN cc ON x.doc_id = cc.doc_id
         |WHERE cc.cluster_id IS NULL OR cc.cluster_id = x.doc_id
-        |ORDER BY x.doc_id""".stripMargin
+        |ORDER BY x.doc_id""".stripMargin,
+
+    // Group stats rounded to 6 dp on BOTH sides before the per-row z —
+    // fp accumulation order differs between engines; rounding the tiny
+    // stats table pins the division inputs exactly.
+    "q49_zscores" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |    round(avg(value), 6) AS mu,
+        |    round(stddev_samp(value), 6) AS sigma
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  round((value - mu) / sigma, 4) AS z
+        |FROM events e JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // Occurrence-counted bigrams (no per-doc dedup), deterministic top-k
+    // via the (n desc, bigram) total order.
+    "q50_bigram_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 2), ' ') AS bigram
+        |  FROM tk, unnest(range(0, len(t) - 1)) AS g(i)
+        |  WHERE len(t) >= 2)
+        |SELECT bigram, count(*) AS n,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM bg GROUP BY 1
+        |ORDER BY n DESC, bigram
+        |LIMIT 20""".stripMargin
   )
 }

@@ -108,7 +108,11 @@ object SparkEntry {
     // percentile clipping (outlier winsorization)
     "q47_winsorized_stats"  -> (CoreQueries.winsorizedStats _),
     // flagship composition: gate → dedup → cluster reps → split
-    "q48_curation"          -> (graft.pipeline.Curation.curateQuery _)
+    "q48_curation"          -> (graft.pipeline.Curation.curateQuery _),
+    // per-group z-score normalization (feature scaling)
+    "q49_zscores"           -> (CoreQueries.zscores _),
+    // corpus bigram statistics (n-gram LM / contamination primitive)
+    "q50_bigram_stats"      -> (TextOps.bigramQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

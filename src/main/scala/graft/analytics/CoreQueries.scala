@@ -398,6 +398,23 @@ object CoreQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q49: per-group z-score normalization (the feature-scaling step of a
+    * training pipeline). Group stats are rounded to 6 dp BEFORE the
+    * per-row z — aggregate fp accumulation order differs between engines,
+    * and rounding the tiny stats table (not the big fact table) pins the
+    * result bit-exactly with no precision the use case would miss.
+    */
+  def zscores(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val stats = e.groupBy(col("event_type")).agg(
+      round(avg(col("value")), 6).as("mu"),
+      round(stddev_samp(col("value")), 6).as("sigma"))
+    e.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)

@@ -1,0 +1,44 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Corrupt-record quarantine for JSON ingest: read PERMISSIVE with a
+  * `_corrupt_record` column, split the batch into (clean, quarantined)
+  * instead of letting one malformed line fail the job (FAILFAST) or
+  * silently vanish (DROPMALFORMED). At 100 TB something is ALWAYS
+  * malformed; the pipeline's contract is that bad lines land in a
+  * replayable side channel with full fidelity, not that they don't exist.
+  *
+  * Spark caveat encoded here: a PERMISSIVE scan only populates the
+  * corrupt column if it is part of the declared schema, and the corrupt
+  * rows cannot be referenced alone straight off the scan (Catalyst prunes
+  * the parse) — hence the eager split on a single pass.
+  */
+object Quarantine {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Schema + corrupt-record column. */
+  def withCorrupt(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
+
+  /** One PERMISSIVE scan → (clean rows in `schema`, corrupt raw lines).
+    * Clean = the corrupt column is null; quarantine keeps the raw line
+    * untouched for replay after a parser/schema fix.
+    */
+  def splitJson(spark: SparkSession, schema: StructType,
+      lines: org.apache.spark.sql.Dataset[String]): (DataFrame, DataFrame) = {
+    val parsed = spark.read.schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(lines)
+      .cache() // one parse feeds both halves
+    val clean = parsed.filter(col(CorruptCol).isNull)
+      .select(schema.fieldNames.map(col): _*)
+    val bad = parsed.filter(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol).as("raw_line"))
+    (clean, bad)
+  }
+}

@@ -194,4 +194,26 @@ object TextOps {
 
   def tfidfQuery(s: SparkSession, dir: String): DataFrame =
     tfidfTopTerms(Tables.documents(s, dir), k = 3)
+
+  /** q50: corpus bigram statistics — occurrence count and document
+    * frequency for the top-k bigrams (the n-gram LM / contamination-check
+    * primitive). Occurrences are NOT per-doc-deduped (unlike shingles for
+    * Jaccard); the (count desc, bigram) total order makes the top-k cut
+    * deterministic.
+    */
+  def bigramStats(docs: DataFrame, k: Int): DataFrame = {
+    val t = col("t")
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(t) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", slice(t, i + 1, lit(2))))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  def bigramQuery(s: SparkSession, dir: String): DataFrame =
+    bigramStats(Tables.documents(s, dir), k = 20)
 }
