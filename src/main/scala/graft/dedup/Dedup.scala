@@ -276,18 +276,24 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
+    // Convergence via the label-sum invariant: each vertex's label is
+    // non-increasing across rounds (min over self ∪ neighbors), so the
+    // TOTAL decreases iff any label changed — one scalar aggregate over
+    // the checkpointed labels instead of a labels⋈labels diff join.
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("label"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val next = labels.union(viaNeighbors)
+      labels = labels.union(viaNeighbors)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      val newSum = labelSum(labels)
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
     edges.unpersist()
