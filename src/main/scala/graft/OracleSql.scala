@@ -623,6 +623,30 @@ object OracleSql {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM bg GROUP BY 1
         |ORDER BY n DESC, bigram
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // CASE-sum pivot ≙ Spark pivot with explicit values + coalesce(0).
+    "q51_daily_type_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
+
+    // Literal ROLLUP — same null-marker subtotal convention as Spark.
+    "q52_revenue_rollup" ->
+      """SELECT r_name, n_name,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
   )
 }

@@ -112,7 +112,11 @@ object SparkEntry {
     // per-group z-score normalization (feature scaling)
     "q49_zscores"           -> (CoreQueries.zscores _),
     // corpus bigram statistics (n-gram LM / contamination primitive)
-    "q50_bigram_stats"      -> (TextOps.bigramQuery _)
+    "q50_bigram_stats"      -> (TextOps.bigramQuery _),
+    // pivot with explicit values (no discovery scan)
+    "q51_daily_type_pivot"  -> (CoreQueries.dailyTypePivot _),
+    // region→nation ROLLUP subtotals in one pass
+    "q52_revenue_rollup"    -> (CoreQueries.revenueRollup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

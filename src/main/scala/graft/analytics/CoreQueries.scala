@@ -415,6 +415,41 @@ object CoreQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q51: daily event counts pivoted to one column per type. The pivot
+    * values are EXPLICIT — without them Spark runs a values-discovery job
+    * over the whole input before planning, which at 100 TB is a full
+    * extra scan. Count cells for absent (day, type) combos coalesce to 0
+    * (`pivot` yields null there; the oracle's CASE-sum yields 0).
+    */
+  def dailyTypePivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day")).pivot("event_type", types).count()
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("day"))
+  }
+
+  /** q52: revenue rollup over the region→nation hierarchy — subtotals per
+    * region and a grand total in one pass (GROUPING SETS under the hood;
+    * null group keys mark the subtotal rows, same convention as SQL
+    * ROLLUP, so the oracle is a literal GROUP BY ROLLUP).
+    */
+  def revenueRollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"),
+      col("n_name"))
+    val r = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)

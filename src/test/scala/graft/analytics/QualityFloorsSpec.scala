@@ -88,6 +88,20 @@ class QualityFloorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("percentile_approx within 2% of the exact interpolated percentile") {
+    // the 100 TB percentile path (single-pass sketch) vs q35's exact
+    // sort-based percentile — relative error floor at default accuracy
+    val e = graft.Tables.events(spark, dir)
+    val rows = e.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.9)").as("exact"),
+      expr("percentile_approx(value, 0.9)").as("approx")).collect()
+    rows.foreach { r =>
+      val (ex, ap) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(ap - ex) / math.abs(ex) <= 0.02,
+        s"${r.getString(0)}: exact=$ex approx=$ap")
+    }
+  }
+
   test("q31 HLL approx distinct within 5% of q15 exact counts") {
     val exact = CoreQueries.distinctStats(spark, dir).collect().head
     val approx = CoreQueries.approxDistinctStats(spark, dir).collect().head
