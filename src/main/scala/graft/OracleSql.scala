@@ -605,7 +605,7 @@ object OracleSql {
         |    round(stddev_samp(value), 6) AS sigma
         |  FROM events GROUP BY 1)
         |SELECT event_id, e.event_type,
-        |  round((value - mu) / sigma, 4) AS z
+        |  round((value - mu) / nullif(sigma, 0), 4) AS z
         |FROM events e JOIN st USING (event_type)
         |ORDER BY event_id""".stripMargin,
 

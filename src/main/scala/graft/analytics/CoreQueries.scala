@@ -409,9 +409,11 @@ object CoreQueries {
     val stats = e.groupBy(col("event_type")).agg(
       round(avg(col("value")), 6).as("mu"),
       round(stddev_samp(col("value")), 6).as("sigma"))
+    // nullif: a constant group (sigma = 0) yields z = null instead of an
+    // ANSI DIVIDE_BY_ZERO crash; the oracle mirrors with the same nullif
     e.join(broadcast(stats), Seq("event_type"))
       .select(col("event_id"), col("event_type"),
-        round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+        round((col("value") - col("mu")) / nullif(col("sigma"), lit(0.0)), 4).as("z"))
       .orderBy(col("event_id"))
   }
 

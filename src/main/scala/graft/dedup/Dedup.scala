@@ -57,12 +57,11 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Array of word k-shingle strings over a token-array column (the shared
-    * windowing for [[shingles]] / [[shingleHashes]]).
+  /** Array of word k-shingle strings over a token-array column — shared
+    * with the n-gram stats in [[graft.text.TextOps.tokenWindows]].
     */
   private def shingleArray(toks: Column, k: Int): Column =
-    transform(sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    TextOps.tokenWindows(toks, k)
 
   /** Distinct word k-shingles per document: (doc_id, shingle) rows. */
   def shingles(docs: DataFrame, k: Int): DataFrame = {
@@ -280,8 +279,13 @@ object Dedup {
     // non-increasing across rounds (min over self ∪ neighbors), so the
     // TOTAL decreases iff any label changed — one scalar aggregate over
     // the checkpointed labels instead of a labels⋈labels diff join.
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("label"))).collect()(0).getLong(0)
+    // Summed as decimal(38,0): ids may span the full ±2^63 range (e.g.
+    // xxhash64 keys), where a long sum would overflow (ANSI throw);
+    // coalesce covers the empty pair graph (sum over zero rows is null).
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)))
+        .collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -292,7 +296,7 @@ object Dedup {
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
       val newSum = labelSum(labels)
-      converged = newSum == prevSum
+      converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       iter += 1
     }

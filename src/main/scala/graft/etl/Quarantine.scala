@@ -27,6 +27,12 @@ object Quarantine {
   /** One PERMISSIVE scan → (clean rows in `schema`, corrupt raw lines).
     * Clean = the corrupt column is null; quarantine keeps the raw line
     * untouched for replay after a parser/schema fix.
+    *
+    * Caching contract (same as the Dedup pair miners): the parsed batch
+    * is cached because both halves consume it, and this function cannot
+    * unpersist what its lazy results still reference — callers should
+    * `spark.catalog.clearCache()` (or unpersist the inputs' plans) after
+    * materializing both sides in a long-lived session.
     */
   def splitJson(spark: SparkSession, schema: StructType,
       lines: org.apache.spark.sql.Dataset[String]): (DataFrame, DataFrame) = {

@@ -46,6 +46,9 @@ object Curation {
     val clusters = Dedup.connectedComponents(
       Dedup.jaccardPairs(docs, k = 5, threshold = 0.2, maxDf = 100)
         .select(col("id_a"), col("id_b")))
+    // no broadcast hint: the cluster table is docs-with-a-near-dup, which
+    // on a dirty corpus can be a large fraction of the input — AQE
+    // converts this join to broadcast at runtime when it actually is small
     exactKept.join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"),

@@ -195,6 +195,13 @@ object TextOps {
   def tfidfQuery(s: SparkSession, dir: String): DataFrame =
     tfidfTopTerms(Tables.documents(s, dir), k = 3)
 
+  /** Array of space-joined k-token windows over a token-array column —
+    * the shared windowing behind shingles (Dedup) and n-gram stats.
+    */
+  def tokenWindows(toks: Column, k: Int): Column =
+    transform(sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+
   /** q50: corpus bigram statistics — occurrence count and document
     * frequency for the top-k bigrams (the n-gram LM / contamination-check
     * primitive). Occurrences are NOT per-doc-deduped (unlike shingles for
@@ -205,9 +212,7 @@ object TextOps {
     val t = col("t")
     docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(t) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(t) - 2),
-          i => concat_ws(" ", slice(t, i + 1, lit(2))))).as("bigram"))
+      .select(col("doc_id"), explode(tokenWindows(t, 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n").desc, col("bigram"))

@@ -91,6 +91,21 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: empty pair graph and full-range 64-bit ids") {
+    // empty input → empty clusters (not an NPE from a null sum)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    // hash-scale ids whose long sum would overflow: must still converge
+    val big = Seq(
+      (Long.MinValue + 1, Long.MaxValue - 1),
+      (Long.MaxValue - 1, Long.MaxValue))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(big).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(Long.MinValue + 1))
+    assert(cc.size == 3)
+  }
+
   test("connected components: non-convergence throws instead of lying") {
     val chain = (1L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
