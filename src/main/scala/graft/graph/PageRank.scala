@@ -1,0 +1,64 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame PageRank — the centrality analytics the reference names as
+  * its reason for building the graph projection ("graph algorithms like
+  * centrality … useful for influencer analysis", `README.md:348-350`),
+  * runnable directly on [[GraphExport]] edge tables (src, dst).
+  *
+  * Standard damped formulation with dangling-mass redistribution: each
+  * round every vertex receives (1−d)/N plus d·(Σ incoming rank/out_deg +
+  * dangling/N), so the rank vector stays a probability distribution
+  * (Σ = 1) and convergence is measurable as the L1 delta between rounds.
+  *
+  * Scale shape per round: one edges⋈ranks hash join (shuffle on the join
+  * key — co-partition `edges` by src beforehand to make it one-sided),
+  * one aggregate for the contribution sums, one scalar aggregate for the
+  * dangling mass. Lineage is truncated per round with `localCheckpoint`,
+  * the same iterative discipline as [[graft.dedup.Dedup.connectedComponents]].
+  */
+object PageRank {
+
+  /** @return (id, rank) — ranks sum to 1 over all vertices that appear in
+    *         the edge list (either endpoint).
+    */
+  def run(edges: DataFrame, damping: Double = 0.85, maxIter: Int = 30,
+      tol: Double = 1e-6): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).cache()
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    val n = vertices.count()
+    require(n > 0, "PageRank needs at least one edge")
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("out_deg")).localCheckpoint()
+
+    var ranks = vertices.select(col("id"), lit(1.0 / n).as("rank"))
+      .localCheckpoint()
+    var iter = 0
+    var delta = Double.MaxValue
+    while (delta > tol && iter < maxIter) {
+      val withDeg = ranks.join(outDeg, Seq("id"), "left")
+      val dangling = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
+      val contribs = e.join(withDeg.filter(col("out_deg").isNotNull),
+          e("src") === col("id"))
+        .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_c"))
+      val next = vertices.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n)
+            + lit(damping) * (coalesce(col("in_c"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+        .localCheckpoint()
+      delta = next.join(ranks.withColumnRenamed("rank", "old"), "id")
+        .agg(sum(abs(col("rank") - col("old")))).collect()(0).getDouble(0)
+      ranks = next
+      iter += 1
+    }
+    e.unpersist()
+    ranks
+  }
+}

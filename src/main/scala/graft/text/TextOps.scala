@@ -178,11 +178,15 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a window count over tf (tf is unique per (doc, term), so rows
+    // per term = containing docs) — one corpus scan feeds both tf and df;
+    // the groupBy+self-join alternative scanned and aggregated tf twice
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
-    tf.join(dfreq, "term")
+    withDf
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
