@@ -61,4 +61,34 @@ object PageRank {
     e.unpersist()
     ranks
   }
+
+  /** BFS shortest paths from a source vertex — the "pathfinding" leg of
+    * the reference's graph-analytics trio (`README.md:348-350`; centrality
+    * = [[run]], community detection = connected components in Dedup).
+    * Returns (id, dist) for every vertex reachable from `source`, hop
+    * counts over the directed edge list. Frontier expansion: each round
+    * joins the (small) frontier against edges and anti-joins the visited
+    * set, so work per round is O(frontier adjacency), not O(graph).
+    */
+  def shortestPaths(edges: DataFrame, source: String,
+      maxDepth: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).cache()
+    var visited = Seq((source, 0L)).toDF("id", "dist").localCheckpoint()
+    var frontier = visited
+    var depth = 0L
+    while (frontier.limit(1).count() > 0 && depth < maxDepth) {
+      depth += 1
+      frontier = e.join(frontier.select(col("id")), e("src") === col("id"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id").as("seen")), col("id") === col("seen"),
+          "left_anti")
+        .select(col("id"), lit(depth).as("dist"))
+        .localCheckpoint()
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    e.unpersist()
+    visited.orderBy(col("dist"), col("id"))
+  }
 }

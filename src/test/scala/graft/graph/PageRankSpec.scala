@@ -29,6 +29,15 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
   }
 
+  test("BFS shortest paths: hop counts, unreachable excluded, branches merge") {
+    // a→b→c→d plus shortcut a→c; e→a unreachable FROM a; f isolated-ish
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a"))
+      .toDF("src", "dst")
+    val d = PageRank.shortestPaths(edges, "a").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L)) // e absent
+  }
+
   test("runs on the FRIENDS_WITH projection (symmetric graph → degree-ish)") {
     val users = graft.etl.UserEtl.transform(jsonDf(graft.etl.Schemas.user,
       """{"user_id":"u1","name":"A","review_count":1,"yelping_since":"2015-01-01 00:00:00","useful":0,"funny":0,"cool":0,"elite":"","friends":"u2, u3","fans":0,"average_stars":4.0}""",
