@@ -37,17 +37,28 @@ object AsOfJoin {
     * @param rightTs    right timestamp column name
     * @param rightCols  right payload columns to attach (null when no right
     *                   row is at-or-before the left row — LEFT as-of join)
+    * @param tolerance  max lookback in the timestamp column's own unit
+    *                   (pandas merge_asof semantics): a right row older
+    *                   than leftTs − tolerance is too stale to attach.
+    *                   None = unbounded. Enforced AFTER the sweep on the
+    *                   attached row's timestamp, so it costs one filter,
+    *                   not a different join.
     */
   def backward(
       left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightCols.forall(!leftCols.contains(_)),
       s"rightCols ${rightCols.filter(leftCols.contains)} collide with left " +
         "columns — rename before joining (duplicate output names would fail " +
         "at the first downstream reference, far from here)")
+    // the sweep carries the right timestamp inside the payload struct so
+    // the tolerance check can see WHICH row was attached
     val payloadType = org.apache.spark.sql.types.StructType(
-      rightCols.map(c => right.schema(c)))
+      rightCols.map(c => right.schema(c))
+        :+ org.apache.spark.sql.types.StructField("__rts",
+          right.schema(rightTs).dataType))
     // side 0 sorts before side 1 at equal ts → a right row AT the left
     // row's timestamp is visible to it (inclusive ≤)
     val l = left
@@ -61,15 +72,28 @@ object AsOfJoin {
       .select((Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side"))
         ++ leftCols.filterNot(_ == key)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))
-        :+ struct(rightCols.map(col): _*).as("__r")): _*)
+        :+ struct((rightCols.map(col) :+ col(rightTs).as("__rts")): _*).as("__r")): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val swept = l.unionByName(r)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((leftCols.map(col)
-        ++ rightCols.map(c => col(s"__r.$c").as(c))): _*)
+    val bounded = tolerance match {
+      case Some(tol) =>
+        // timestamp columns age in MICROS; numeric epoch columns in their
+        // own unit (plain subtraction)
+        val age = right.schema(rightTs).dataType match {
+          case _: org.apache.spark.sql.types.TimestampType =>
+            unix_micros(col("__ts").cast("timestamp")) -
+              unix_micros(col("__r.__rts").cast("timestamp"))
+          case _ => col("__ts") - col("__r.__rts")
+        }
+        swept.withColumn("__r", when(age <= tol, col("__r")))
+      case None => swept
+    }
+    bounded.select((leftCols.map(col)
+      ++ rightCols.map(c => col(s"__r.$c").as(c))): _*)
   }
 
   /** q39: each event annotated with the customer's most recent order at or

@@ -50,6 +50,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("price")))
   }
 
+  test("tolerance: stale reference rows are nulled out (merge_asof parity)") {
+    // trade at 12:00, only quote at 10:00 — 2h stale
+    val out = AsOfJoin.backward(
+      trades.filter(col("trade_id") === 4L), quotes, "sym", "tts", "qts",
+      Seq("price", "qid"), tolerance = Some(3600L * 1000000L)) // 1h in micros
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("qid")))
+    // wide tolerance keeps the match
+    val ok = AsOfJoin.backward(
+      trades.filter(col("trade_id") === 4L), quotes, "sym", "tts", "qts",
+      Seq("price", "qid"), tolerance = Some(24 * 3600L * 1000000L))
+      .collect()
+    assert(ok.head.getAs[String]("qid") == "q4")
+  }
+
   test("null right timestamps never match (no -infinity leak)") {
     val q = Seq(
       ("A", null.asInstanceOf[Timestamp], 99.0, "qnull"),
