@@ -40,7 +40,9 @@ object PageRank {
     var iter = 0
     var delta = Double.MaxValue
     while (delta > tol && iter < maxIter) {
-      val withDeg = ranks.join(outDeg, Seq("id"), "left")
+      // checkpointed: both the dangling-mass aggregate and the contribs
+      // join consume it — uncached it would re-execute the join twice
+      val withDeg = ranks.join(outDeg, Seq("id"), "left").localCheckpoint()
       val dangling = withDeg.filter(col("out_deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
       val contribs = e.join(withDeg.filter(col("out_deg").isNotNull),
@@ -89,6 +91,10 @@ object PageRank {
       visited = visited.union(frontier).localCheckpoint()
     }
     e.unpersist()
+    // same contract as connectedComponents: a truncated traversal would
+    // report reachable vertices as unreachable — refuse to return it
+    if (frontier.limit(1).count() > 0) throw new IllegalStateException(
+      s"BFS frontier still non-empty at maxDepth=$maxDepth — raise maxDepth")
     visited.orderBy(col("dist"), col("id"))
   }
 }

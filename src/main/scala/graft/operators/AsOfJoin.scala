@@ -37,12 +37,14 @@ object AsOfJoin {
     * @param rightTs    right timestamp column name
     * @param rightCols  right payload columns to attach (null when no right
     *                   row is at-or-before the left row — LEFT as-of join)
-    * @param tolerance  max lookback in the timestamp column's own unit
-    *                   (pandas merge_asof semantics): a right row older
-    *                   than leftTs − tolerance is too stale to attach.
-    *                   None = unbounded. Enforced AFTER the sweep on the
-    *                   attached row's timestamp, so it costs one filter,
-    *                   not a different join.
+    * @param tolerance  max lookback (pandas merge_asof semantics): a right
+    *                   row older than leftTs − tolerance is too stale to
+    *                   attach. UNIT: MICROSECONDS for timestamp/date
+    *                   columns; the column's own unit for numeric epoch
+    *                   columns; other types are rejected. None =
+    *                   unbounded. Enforced AFTER the sweep on the attached
+    *                   row's timestamp, so it costs one filter, not a
+    *                   different join.
     */
   def backward(
       left: DataFrame, right: DataFrame, key: String,
@@ -53,12 +55,27 @@ object AsOfJoin {
       s"rightCols ${rightCols.filter(leftCols.contains)} collide with left " +
         "columns — rename before joining (duplicate output names would fail " +
         "at the first downstream reference, far from here)")
-    // the sweep carries the right timestamp inside the payload struct so
-    // the tolerance check can see WHICH row was attached
-    val payloadType = org.apache.spark.sql.types.StructType(
-      rightCols.map(c => right.schema(c))
-        :+ org.apache.spark.sql.types.StructField("__rts",
+    // with a tolerance the sweep carries the right timestamp inside the
+    // payload struct (the staleness check needs to see WHICH row was
+    // attached); without one the struct stays narrow — no dead field in
+    // the shuffle
+    if (tolerance.isDefined) {
+      require(!rightCols.contains("__rts"), "rightCols may not use __rts")
+      right.schema(rightTs).dataType match {
+        case org.apache.spark.sql.types.TimestampType
+          | org.apache.spark.sql.types.TimestampNTZType
+          | org.apache.spark.sql.types.DateType => ()
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case other => throw new IllegalArgumentException(
+          s"tolerance unsupported for $other-typed timestamps")
+      }
+    }
+    val payloadFields = rightCols.map(c => right.schema(c)) ++
+      (if (tolerance.isDefined)
+        Seq(org.apache.spark.sql.types.StructField("__rts",
           right.schema(rightTs).dataType))
+      else Nil)
+    val payloadType = org.apache.spark.sql.types.StructType(payloadFields)
     // side 0 sorts before side 1 at equal ts → a right row AT the left
     // row's timestamp is visible to it (inclusive ≤)
     val l = left
@@ -72,7 +89,9 @@ object AsOfJoin {
       .select((Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side"))
         ++ leftCols.filterNot(_ == key)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))
-        :+ struct((rightCols.map(col) :+ col(rightTs).as("__rts")): _*).as("__r")): _*)
+        :+ struct((rightCols.map(col) ++
+          (if (tolerance.isDefined) Seq(col(rightTs).as("__rts")) else Nil)): _*)
+          .as("__r")): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -81,13 +100,14 @@ object AsOfJoin {
       .filter(col("__side") === 1)
     val bounded = tolerance match {
       case Some(tol) =>
-        // timestamp columns age in MICROS; numeric epoch columns in their
-        // own unit (plain subtraction)
+        // timestamp/date columns age in MICROS; numeric epoch columns in
+        // their own unit (plain subtraction); other types were rejected
         val age = right.schema(rightTs).dataType match {
-          case _: org.apache.spark.sql.types.TimestampType =>
+          case _: org.apache.spark.sql.types.NumericType =>
+            col("__ts") - col("__r.__rts")
+          case _ =>
             unix_micros(col("__ts").cast("timestamp")) -
               unix_micros(col("__r.__rts").cast("timestamp"))
-          case _ => col("__ts") - col("__r.__rts")
         }
         swept.withColumn("__r", when(age <= tol, col("__r")))
       case None => swept

@@ -38,6 +38,14 @@ class PageRankSpec extends SparkSpec {
     assert(d == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L)) // e absent
   }
 
+  test("BFS refuses to return a truncated traversal") {
+    val chain = (1 to 5).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      PageRank.shortestPaths(chain, "n1", maxDepth = 3)
+    }
+    assert(PageRank.shortestPaths(chain, "n1").count() == 6)
+  }
+
   test("runs on the FRIENDS_WITH projection (symmetric graph → degree-ish)") {
     val users = graft.etl.UserEtl.transform(jsonDf(graft.etl.Schemas.user,
       """{"user_id":"u1","name":"A","review_count":1,"yelping_since":"2015-01-01 00:00:00","useful":0,"funny":0,"cool":0,"elite":"","friends":"u2, u3","fans":0,"average_stars":4.0}""",

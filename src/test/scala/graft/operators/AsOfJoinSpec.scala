@@ -51,18 +51,16 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("tolerance: stale reference rows are nulled out (merge_asof parity)") {
-    // trade at 12:00, only quote at 10:00 — 2h stale
-    val out = AsOfJoin.backward(
+    // trade 4 is at 23:00 against sym B's only quote at 10:30 — 12.5h stale
+    def withTol(tolMicros: Long) = AsOfJoin.backward(
       trades.filter(col("trade_id") === 4L), quotes, "sym", "tts", "qts",
-      Seq("price", "qid"), tolerance = Some(3600L * 1000000L)) // 1h in micros
-      .collect()
-    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("qid")))
-    // wide tolerance keeps the match
-    val ok = AsOfJoin.backward(
-      trades.filter(col("trade_id") === 4L), quotes, "sym", "tts", "qts",
-      Seq("price", "qid"), tolerance = Some(24 * 3600L * 1000000L))
-      .collect()
-    assert(ok.head.getAs[String]("qid") == "q4")
+      Seq("price", "qid"), tolerance = Some(tolMicros)).collect().head
+    val staleMicros = (12 * 3600L + 30 * 60L) * 1000000L
+    val tooTight = withTol(3600L * 1000000L) // 1h ≪ 12.5h
+    assert(tooTight.isNullAt(tooTight.fieldIndex("qid")))
+    // the bound is inclusive: age == tolerance keeps the match
+    assert(withTol(staleMicros).getAs[String]("qid") == "q4")
+    assert(withTol(staleMicros - 1).isNullAt(tooTight.fieldIndex("qid")))
   }
 
   test("null right timestamps never match (no -infinity leak)") {
