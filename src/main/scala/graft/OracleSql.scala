@@ -647,6 +647,33 @@ object OracleSql {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
-        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    // Bipartite containment |A∩B|/|A| with the df cap on the corpus side
+    // before sizes — mirrors Dedup.containmentPairs exactly.
+    "q53_contamination" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, source, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS shingle
+        |  FROM tk, unnest(range(0, len(t) - 4)) AS g(i)
+        |  WHERE len(t) >= 5),
+        |shc AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM sh0 WHERE source <> 'src0')
+        |  WHERE df <= 100),
+        |she AS (SELECT doc_id, shingle FROM sh0 WHERE source = 'src0'),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+        |cm AS (
+        |  SELECT c.doc_id AS doc_id, e.doc_id AS eval_id, count(*) AS n_common
+        |  FROM shc c JOIN she e USING (shingle)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, eval_id,
+        |  round(CAST(n_common AS DOUBLE) / n_sh, 4) AS containment
+        |FROM cm JOIN sz USING (doc_id)
+        |WHERE round(CAST(n_common AS DOUBLE) / n_sh, 4) >= 0.5
+        |ORDER BY doc_id, eval_id""".stripMargin
   )
 }

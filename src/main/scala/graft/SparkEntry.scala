@@ -116,7 +116,9 @@ object SparkEntry {
     // pivot with explicit values (no discovery scan)
     "q51_daily_type_pivot"  -> (CoreQueries.dailyTypePivot _),
     // region→nation ROLLUP subtotals in one pass
-    "q52_revenue_rollup"    -> (CoreQueries.revenueRollup _)
+    "q52_revenue_rollup"    -> (CoreQueries.revenueRollup _),
+    // benchmark decontamination: cross-corpus n-gram containment
+    "q53_contamination"     -> (Dedup.containmentQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

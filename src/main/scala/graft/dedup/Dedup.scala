@@ -252,6 +252,52 @@ object Dedup {
   def simhashQuery(s: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(s, dir))
 
+  /** Benchmark decontamination: cross-corpus n-gram CONTAINMENT — for
+    * each (training doc, eval doc) pair sharing shingles, the fraction of
+    * the training doc's shingles that appear in the eval doc's,
+    * C(A→B) = |A∩B| / |A|. Containment (not Jaccard) is the standard
+    * contamination score: a short eval prompt embedded in a long training
+    * doc still scores high. Same inverted-index + stop-shingle-cap shape
+    * as [[jaccardPairs]], but the join is BIPARTITE (corpus side ⋈ eval
+    * side), so cost is bucket_corpus × bucket_eval per shingle — and the
+    * eval set is tiny next to the corpus.
+    *
+    * The df cap applies to the corpus side (where the quadratic risk
+    * lives) BEFORE sizes, so denominators use the same capped universe —
+    * mirrored verbatim in the q53 oracle.
+    */
+  def containmentPairs(corpus: DataFrame, evalSet: DataFrame, k: Int,
+      threshold: Double, maxDf: Int = 100): DataFrame = {
+    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val shC = shingles(corpus, k)
+      .withColumn("df", count(lit(1)).over(dfWin))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+      .cache()
+    val shE = shingles(evalSet, k)
+    val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    shC.as("c").join(shE.as("e"), col("c.shingle") === col("e.shingle"))
+      .groupBy(col("c.doc_id").as("doc_id"), col("e.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes, "doc_id")
+      .withColumn("containment",
+        round(col("n_common").cast("double") / col("n_sh"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("eval_id"), col("containment"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  /** q53: docs from every other source screened against the 'src0' slice
+    * as a stand-in benchmark set.
+    */
+  def containmentQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    containmentPairs(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      k = 5, threshold = 0.5, maxDf = 100)
+  }
+
   /** Connected components over an undirected near-dup pair graph:
     * (doc_id, cluster_id) where cluster_id is the minimum doc_id reachable
     * through any chain of pairs — the step that turns pairwise near-dup

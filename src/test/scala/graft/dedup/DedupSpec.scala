@@ -79,6 +79,25 @@ class DedupSpec extends SparkSpec {
     assert(expr == hof)
   }
 
+  test("containment: embedded eval prompt scores high, jaccard would not") {
+    // training doc 1 CONTAINS eval doc 100's text plus lots more — high
+    // containment (all of the eval text's shingles recur) despite a low
+    // Jaccard (the training doc has many extra shingles)
+    val evalDoc = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val training = Seq(
+      (1L, "intro words here alpha beta gamma delta epsilon zeta " +
+        (1 to 20).map(i => s"tail$i").mkString(" ")),
+      (2L, "completely unrelated content with many distinct tokens here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(training, evalDoc, k = 5,
+      threshold = 0.05).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((1L, 100L)))
+    assert(!out.keys.exists(_._1 == 2L))
+    spark.catalog.clearCache()
+  }
+
   test("connected components: chains close transitively, islands stay apart") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), // chain → one cluster rooted at 1
