@@ -674,6 +674,48 @@ object OracleSql {
         |  round(CAST(n_common AS DOUBLE) / n_sh, 4) AS containment
         |FROM cm JOIN sz USING (doc_id)
         |WHERE round(CAST(n_common AS DOUBLE) / n_sh, 4) >= 0.5
-        |ORDER BY doc_id, eval_id""".stripMargin
+        |ORDER BY doc_id, eval_id""".stripMargin,
+
+    // Identical (price desc, orderkey) tie-break on every function.
+    "q54_window_suite" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(lag(o_totalprice) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice) OVER w, 2) AS next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume,
+        |  first_value(o_orderkey) OVER w AS top_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q55_set_ops" ->
+      """(SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | INTERSECT
+        | SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    // Spark's max_by/min_by take a composite (value, id) struct key (the
+    // data has duplicate (type, value) pairs — a bare value key would be
+    // tie-ambiguous); DuckDB's arg_max has no ROW-key overload, so the
+    // oracle states the same argmax as rank-1 of the identical ordering.
+    "q56_conditional_aggs" ->
+      """WITH m AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id DESC) AS rd,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS ra
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count_if(value > 100.0) AS BIGINT) AS n_high,
+        |  bool_or(value > 500.0) AS any_extreme,
+        |  max(CASE WHEN rd = 1 THEN event_id END) AS max_value_event,
+        |  max(CASE WHEN ra = 1 THEN event_id END) AS min_value_event
+        |FROM m
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -118,7 +118,13 @@ object SparkEntry {
     // region→nation ROLLUP subtotals in one pass
     "q52_revenue_rollup"    -> (CoreQueries.revenueRollup _),
     // benchmark decontamination: cross-corpus n-gram containment
-    "q53_contamination"     -> (Dedup.containmentQuery _)
+    "q53_contamination"     -> (Dedup.containmentQuery _),
+    // analytic window suite (lag/lead/ntile/percent_rank/cume_dist/first)
+    "q54_window_suite"      -> (CoreQueries.windowSuite _),
+    // INTERSECT/EXCEPT set semantics
+    "q55_set_ops"           -> (CoreQueries.setOps _),
+    // count_if / bool_or / composite-key argmax-argmin
+    "q56_conditional_aggs"  -> (CoreQueries.conditionalAggs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

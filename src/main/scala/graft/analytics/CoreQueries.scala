@@ -452,6 +452,58 @@ object CoreQueries {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** q54: the analytic-window suite per customer — lag/lead neighbors,
+    * quartiles, percent_rank/cume_dist, first_value — all over one keyed
+    * sort (the (price desc, orderkey) tie-break makes every function
+    * deterministic).
+    */
+  def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"),
+        first(col("o_orderkey")).over(w).as("top_order"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q55: set-operation surface — INTERSECT/EXCEPT with SQL's distinct
+    * semantics (customers who placed both an urgent and a low-priority
+    * order but have no failed one).
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def buyers(p: String) =
+      o.filter(col("o_orderpriority") === p).select(col("o_custkey")).distinct()
+    val failed = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct()
+    buyers("1-URGENT").intersect(buyers("5-LOW")).except(failed)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q56: conditional-aggregate surface — count_if, bool_or, and
+    * argmax/argmin with a composite (value, id) key: the testdata has
+    * duplicate (type, value) pairs, so a bare max_by(id, value) would be
+    * tie-ambiguous across engines.
+    */
+  def conditionalAggs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("count_if(value > 100.0)").as("n_high"),
+        bool_or(col("value") > 500.0).as("any_extreme"),
+        max_by(col("event_id"), struct(col("value"), col("event_id")))
+          .as("max_value_event"),
+        min_by(col("event_id"), struct(col("value"), col("event_id")))
+          .as("min_value_event"))
+      .orderBy(col("event_type"))
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
