@@ -649,8 +649,9 @@ object OracleSql {
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
 
-    // Bipartite containment |A∩B|/|A| with the df cap on the corpus side
-    // before sizes — mirrors Dedup.containmentPairs exactly.
+    // Bipartite containment |A∩B|/|B_eval| (EVAL-side denominator — the
+    // contamination score) with the df cap on the corpus side only —
+    // mirrors Dedup.containmentPairs exactly.
     "q53_contamination" ->
       """WITH tk AS (
         |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -665,15 +666,15 @@ object OracleSql {
         |    FROM sh0 WHERE source <> 'src0')
         |  WHERE df <= 100),
         |she AS (SELECT doc_id, shingle FROM sh0 WHERE source = 'src0'),
-        |sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+        |sz AS (SELECT doc_id AS eval_id, count(*) AS n_eval_sh FROM she GROUP BY 1),
         |cm AS (
         |  SELECT c.doc_id AS doc_id, e.doc_id AS eval_id, count(*) AS n_common
         |  FROM shc c JOIN she e USING (shingle)
         |  GROUP BY 1, 2)
         |SELECT doc_id, eval_id,
-        |  round(CAST(n_common AS DOUBLE) / n_sh, 4) AS containment
-        |FROM cm JOIN sz USING (doc_id)
-        |WHERE round(CAST(n_common AS DOUBLE) / n_sh, 4) >= 0.5
+        |  round(CAST(n_common AS DOUBLE) / n_eval_sh, 4) AS containment
+        |FROM cm JOIN sz USING (eval_id)
+        |WHERE round(CAST(n_common AS DOUBLE) / n_eval_sh, 4) >= 0.5
         |ORDER BY doc_id, eval_id""".stripMargin,
 
     // Identical (price desc, orderkey) tie-break on every function.

@@ -87,14 +87,21 @@ object Dedup {
     * DuckDB oracle mirrors verbatim (same df window + filter). The df
     * window shuffles by shingle, the same key the self-join shuffles by.
     */
-  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
-      maxDf: Int = 100): DataFrame = {
+  /** [[shingles]] with the stop-shingle doc-frequency cap applied (df
+    * computed over `docs`, shingles with df > maxDf dropped) — the shared
+    * front end of [[jaccardPairs]] and [[containmentPairs]].
+    */
+  def cappedShingles(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
     val dfWin = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val sh = shingles(docs, k)
+    shingles(docs, k)
       .withColumn("df", count(lit(1)).over(dfWin))
       .filter(col("df") <= maxDf)
       .drop("df")
-      .cache()
+  }
+
+  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
+      maxDf: Int = 100): DataFrame = {
+    val sh = cappedShingles(docs, k, maxDf).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -254,34 +261,32 @@ object Dedup {
 
   /** Benchmark decontamination: cross-corpus n-gram CONTAINMENT — for
     * each (training doc, eval doc) pair sharing shingles, the fraction of
-    * the training doc's shingles that appear in the eval doc's,
-    * C(A→B) = |A∩B| / |A|. Containment (not Jaccard) is the standard
-    * contamination score: a short eval prompt embedded in a long training
-    * doc still scores high. Same inverted-index + stop-shingle-cap shape
-    * as [[jaccardPairs]], but the join is BIPARTITE (corpus side ⋈ eval
-    * side), so cost is bucket_corpus × bucket_eval per shingle — and the
-    * eval set is tiny next to the corpus.
+    * the EVAL doc's shingles that appear in the training doc,
+    * C = |A∩B| / |B_eval|. The eval-side denominator is what makes this
+    * the contamination score (vs Jaccard): a short eval prompt embedded
+    * verbatim in a long training doc scores 1.0 even though the training
+    * doc has thousands of other shingles.
     *
-    * The df cap applies to the corpus side (where the quadratic risk
-    * lives) BEFORE sizes, so denominators use the same capped universe —
-    * mirrored verbatim in the q53 oracle.
+    * Same inverted-index shape as [[jaccardPairs]], but the join is
+    * BIPARTITE (corpus ⋈ eval), so cost per shingle is bucket_corpus ×
+    * bucket_eval — and the eval set is tiny next to the corpus. The df
+    * cap applies to the CORPUS side (where the quadratic risk lives);
+    * eval shingle counts stay uncapped, so a stop-shingle shared with an
+    * eval doc slightly UNDERestimates its containment (conservative, no
+    * false flags from boilerplate) — mirrored verbatim in the q53 oracle.
     */
   def containmentPairs(corpus: DataFrame, evalSet: DataFrame, k: Int,
       threshold: Double, maxDf: Int = 100): DataFrame = {
-    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val shC = shingles(corpus, k)
-      .withColumn("df", count(lit(1)).over(dfWin))
-      .filter(col("df") <= maxDf)
-      .drop("df")
-      .cache()
-    val shE = shingles(evalSet, k)
-    val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shC = cappedShingles(corpus, k, maxDf)
+    val shE = shingles(evalSet, k).cache()
+    val evalSizes = shE.groupBy(col("doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("n_eval_sh"))
     shC.as("c").join(shE.as("e"), col("c.shingle") === col("e.shingle"))
       .groupBy(col("c.doc_id").as("doc_id"), col("e.doc_id").as("eval_id"))
       .agg(count(lit(1)).as("n_common"))
-      .join(sizes, "doc_id")
+      .join(evalSizes, "eval_id")
       .withColumn("containment",
-        round(col("n_common").cast("double") / col("n_sh"), 4))
+        round(col("n_common").cast("double") / col("n_eval_sh"), 4))
       .filter(col("containment") >= threshold)
       .select(col("doc_id"), col("eval_id"), col("containment"))
       .orderBy(col("doc_id"), col("eval_id"))

@@ -79,10 +79,11 @@ class DedupSpec extends SparkSpec {
     assert(expr == hof)
   }
 
-  test("containment: embedded eval prompt scores high, jaccard would not") {
-    // training doc 1 CONTAINS eval doc 100's text plus lots more — high
-    // containment (all of the eval text's shingles recur) despite a low
-    // Jaccard (the training doc has many extra shingles)
+  test("containment: embedded eval prompt scores 1.0, jaccard would miss it") {
+    // training doc 1 CONTAINS eval doc 100's text verbatim plus lots more:
+    // every eval shingle recurs → containment 1.0 at the production 0.5
+    // threshold, while Jaccard is ~2/25 = 0.08 (the extra training
+    // shingles swamp the union) and would never flag it
     val evalDoc = Seq((100L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
     val training = Seq(
@@ -91,10 +92,15 @@ class DedupSpec extends SparkSpec {
       (2L, "completely unrelated content with many distinct tokens here"))
       .toDF("doc_id", "text")
     val out = Dedup.containmentPairs(training, evalDoc, k = 5,
-      threshold = 0.05).collect()
+      threshold = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(out.contains((1L, 100L)))
+    assert(out((1L, 100L)) == 1.0)
     assert(!out.keys.exists(_._1 == 2L))
+    // the union-denominated score really is below the threshold — the
+    // property that makes containment (not Jaccard) the right metric
+    val jac = Dedup.jaccardPairs(training.union(evalDoc), k = 5,
+      threshold = 0.5).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 100L))
     spark.catalog.clearCache()
   }
 
