@@ -30,6 +30,20 @@ class CurationSpec extends SparkSpec {
       == Map(1L -> "en", 5L -> "fr"))
   }
 
+  test("curated sf0.001 corpus is actually clean: no dup/near-dup survivors") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Curation.curate(docs)
+    val kept = docs.join(out.select("doc_id"), "doc_id")
+    assert(out.count() > 300) // the gate+dedup keeps most of the 500 docs
+    // no two survivors share identical text
+    assert(kept.groupBy(col("text")).count().filter(col("count") > 1).count() == 0)
+    // no surviving near-dup pair at the pipeline's own threshold/cap
+    assert(graft.dedup.Dedup.jaccardPairs(kept, k = 5, threshold = 0.2,
+      maxDf = 100).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("near-dup drop decisions do not depend on the quality gate") {
     // raise the gate so doc 1 (24 tokens) is gated while doc 3 (30 tokens)
     // passes — doc 3 must STILL be dropped: clusters form over the full
