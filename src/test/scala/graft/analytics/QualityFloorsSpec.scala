@@ -88,6 +88,38 @@ class QualityFloorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("native session_window ≡ the q45 lag-cumsum sessionization") {
+    // two independent formulations of the same 30-minute-gap semantics:
+    // Spark's Catalyst session_window operator vs the composed window
+    // chain behind q45 — per-user session (start, end, n) sets must match
+    val e = graft.Tables.events(spark, dir)
+    val native = e.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val composed = CoreQueries.eventSessions(spark, dir)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == composed)
+  }
+
+  test("freqItems sketch covers the exact top tokens") {
+    // the one-pass frequent-items sketch must contain every token the
+    // exact count ranks in the top 10 (support 1% ⇒ guaranteed superset
+    // of anything above that frequency)
+    val toks = graft.Tables.documents(spark, dir)
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+    val exactTop = toks.groupBy(col("tok")).count()
+      .orderBy(col("count").desc, col("tok")).limit(10)
+      .collect().map(_.getString(0)).toSet
+    val sketch = toks.stat.freqItems(Seq("tok"), 0.01)
+      .collect()(0).getSeq[String](0).toSet
+    assert(exactTop.subsetOf(sketch),
+      s"missing: ${exactTop.diff(sketch)}")
+  }
+
   test("percentile_approx within 2% of the exact interpolated percentile") {
     // the 100 TB percentile path (single-pass sketch) vs q35's exact
     // sort-based percentile — relative error floor at default accuracy
