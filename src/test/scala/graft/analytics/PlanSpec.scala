@@ -89,6 +89,29 @@ class PlanSpec extends SparkSpec {
       CoreQueries.rollingRevenue(spark, dir)) == 2)
   }
 
+  test("q53: bipartite containment join is bucketed, never cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = graft.dedup.Dedup.containmentQuery(spark, dir)
+    val bad = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, df.queryExecution.executedPlan.toString)
+    spark.catalog.clearCache()
+  }
+
+  test("q54: all six window functions share one keyed sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = CoreQueries.windowSuite(spark, dir)
+    val windows = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    // identical partition+order spec → Catalyst collapses to one Window
+    // node (one shuffle, one sort) feeding all six functions
+    assert(windows.size == 1, df.queryExecution.executedPlan.toString)
+    assert(graft.operators.Bucketing.numShuffles(df) == 2) // window + output sort
+  }
+
   test("q37: corpus-side IVF list assignment aggregates, no window sort") {
     // nprobe=1 assignment is an argmax via max_by: only the query-side
     // probe (nprobe>1) and the final ranking may plan windows — exactly 2.
