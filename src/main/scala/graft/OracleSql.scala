@@ -717,6 +717,62 @@ object OracleSql {
         |  max(CASE WHEN ra = 1 THEN event_id END) AS min_value_event
         |FROM m
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // Damped PageRank, exactly 5 rounds unrolled (the Spark side runs
+    // tol=0, maxIter=5, so the round count is fixed). Each prN mirrors one
+    // engine round verbatim: dangling mass = Σ rank of zero-out-degree
+    // vertices, next = (1-d)/n + d·(Σ in-contrib + dangling/n). Literals
+    // CAST to DOUBLE so both engines do the same binary arithmetic
+    // (DuckDB's bare 0.85 is DECIMAL); 8-dp rounding absorbs the ~1e-15
+    // relative fp-summation-order drift.
+    "q57_pagerank" -> {
+      def round(prev: String, next: String): String =
+        s"""|$next AS (
+            |  SELECT v.id,
+            |         (1.0 - CAST(0.85 AS DOUBLE)) / nn.n
+            |         + CAST(0.85 AS DOUBLE) * (coalesce(c.in_c, 0.0) + d.dang / nn.n) AS r
+            |  FROM v CROSS JOIN nn
+            |  CROSS JOIN (SELECT coalesce(sum(p.r), 0.0) AS dang
+            |              FROM $prev p LEFT JOIN od ON od.id = p.id
+            |              WHERE od.deg IS NULL) d
+            |  LEFT JOIN (SELECT e.dst AS id, sum(p.r / od.deg) AS in_c
+            |             FROM e JOIN $prev p ON p.id = e.src
+            |             JOIN od ON od.id = e.src
+            |             GROUP BY e.dst) c ON c.id = v.id)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         |od AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+         |pr0 AS (SELECT id, 1.0 / nn.n AS r FROM v CROSS JOIN nn),
+         |${round("pr0", "pr1")},
+         |${round("pr1", "pr2")},
+         |${round("pr2", "pr3")},
+         |${round("pr3", "pr4")},
+         |${round("pr4", "pr5")}
+         |SELECT id, round(r, 8) AS rank FROM pr5 ORDER BY id""".stripMargin
+    },
+
+    // BFS from c:1 over the symmetrized purchase graph. The recursive
+    // UNION dedups (id, dist) pairs, so rows are bounded by V·maxDepth
+    // even with cycles; min(dist) per vertex IS the BFS hop count. The
+    // dist < 10 bound mirrors the engine's maxDepth=10 (frontier empties
+    // long before that on this graph).
+    "q58_bfs_depths" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM b UNION SELECT dst, src FROM b),
+        |walk(id, dist) AS (
+        |  SELECT 'c:1', CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst, w.dist + 1
+        |  FROM e JOIN walk w ON w.id = e.src
+        |  WHERE w.dist < 10)
+        |SELECT id, min(dist) AS dist
+        |FROM walk GROUP BY id
+        |ORDER BY dist, id""".stripMargin
   )
 }

@@ -124,7 +124,11 @@ object SparkEntry {
     // INTERSECT/EXCEPT set semantics
     "q55_set_ops"           -> (CoreQueries.setOps _),
     // count_if / bool_or / composite-key argmax-argmin
-    "q56_conditional_aggs"  -> (CoreQueries.conditionalAggs _)
+    "q56_conditional_aggs"  -> (CoreQueries.conditionalAggs _),
+    // damped PageRank w/ dangling mass, fixed 5 iterations (unrolled oracle)
+    "q57_pagerank"          -> (graft.graph.PageRank.pagerankQuery _),
+    // BFS hop counts over the undirected purchase graph (recursive-CTE oracle)
+    "q58_bfs_depths"        -> (graft.graph.PageRank.bfsQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

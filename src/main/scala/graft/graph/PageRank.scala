@@ -1,7 +1,9 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** DataFrame PageRank — the centrality analytics the reference names as
   * its reason for building the graph projection ("graph algorithms like
@@ -96,5 +98,46 @@ object PageRank {
     if (frontier.limit(1).count() > 0) throw new IllegalStateException(
       s"BFS frontier still non-empty at maxDepth=$maxDepth — raise maxDepth")
     visited.orderBy(col("dist"), col("id"))
+  }
+
+  /** Directed customer→supplier "buys from" edges from orders⋈lineitem —
+    * the purchase graph both driver queries run on. Vertex ids are
+    * prefixed (`c:`/`s:`) because custkey and suppkey share a key space.
+    * Distinct-ed: the graph operators want a simple edge SET, not one
+    * edge per lineitem.
+    */
+  def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .distinct()
+  }
+
+  /** q57: PageRank over the directed purchase graph at exactly 5
+    * iterations (tol=0 ⇒ the round count is fixed, so the unrolled
+    * DuckDB oracle computes the identical sequence). Suppliers have no
+    * out-edges, so the dangling-mass redistribution path is exercised on
+    * every round, not just in a corner case. Ranks rounded to 8 dp —
+    * cross-engine fp summation order differs at ~1e-15 relative, far
+    * below the rounding grain.
+    */
+  def pagerankQuery(s: SparkSession, dir: String): DataFrame =
+    run(purchaseEdges(s, dir), damping = 0.85, maxIter = 5, tol = 0.0)
+      .select(col("id"), round(col("rank"), 8).as("rank"))
+      .orderBy(col("id"))
+
+  /** q58: BFS hop counts from customer 1 over the UNDIRECTED purchase
+    * graph (symmetrized edges — suppliers at distance 1, customers that
+    * share a supplier at 2, …). Small-world: the co-purchase closure
+    * reaches everything within a few hops, so maxDepth=10 is a safe
+    * truncation guard, not a tuning knob.
+    */
+  def bfsQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = purchaseEdges(s, dir)
+    shortestPaths(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))),
+      source = "c:1", maxDepth = 10)
   }
 }
