@@ -33,13 +33,21 @@ object Dedup {
   private def shl(x: Column, n: Column): Column = call_function("shiftleft", x, n)
 
   /** Exact dedup by content: one representative (min id) per distinct text.
-    * `groupBy(text)` rather than `dropDuplicates` so the representative is
-    * deterministic (dropDuplicates keeps an arbitrary row).
-    * At scale, group by a 128-bit content hash instead of the full text to
-    * shrink shuffle width — see [[exactByHash]].
+    * groupBy (not `dropDuplicates`) so the representative is deterministic.
+    *
+    * Shuffle-key layout (100 TB): the explicit `repartition(xxhash64(text))`
+    * makes the exchange partition on an 8-BYTE key — never on the multi-KB
+    * document itself. The grouping key stays `(h, text)`, so semantics are
+    * exact (a 2⁻⁶⁴ hash collision costs one extra group in a bucket, never a
+    * wrong merge), and Catalyst adds no second exchange: HashPartitioning(h)
+    * already clusters every (h, text) group. When byte-exactness isn't
+    * required at all, [[exactByHash]] drops the text from the key entirely.
     */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs
+      .select(col("doc_id"), col("text"), xxhash64(col("text")).as("__h"))
+      .repartition(col("__h"))
+      .groupBy(col("__h"), col("text"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
@@ -47,9 +55,27 @@ object Dedup {
   def exactQuery(s: SparkSession, dir: String): DataFrame =
     exact(Tables.documents(s, dir))
 
-  /** Same semantics, but the shuffle key is xxhash64(text) — constant-width
-    * keys regardless of document size (the 100 TB variant). Collision risk
-    * 2⁻⁶⁴-ish per pair; acceptable for dedup, not for the oracle.
+  /** Keep-rows variant of [[exact]]: returns the representative rows
+    * themselves (all columns), dropping every non-min duplicate. Same
+    * shuffle-key layout as [[exact]] — one exchange on the 8-byte
+    * xxhash64, window partitioned by (hash, text) so the sort comparator
+    * touches the full text only on hash collisions. Used by the curation
+    * pipeline, where the kept row's payload columns must survive.
+    */
+  def exactKeepRows(docs: DataFrame): DataFrame = {
+    val byText = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h"), col("text"))
+    docs
+      .withColumn("__h", xxhash64(col("text")))
+      .repartition(col("__h"))
+      .withColumn("__keep", min(col("doc_id")).over(byText))
+      .filter(col("doc_id") === col("__keep"))
+      .drop("__keep", "__h")
+  }
+
+  /** Same semantics as [[exact]], but text is dropped from the key
+    * entirely — 8-byte keys, 2⁻⁶⁴-ish collision risk per pair; acceptable
+    * for dedup, not for the oracle.
     */
   def exactByHash(docs: DataFrame): DataFrame =
     docs.groupBy(xxhash64(col("text")).as("h"))
@@ -308,18 +334,92 @@ object Dedup {
     * through any chain of pairs — the step that turns pairwise near-dup
     * hits into keep/drop groups (transitive closure of "is a near-dup of").
     *
-    * Algorithm: iterative min-label propagation. Each round, every vertex
-    * takes the min of its own label and its neighbors' labels (one
-    * edges⋈labels shuffle per round); `localCheckpoint` truncates the plan
-    * lineage so round N doesn't recompute rounds 1..N-1. Rounds needed =
-    * graph diameter; near-dup clusters are near-cliques (diameter ~2), and
-    * `maxIter` guards the pathological chain. Convergence is verified —
-    * a non-converged result throws rather than returning silently wrong
-    * clusters. (At extreme diameters the large-star/small-star algorithm
-    * [Kiveris et al., "Connected Components in MapReduce"] converges in
-    * O(log n) rounds; the per-round join below is the same primitive.)
+    * Algorithm: alternating large-star/small-star [Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14] — O(log n)
+    * rounds on ANY topology, where min-label propagation
+    * ([[connectedComponentsLabelProp]]) needs O(diameter). Near-dup
+    * clusters are near-cliques (both converge in ~3 rounds there), but at
+    * 100 TB one chain-shaped pathology — a long plagiarism ring, a
+    * boilerplate gradient — would stall a diameter-bound loop; star
+    * contraction makes the worst case logarithmic instead.
+    *
+    * Each star op is one window shuffle (per-node min over the adjacency)
+    * plus one distinct; `localCheckpoint` truncates lineage per round.
+    * Convergence = the canonical edge set reaching the star-forest
+    * fixpoint, detected by an (edge count, Σ xxhash64(u,v)) fingerprint —
+    * one scalar aggregate, no edges⋈edges diff join. A non-converged
+    * result throws rather than returning silently wrong clusters.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // canonical undirected edge set, directed big→small: (u, v), u > v
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // Set-identity fingerprint: count + decimal sum of per-edge hashes
+    // (decimal(38,0) — a long sum over ±2⁶³ hashes would overflow).
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    // large-star(a): m = min(Γ(a) ∪ {a}); link every neighbor b > a to m.
+    // Emitted (b, m) keeps the u > v invariant (b > a ≥ m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val w = Window.partitionBy(col("a"))
+      sym.withColumn("m", least(min(col("b")).over(w), col("a")))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star(u) over the big→small edges: m = min of u's smaller
+    // neighborhood ∪ {u}; link u and each smaller neighbor (except m) to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("u"))
+      val withMin = e.withColumn("m", min(col("v")).over(w))
+      withMin.select(col("v").as("node"), col("m"))
+        .union(withMin.select(col("u").as("node"), col("m")))
+        .filter(col("node") =!= col("m"))
+        .distinct()
+        .select(col("node").as("u"), col("m").as("v"))
+    }
+
+    var (prevCnt, prevSum) = fingerprint(edges)
+    var converged = prevCnt == 0L // empty graph: nothing to contract
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val (cnt, sm) = fingerprint(edges)
+      converged = cnt == prevCnt && sm.compareTo(prevSum) == 0
+      prevCnt = cnt
+      prevSum = sm
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    // fixpoint is a star forest: every edge is (member, root-min); roots
+    // appear only on the v side and label themselves
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+  }
+
+  /** Min-label propagation CC — O(diameter) rounds, kept as the parity
+    * reference for [[connectedComponents]] (DedupSpec pins the two
+    * algorithms to identical clusters): each round every vertex takes the
+    * min of its own and its neighbors' labels, one edges⋈labels shuffle.
+    */
+  def connectedComponentsLabelProp(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .cache() // re-joined every round

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -20,11 +19,12 @@ import graft.text.TextOps
   *   4. split assignment — deterministic hash split ([[Sampling]])
   *
   * Plan shape: the gate is a narrow filter over one stats projection; the
-  * exact-dedup keep-rule is a window min over text (same single shuffle a
-  * groupBy would cost, but keeps all columns without a self-join); the
-  * near-dup drop is one left join against the (tiny) cluster table; the
-  * split label is pure arithmetic. Nothing collects to the driver except
-  * the CC convergence counters.
+  * exact-dedup keep-rule is one 8-byte-hash-keyed exchange plus a
+  * (hash, text) window min (keeps all columns without a self-join, and the
+  * shuffle never partitions on the multi-KB text — [[Dedup.exactKeepRows]]);
+  * the near-dup drop is one left join against the (tiny) cluster table;
+  * the split label is pure arithmetic. Nothing collects to the driver
+  * except the CC convergence counters.
   */
 object Curation {
 
@@ -36,11 +36,9 @@ object Curation {
     // the whole corpus on doc_id to reattach a per-row projection
     val gated = TextOps.withQuality(docs)
       .filter(col("n_tokens") >= minTokens)
-    val byText = Window.partitionBy(col("text"))
-    val exactKept = gated
-      .withColumn("__keep", min(col("doc_id")).over(byText))
-      .filter(col("doc_id") === col("__keep"))
-      .drop("__keep")
+    // hash-bucketed exchange (8-byte key, never the multi-KB text) with
+    // exact (hash, text)-window semantics — see Dedup.exactKeepRows
+    val exactKept = Dedup.exactKeepRows(gated)
     // near-dup clusters over the FULL corpus (drop decisions must not
     // depend on what the quality gate removed first)
     val clusters = Dedup.connectedComponents(

@@ -112,6 +112,36 @@ class PlanSpec extends SparkSpec {
     assert(graft.operators.Bucketing.numShuffles(df) == 2) // window + output sort
   }
 
+  test("q24/q48: exact dedup never hash-partitions on the document text") {
+    // The 100 TB shuffle-key property: the dedup exchange partitions on
+    // the 8-byte xxhash64, not the multi-KB text — no shuffle anywhere in
+    // either variant may hash-partition a string column. (The window /
+    // group key keeps (hash, text) for exactness, but distribution is
+    // satisfied by the hash alone.)
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.StringType
+    val docs = graft.Tables.documents(spark, dir)
+    for ((name, df) <- Seq(
+        "q24/exact" -> graft.dedup.Dedup.exact(docs),
+        "q48/exactKeepRows" -> graft.dedup.Dedup.exactKeepRows(docs))) {
+      val stringKeyed = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+        case e: ShuffleExchangeLike => e.outputPartitioning
+      }.collect {
+        case h: HashPartitioning
+            if h.expressions.exists(_.dataType == StringType) => h
+      }
+      assert(stringKeyed.isEmpty,
+        s"$name hash-partitions on a string: ${stringKeyed.mkString("; ")}")
+    }
+    // and hash-bucketing didn't buy an extra exchange: one hash shuffle
+    // (+ the output-order range exchange for q24)
+    assert(graft.operators.Bucketing.numShuffles(
+      graft.dedup.Dedup.exact(docs)) == 2)
+    assert(graft.operators.Bucketing.numShuffles(
+      graft.dedup.Dedup.exactKeepRows(docs)) == 1)
+  }
+
   test("q37: corpus-side IVF list assignment aggregates, no window sort") {
     // nprobe=1 assignment is an argmax via max_by: only the query-side
     // probe (nprobe>1) and the final ranking may plan windows — exactly 2.

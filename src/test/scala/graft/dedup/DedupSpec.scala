@@ -141,6 +141,41 @@ class DedupSpec extends SparkSpec {
     assert(cc.forall(_.getLong(1) == 1L))
   }
 
+  test("connected components: 2048-vertex path converges within 2·log₂ n rounds") {
+    // the diameter pathology that stalls label propagation (O(diameter)
+    // rounds — 2047 here, far past any sane maxIter): star contraction
+    // must close it within the Kiveris bound, 2·log₂ 2048 = 22 rounds
+    val n = 2048L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 22).collect()
+    assert(cc.length == n.toInt)
+    assert(cc.forall(_.getLong(1) == 1L))
+  }
+
+  test("connected components: star algorithm ≡ label propagation") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (5L, 4L), // chain joined from both ends
+      (10L, 11L), (10L, 12L), (12L, 13L),     // star with a tail
+      (20L, 21L), (21L, 20L))                 // island with a mirrored dup
+      .toDF("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMap(Dedup.connectedComponents(pairs))
+      == toMap(Dedup.connectedComponentsLabelProp(pairs)))
+  }
+
+  test("exact dedup: multi-KB documents, exact result on the hash-bucketed key") {
+    // the 100 TB layout concern: the shuffle must partition on the 8-byte
+    // xxhash64, but the RESULT must still be byte-exact — docs differing
+    // only in the last character of 100 KB stay distinct
+    val big = "lorem ipsum " * 9000 // ~108 KB
+    val docs = Seq((7L, big), (3L, big), (9L, big.dropRight(1) + "X"))
+      .toDF("doc_id", "text")
+    val m = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(3L -> 2L, 9L -> 1L))
+  }
+
   test("simhash: identical docs → distance 0; pairs respect maxHamming") {
     val sig = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
