@@ -11,11 +11,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: absorb session/codegen/parquet-reader bootstrap so it
-    // isn't billed to whichever query happens to run first
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().count()
-    catch { case _: Throwable => }
+    // Untimed PER-QUERY warmup at the smallest SF: whole-stage-codegen
+    // (janino) compile and first-touch IO otherwise bill to the timed run
+    // — observed as 15.2→1.85 s swings on identical code. Running every
+    // query once at sf0.001 compiles each plan's generated code before
+    // anything is measured; the timed sf pass then measures execution,
+    // not compilation.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        spark.catalog.clearCache()
+      }
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

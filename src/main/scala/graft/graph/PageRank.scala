@@ -57,8 +57,14 @@ object PageRank {
             + lit(damping) * (coalesce(col("in_c"), lit(0.0)) + lit(dangling / n)))
             .as("rank"))
         .localCheckpoint()
-      delta = next.join(ranks.withColumnRenamed("rank", "old"), "id")
-        .agg(sum(abs(col("rank") - col("old")))).collect()(0).getDouble(0)
+      // tol ≤ 0 means "run exactly maxIter rounds" (the deterministic
+      // oracle mode): skip the delta join entirely — measuring convergence
+      // would cost an extra ranks⋈ranks join per round for a value no one
+      // reads
+      delta = if (tol > 0.0)
+        next.join(ranks.withColumnRenamed("rank", "old"), "id")
+          .agg(sum(abs(col("rank") - col("old")))).collect()(0).getDouble(0)
+      else Double.MaxValue
       ranks = next
       iter += 1
     }

@@ -262,6 +262,12 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** q37 ships with the trained quantizer (2 Lloyd rounds) — the gate path
+    * exercises k-means training, not just the hash-ordered init;
+    * QualityFloorsSpec pins trained recall ≥ untrained on the planted
+    * corpus.
+    */
   def ivfTopKQuery(s: SparkSession, dir: String): DataFrame =
-    ivfCosineTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+    ivfCosineTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5,
+      trainIters = 2)
 }

@@ -48,6 +48,14 @@ class QualityFloorsSpec extends SparkSpec {
     info(s"LSH planted recall = $lshR, IVF planted recall = $ivfR")
     assert(lshR >= 0.6, s"LSH planted recall@5 = $lshR")
     assert(ivfR >= 0.6, s"IVF planted recall@5 = $ivfR")
+    // the trained quantizer (the q37 gate configuration) must not lose
+    // recall vs the hash-ordered init — better centroids concentrate true
+    // neighbors into the probed lists
+    val ivfTrainedR = plantedRecall(
+      Similarity.ivfCosineTopK(corpus, isQuery, k = 5, trainIters = 2))
+    info(s"IVF planted recall trained = $ivfTrainedR (untrained $ivfR)")
+    assert(ivfTrainedR >= ivfR,
+      s"training lost recall: $ivfR -> $ivfTrainedR")
     // probe-distance monotonicity: more probing never loses recall
     val singleR = plantedRecall(
       Similarity.lshCosineTopK(corpus, isQuery, k = 5, multiProbe = 0))
