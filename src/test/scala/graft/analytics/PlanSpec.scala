@@ -142,6 +142,46 @@ class PlanSpec extends SparkSpec {
       graft.dedup.Dedup.exactKeepRows(docs)) == 1)
   }
 
+  test("q39: the as-of sweep plans ONE keyed shuffle and zero join operators") {
+    // the union-and-sweep's whole point: an as-of join that is NOT a join
+    // — no |left|×|rights| intermediate can exist if there is no join node
+    // at all, and the single exchange is the one hash shuffle on the key
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+    val df = graft.operators.AsOfJoin.backward(
+      e, o, "user_id", "ts", "o_orderdate", Seq("o_orderkey"))
+    val joins = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case j: BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"as-of planned joins: ${joins.map(_.nodeName)}")
+    val windows = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(windows.size == 1, df.queryExecution.executedPlan.toString)
+    assert(graft.operators.Bucketing.numShuffles(df) == 1)
+  }
+
+  test("q43: range join is a bucketed equi-join, never a per-key cross product") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = graft.operators.RangeJoin.eventsAfterOrderQuery(spark, dir)
+    val joins = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case j: BaseJoinExec => j
+    }
+    assert(!joins.exists(j => j.isInstanceOf[CartesianProductExec]
+      || j.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      df.queryExecution.executedPlan.toString)
+    // the interval join must carry BOTH keys — the equi key AND the time
+    // bucket; losing __bucket from the join keys silently reverts to the
+    // per-key cross product the operator exists to avoid
+    assert(joins.exists(_.leftKeys.length >= 2),
+      joins.map(j => s"${j.nodeName}(${j.leftKeys.length} keys)").mkString(", "))
+  }
+
   test("q37: corpus-side IVF list assignment aggregates, no window sort") {
     // nprobe=1 assignment is an argmax via max_by: only the query-side
     // probe (nprobe>1) and the final ranking may plan windows — exactly 2.
