@@ -755,6 +755,18 @@ object OracleSql {
          |SELECT id, round(r, 8) AS rank FROM pr5 ORDER BY id""".stripMargin
     },
 
+    // Batch twin of the stream-stream attribution join: click in
+    // [imp_ts, imp_ts + 1h], inclusive both ends, same-user.
+    "q59_attribution" ->
+      """SELECT i.user_id, i.event_id AS imp_id, i.ts AS imp_ts,
+        |       c.event_id AS click_id, c.ts AS click_ts
+        |FROM events i JOIN events c
+        |  ON c.user_id = i.user_id
+        | AND c.ts >= i.ts
+        | AND c.ts <= i.ts + INTERVAL 1 HOUR
+        |WHERE i.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY imp_id, click_id""".stripMargin,
+
     // BFS from c:1 over the symmetrized purchase graph. The recursive
     // UNION dedups (id, dist) pairs, so rows are bounded by V·maxDepth
     // even with cycles; min(dist) per vertex IS the BFS hop count. The

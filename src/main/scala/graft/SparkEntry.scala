@@ -128,7 +128,10 @@ object SparkEntry {
     // damped PageRank w/ dangling mass, fixed 5 iterations (unrolled oracle)
     "q57_pagerank"          -> (graft.graph.PageRank.pagerankQuery _),
     // BFS hop counts over the undirected purchase graph (recursive-CTE oracle)
-    "q58_bfs_depths"        -> (graft.graph.PageRank.bfsQuery _)
+    "q58_bfs_depths"        -> (graft.graph.PageRank.bfsQuery _),
+    // stream-stream attribution join's batch twin (same code path;
+    // StreamJoinSpec proves batch ≡ streaming on the same data)
+    "q59_attribution"       -> (graft.stream.StreamJoins.attributionQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

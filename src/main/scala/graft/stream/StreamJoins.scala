@@ -40,6 +40,28 @@ object StreamJoins {
         col("click_id"), col("click_ts"))
   }
 
+  /** q59: the attribution join's BATCH twin over the real events table —
+    * views as impressions, clicks as conversions, 1-hour horizon. Runs
+    * the SAME `attribution` code (watermarks are analyzer no-ops in
+    * batch), so the driver's DuckDB oracle checks the join semantics that
+    * StreamJoinSpec separately proves identical on the streaming path
+    * with MemoryStream inputs. Batch plan is a per-key equi-join with a
+    * time post-filter — fine here (events per user are few); when BOTH
+    * sides are dense per key, [[graft.operators.RangeJoin]]'s time
+    * bucketing is the scale path.
+    */
+  def attributionQuery(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val imps = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("imp_id"), col("user_id"),
+        col("ts").as("imp_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    attribution(imps, clicks, "1 hour")
+      .orderBy(col("imp_id"), col("click_id"))
+  }
+
   /** Watermarked streaming deduplication: drop re-deliveries of the same
     * `idCol` (at-least-once sources re-send), holding only ids younger
     * than the watermark in state. Without the watermark the seen-id state

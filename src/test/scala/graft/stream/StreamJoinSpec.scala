@@ -53,6 +53,42 @@ class StreamJoinSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q59 batch twin ≡ streaming attribution on the same real events") {
+    // the property that makes q59's DuckDB oracle meaningful for the
+    // STREAMING operator: the same events through MemoryStream produce
+    // exactly the batch result (single in-order batch — nothing is late,
+    // so watermarking must not drop anything)
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+    val imps = ev.filter(_.getString(3) == "view")
+      .map(r => Impression(r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val clicks = ev.filter(_.getString(3) == "click")
+      .map(r => Click(r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val impStream = MemoryStream[Impression]
+    val clickStream = MemoryStream[Click]
+    val joined = StreamJoins.attribution(
+      impStream.toDF(), clickStream.toDF(), "1 hour")
+    val query = joined.writeStream
+      .format("memory").queryName("attr_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      impStream.addData(imps.toSeq)
+      clickStream.addData(clicks.toSeq)
+      query.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("imp_id"), r.getAs[Long]("click_id"),
+          r.getAs[Timestamp]("imp_ts").getTime,
+          r.getAs[Timestamp]("click_ts").getTime)
+      val streamed = spark.table("attr_twin").collect().map(key).toSet
+      val batch = StreamJoins.attributionQuery(spark, dir).collect().map(key).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream-only: ${streamed.diff(batch)}; batch-only: ${batch.diff(streamed)}")
+    } finally query.stop()
+  }
+
   test("streaming dedup: re-delivered ids dropped, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Click]
