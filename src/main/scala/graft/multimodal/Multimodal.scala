@@ -14,10 +14,13 @@ import org.apache.spark.sql.types._
   *    the feature vector;
   *  - audio: REAL decode via `javax.sound.sampled` (WAV/AIFF/AU — pure
   *    JDK): true duration from frame count/rate + an amplitude histogram;
-  *  - video: no pure-JDK codec exists, so the frame-split step remains
-  *    STUBBED with a deterministic fake (clearly marked below); a payload
-  *    that fails real decode also falls back to the stub rather than
-  *    poisoning the batch (per-row error containment).
+  *  - video: REAL container metadata via the pure-JVM [[Mp4Meta]] ISO-BMFF
+  *    box walk (duration/timescale from mvhd, pixel dims from tkhd, frame
+  *    count from stsz) — but NO frame decode: no pure-JDK video codec
+  *    exists, so pixel-level work (the `feature` vector) is a payload byte
+  *    histogram, not decoded frames. A payload that fails real decode
+  *    falls back to the stub rather than poisoning the batch (per-row
+  *    error containment).
   *
   * Scale design:
   *  - media rows are large (MBs); `repartitionForMedia` sizes partitions by
@@ -116,12 +119,34 @@ object Multimodal {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real video CONTAINER metadata: [[Mp4Meta]] parses the ISO-BMFF box
+    * structure for duration, track dimensions, and frame count. The
+    * feature vector is a 16-bin byte histogram of the payload — an honest
+    * content signature, NOT decoded pixels (no pure-JDK video codec; a
+    * native frame extractor would replace only the feature computation).
+    * None ⇢ payload isn't structurally an MP4.
+    */
+  def decodeVideo(row: MediaRow): Option[MediaFeatures] =
+    Mp4Meta.parse(row.content).map { m =>
+      val bins = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < row.content.length) {
+        bins((row.content(i) & 0xFF) * FeatureDim / 256) += 1f
+        i += 1
+      }
+      if (row.content.length > 0) {
+        var j = 0
+        while (j < FeatureDim) { bins(j) /= row.content.length; j += 1 }
+      }
+      MediaFeatures(row.media_id, row.kind, m.width, m.height, m.durationMs,
+        m.nSamples.toInt, payloadChecksum(row.content), bins)
+    }
+
   /** ==== STUB ====
-    * Deterministic fake decoder standing in for the remaining native codec
-    * call (video frame-split, e.g. ffmpeg) and for payloads the real
-    * decoders can't parse. Derives stable pseudo-metadata from the payload
-    * bytes so tests are reproducible. A real video implementation replaces
-    * ONLY this function; every caller keeps its shape.
+    * Deterministic fake decoder standing in for payloads none of the real
+    * decoders can parse (corrupt images, non-MP4 video containers, exotic
+    * audio). Derives stable pseudo-metadata from the payload bytes so
+    * tests are reproducible and a dirty row degrades instead of erroring.
     */
   def decodeStub(row: MediaRow): MediaFeatures = {
     val h = payloadChecksum(row.content)
@@ -156,12 +181,14 @@ object Multimodal {
     df.repartition(parts, col("media_id"))
   }
 
-  /** Per-row decode dispatch: real JDK codecs for image/audio, stub for
-    * video and for payloads the real decoders reject.
+  /** Per-row decode dispatch: real JDK codecs for image/audio, real
+    * container-header parse for video; stub only for payloads the real
+    * paths reject.
     */
   def decodeRow(row: MediaRow): MediaFeatures = row.kind match {
     case "image" => decodeImage(row).getOrElse(decodeStub(row))
     case "audio" => decodeAudio(row).getOrElse(decodeStub(row))
+    case "video" => decodeVideo(row).getOrElse(decodeStub(row))
     case _ => decodeStub(row)
   }
 
@@ -240,10 +267,9 @@ object Multimodal {
   }
 
   /** Synthetic media table for tests/demos: REAL deterministic payloads —
-    * in-memory PNG and WAV so the true decoders run end-to-end; video rows
-    * carry opaque bytes (stub path, no JDK video codec). Rows are built on
-    * the driver, which is fine at demo scale; a production media table
-    * arrives as parquet/binaryFile scans.
+    * in-memory PNG, WAV, and MP4 headers so the true decode/parse paths
+    * run end-to-end. Rows are built on the driver, which is fine at demo
+    * scale; a production media table arrives as parquet/binaryFile scans.
     */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
@@ -256,8 +282,10 @@ object Multimodal {
           val c = syntheticWav(400 + (i % 50) * 80, i)
           MediaRow(i.toLong, "audio", s"mem://media/$i", c, c.length.toLong, "audio/wav")
         case _ =>
-          val c = Array.tabulate[Byte](64 + i % 128)(j => ((i * 31 + j) % 127).toByte)
-          MediaRow(i.toLong, "video", s"mem://media/$i", c, c.length.toLong, "video/x-test")
+          val c = Mp4Meta.syntheticMp4(durationMs = 1000L + (i % 60) * 500L,
+            width = 320 + (i % 4) * 160, height = 180 + (i % 4) * 90,
+            nFrames = 24 + (i % 100) * 12)
+          MediaRow(i.toLong, "video", s"mem://media/$i", c, c.length.toLong, "video/mp4")
       }
     }.toDF()
   }

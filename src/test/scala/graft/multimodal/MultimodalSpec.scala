@@ -34,6 +34,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(902L).width > 0) // junk image falls back to the stub, not an error
   }
 
+  test("mp4 parser: real box-walk metadata, not the fake") {
+    // known-parameter fixture → exact parsed values
+    val mp4 = Mp4Meta.syntheticMp4(durationMs = 7500L, width = 640,
+      height = 360, nFrames = 180, timescale = 600)
+    val info = Mp4Meta.parse(mp4).get
+    assert(info.durationMs == 7500L && info.timescale == 600L)
+    assert(info.width == 640 && info.height == 360 && info.nSamples == 180L)
+    // structural rejections → None, never a throw
+    assert(Mp4Meta.parse(Array[Byte](1, 2, 3)).isEmpty)           // no header
+    assert(Mp4Meta.parse(Array.fill[Byte](64)(0x41)).isEmpty)     // not boxes
+    val noFtyp = mp4.drop(mp4(3))                                  // moov only
+    assert(Mp4Meta.parse(noFtyp).isEmpty)
+    val truncated = mp4.dropRight(10)                              // box overrun
+    assert(Mp4Meta.parse(truncated).isEmpty)
+    // and the decode stage uses the parsed values end-to-end
+    import spark.implicits._
+    val row = Seq(Multimodal.MediaRow(950L, "video", "mem://v", mp4,
+      mp4.length.toLong, "video/mp4")).toDF()
+    val f = Multimodal.decode(spark, row).collect().head
+    assert(f.width == 640 && f.height == 360
+      && f.duration_ms == 7500L && f.n_frames == 180)
+    // a non-MP4 "video" payload degrades to the stub, not an error
+    val junk = Seq(Multimodal.MediaRow(951L, "video", "mem://j",
+      Array.tabulate[Byte](100)(_.toByte), 100L, "video/mp4")).toDF()
+    assert(Multimodal.decode(spark, junk).collect().head.width > 0)
+  }
+
   test("kind-specific metadata: image has dims, audio duration, video both") {
     val byKind = feats.collect().groupBy(_.kind)
     assert(byKind("image").forall(f => f.width > 0 && f.duration_ms == 0L))
