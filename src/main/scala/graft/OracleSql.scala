@@ -755,6 +755,55 @@ object OracleSql {
          |SELECT id, round(r, 8) AS rank FROM pr5 ORDER BY id""".stripMargin
     },
 
+    // The salted join must be invisible in the result: plain join SQL.
+    "q60_salted_revenue" ->
+      """SELECT s.s_nationkey,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // Per-doc bigram occurrence counts → repetition fractions; the NON-
+    // deduped windowing (unlike the Jaccard shingles).
+    "q61_repetition_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 2), ' ') AS g
+        |  FROM tk, unnest(range(0, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_frac,
+        |  round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_frac
+        |FROM c GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same weighted-sum shape as the engine (sum tf·ln / sum tf) so the
+    // fp summation structure matches; ln (not DuckDB's log10).
+    "q62_bigram_surprisal" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 2), ' ') AS g,
+        |         t[i + 1] AS w1
+        |  FROM tk, unnest(range(0, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |c2 AS (SELECT g, w1, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |tf AS (SELECT doc_id, g, count(*) AS tf FROM bg GROUP BY 1, 2)
+        |SELECT tf.doc_id,
+        |  CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        |  round(sum(tf.tf * ln(CAST(c1.c1 AS DOUBLE) / c2.c2)) / sum(tf.tf), 4)
+        |    AS avg_surprisal
+        |FROM tf JOIN c2 USING (g) JOIN c1 ON c1.w1 = c2.w1
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
     // Batch twin of the stream-stream attribution join: click in
     // [imp_ts, imp_ts + 1h], inclusive both ends, same-user.
     "q59_attribution" ->

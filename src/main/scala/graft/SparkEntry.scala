@@ -131,7 +131,14 @@ object SparkEntry {
     "q58_bfs_depths"        -> (graft.graph.PageRank.bfsQuery _),
     // stream-stream attribution join's batch twin (same code path;
     // StreamJoinSpec proves batch ≡ streaming on the same data)
-    "q59_attribution"       -> (graft.stream.StreamJoins.attributionQuery _)
+    "q59_attribution"       -> (graft.stream.StreamJoins.attributionQuery _),
+    // salted skew join — the oracle's plain join proves salting is
+    // semantics-neutral
+    "q60_salted_revenue"    -> (graft.operators.SkewJoin.saltedRevenueQuery _),
+    // Gopher-style per-doc repetition fractions (quality-gate features)
+    "q61_repetition_stats"  -> (TextOps.repetitionQuery _),
+    // corpus-MLE bigram surprisal scoring (LM-based quality signal)
+    "q62_bigram_surprisal"  -> (TextOps.surprisalQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -49,6 +49,25 @@ object SkewJoin {
     saltedBig.join(saltedSmall, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** q60: supplier-nation revenue through the SALTED join — the oracle's
+    * plain-SQL join proves salting is semantics-neutral (identical
+    * aggregates), which is the whole contract: redistribute the hot key's
+    * rows without changing a single matched pair. lineitem⋈supplier is
+    * the natural demo (every supplier key is ~6000× hot at sf1).
+    */
+  def saltedRevenueQuery(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val sup = graft.Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    saltedJoin(li, sup, "suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(round(sum(col("rev")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** Top-n hottest keys with counts — the sizing input for `salts` (run on
     * a sample at scale: `df.sample(0.01)`).
     */

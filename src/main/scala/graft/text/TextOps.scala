@@ -225,4 +225,64 @@ object TextOps {
 
   def bigramQuery(s: SparkSession, dir: String): DataFrame =
     bigramStats(Tables.documents(s, dir), k = 20)
+
+  /** q61: per-document repetition statistics — the Gopher-family quality
+    * filters (Rae et al. 2021, §A1.1 repetition thresholds; same spirit
+    * as C4's heuristics, Raffel et al. 2020): total bigram occurrences,
+    * the fraction that repeat an earlier occurrence (1 − distinct/total),
+    * and the single hottest bigram's share. High values flag boilerplate
+    * and keyword-stuffing spam for the curation gate.
+    *
+    * One tokenize pass, two stacked aggregations on the same doc_id key —
+    * the second groupBy's distribution is satisfied by the first's, so
+    * the corpus shuffles once.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val t = col("t")
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(t) >= 2)
+      .select(col("doc_id"), explode(tokenWindows(t, 2)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(lit(1.0) - count(lit(1)) / sum(col("c")).cast("double"), 4)
+          .as("dup_frac"),
+        round(max(col("c")) / sum(col("c")).cast("double"), 4).as("top_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def repetitionQuery(s: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(s, dir))
+
+  /** q62: per-document average bigram surprisal −ln P(w₂|w₁) under the
+    * corpus's own MLE bigram model (P = c(w₁w₂)/c(w₁·)) — the classic
+    * LM-based quality score: low surprisal ⇒ the document is made of
+    * corpus-typical continuations, high ⇒ noise/gibberish relative to the
+    * corpus. Weighted by occurrence (sum tf·s / sum tf), expressed
+    * identically in the oracle so the fp summation shape matches.
+    *
+    * Caching contract: the bigram-occurrence table feeds the corpus
+    * counts AND the per-doc tf — cached like the pair miners; callers
+    * clear the cache after materializing (Verify/Bench do).
+    */
+  def surprisalStats(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(tokenWindows(col("t"), 2)).as("g"))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .cache()
+    val c2 = bg.groupBy(col("g"), col("w1")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val tf = bg.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+    tf.join(c2, Seq("g")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * log(col("c1").cast("double") / col("c2")))
+          / sum(col("tf")), 4).as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  def surprisalQuery(s: SparkSession, dir: String): DataFrame =
+    surprisalStats(Tables.documents(s, dir))
 }

@@ -27,6 +27,26 @@ class TextOpsSpec extends SparkSpec {
     assert(top == Seq(("a", 3L), ("the", 2L), ("y", 2L)))
   }
 
+  test("repetition stats: dup and top-bigram fractions on known docs") {
+    val m = TextOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 3 "a a a b": bigrams (a a)×2, (a b) → 3 total, 2 distinct, max 2
+    assert(m(3L) == ((3L, 0.3333, 0.6667)))
+    // doc 1: 5 bigrams, all distinct → no repetition, top share 1/5
+    assert(m(1L) == ((5L, 0.0, 0.2)))
+  }
+
+  test("bigram surprisal: corpus-MLE -ln P(w2|w1), hand-computed") {
+    val tiny = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val m = TextOps.surprisalStats(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // c(a·)=3, c(a b)=2, c(a c)=1: -ln(2/3)=0.4055, -ln(1/3)=1.0986
+    assert(m(1L) == ((1L, 0.4055)) && m(2L) == m(1L))
+    assert(m(3L) == ((1L, 1.0986)))
+    spark.catalog.clearCache() // surprisal caches its bigram table
+  }
+
   test("textStats: counts, ratios, quality on known doc") {
     val r = TextOps.textStats(docs.filter(col("doc_id") === 3L)).collect().head
     assert(r.getAs[Long]("n_tokens") == 4L)
