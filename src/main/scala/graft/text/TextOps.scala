@@ -233,14 +233,20 @@ object TextOps {
     * and the single hottest bigram's share. High values flag boilerplate
     * and keyword-stuffing spam for the curation gate.
     *
-    * One tokenize pass, two stacked aggregations on the same doc_id key —
-    * the second groupBy's distribution is satisfied by the first's, so
-    * the corpus shuffles once.
+    * Shuffle shape: ONE hash exchange, placed BEFORE the explode — it
+    * carries compact doc rows, not the ~n_tokens-per-doc bigram stream,
+    * and HashPartitioning(doc_id) satisfies both downstream groupBys
+    * ((doc_id, g) and (doc_id)), so neither aggregation re-shuffles.
+    * (Aggregating first and letting Catalyst place the exchanges instead
+    * costs two agg shuffles of the exploded stream: partitioning on
+    * (doc_id, g) does NOT satisfy a doc_id-only distribution.)
+    * PlanSpec pins the single-hash-exchange shape.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
     val t = col("t")
     docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(t) >= 2)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(tokenWindows(t, 2)).as("g"))
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("c"))

@@ -182,6 +182,15 @@ class PlanSpec extends SparkSpec {
       joins.map(j => s"${j.nodeName}(${j.leftKeys.length} keys)").mkString(", "))
   }
 
+  test("q61: one doc-keyed hash exchange feeds both stacked aggregations") {
+    // the repartition sits BEFORE the explode: the shuffle carries doc
+    // rows, and both groupBys ((doc_id, g), then (doc_id)) ride it — the
+    // only other exchange is the output-order range partitioning
+    val df = graft.text.TextOps.repetitionQuery(spark, dir)
+    assert(graft.operators.Bucketing.numShuffles(df) == 2,
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("q37: corpus-side IVF list assignment aggregates, no window sort") {
     // nprobe=1 assignment is an argmax via max_by: only the query-side
     // probe (nprobe>1) and the final ranking may plan windows — exactly 2.
