@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions.{udf, when, col, lit}
   */
 object Sentiment {
 
-  /** Embedded valence lexicon (~380 entries), VADER-scale [-4, 4] — our own
+  /** Embedded valence lexicon (~730 entries), VADER-scale [-4, 4] — our own
     * curation, not a port of the Python package's 7.5k-entry file. Degree
     * words ("kind", "barely", …) live ONLY in [[boosters]]/[[negators]] so a
     * token never plays two roles.
@@ -142,7 +142,113 @@ object Sentiment {
     "mess" -> -1.4, "mistake" -> -1.6, "mistakes" -> -1.7, "nightmare" -> -2.6,
     "refund" -> -1.0, "ripoff" -> -2.3, "ruined" -> -2.2, "scam" -> -2.6,
     "trouble" -> -1.5, "unreliable" -> -1.8, "useless" -> -2.1, "waste" -> -1.9,
-    "wasted" -> -2.0)
+    "wasted" -> -2.0) ++ Map(
+    // ---- extended lexicon (round 3): broader general-domain coverage,
+    // same VADER [-4, 4] scale, our own curation (not a port) ----
+    "abandoned" -> -1.7, "abusive" -> -2.7, "accomplish" -> 1.8,
+    "accomplished" -> 2.0, "achievement" -> 2.0, "admire" -> 2.2,
+    "admired" -> 2.2, "advantage" -> 1.4, "afraid" -> -1.7,
+    "agonizing" -> -2.5, "agreeable" -> 1.6, "alarming" -> -1.8,
+    "ambitious" -> 1.4, "amused" -> 1.7, "amusing" -> 1.8, "anger" -> -2.1,
+    "angered" -> -2.2, "annoyance" -> -1.6, "apathetic" -> -1.2,
+    "appalled" -> -2.4, "approve" -> 1.6, "approved" -> 1.5,
+    "aromatic" -> 1.4, "attractive" -> 1.9, "award" -> 1.9,
+    "awarded" -> 2.0, "awkward" -> -1.1, "balanced" -> 1.2,
+    "beneficial" -> 1.7, "bitter" -> -1.4, "blame" -> -1.5,
+    "blamed" -> -1.5, "bogus" -> -1.9, "bold" -> 1.2, "bonus" -> 1.6,
+    "boost" -> 1.4, "bother" -> -1.2, "bothered" -> -1.3,
+    "bothersome" -> -1.4, "bright" -> 1.5, "brutal" -> -2.3,
+    "buttery" -> 1.2, "capable" -> 1.4, "caramelized" -> 1.2,
+    "catastrophe" -> -2.8, "catastrophic" -> -2.8, "celebrate" -> 2.2,
+    "celebrated" -> 2.1, "champion" -> 2.2, "cherish" -> 2.4,
+    "cherished" -> 2.4, "chewy" -> -0.7, "clunky" -> -1.2,
+    "complain" -> -1.4, "complained" -> -1.4, "complaining" -> -1.5,
+    "con" -> -1.8, "confident" -> 1.7, "consistent" -> 1.3,
+    "constructive" -> 1.3, "corrupt" -> -2.4, "crappy" -> -2.2,
+    "crash" -> -1.7, "crashed" -> -1.8, "creative" -> 1.7,
+    "creepy" -> -1.8, "cringe" -> -1.6, "crisis" -> -2.0, "cruel" -> -2.5,
+    "crunchy" -> 1.1, "cry" -> -1.6, "cute" -> 1.9, "dangerous" -> -1.9,
+    "deceived" -> -2.2, "defeated" -> -1.7, "defect" -> -1.7,
+    "denied" -> -1.4, "deny" -> -1.2, "dependable" -> 1.8,
+    "deplorable" -> -2.5, "depressed" -> -2.2, "desperate" -> -1.8,
+    "despise" -> -2.6, "destroyed" -> -2.1, "disaster" -> -2.5,
+    "disastrous" -> -2.6, "disgrace" -> -2.3, "disgraceful" -> -2.4,
+    "disheartening" -> -1.9, "dislike" -> -1.6, "disliked" -> -1.6,
+    "dismay" -> -1.7, "displeased" -> -1.8, "disturbing" -> -2.0,
+    "doubt" -> -1.0, "doubtful" -> -1.2, "downhill" -> -1.4,
+    "drab" -> -1.2, "dread" -> -2.0, "dreary" -> -1.5, "dry" -> -0.8,
+    "dynamic" -> 1.2, "earnest" -> 1.3, "easy" -> 1.3, "effective" -> 1.5,
+    "effortless" -> 1.7, "egregious" -> -2.4, "empowering" -> 1.8,
+    "encouraging" -> 1.8, "enjoyable" -> 2.1, "enrage" -> -2.6,
+    "evil" -> -2.7, "excel" -> 1.9, "excellence" -> 2.5, "excels" -> 1.9,
+    "exciting" -> 2.2, "excuse" -> -1.1, "excuses" -> -1.3,
+    "expensive" -> -0.9, "fake" -> -1.8, "fear" -> -1.8, "fearful" -> -1.8,
+    "fiasco" -> -2.2, "fine" -> 0.8, "flaky" -> 1.0, "flaw" -> -1.3,
+    "flawed" -> -1.5, "flimsy" -> -1.3, "flourish" -> 1.8, "fluffy" -> 1.3,
+    "foolish" -> -1.5, "forgettable" -> -1.2, "forgot" -> -1.2,
+    "forgotten" -> -1.2, "fortunate" -> 1.9, "foul" -> -2.1,
+    "fragrant" -> 1.4, "fraudulent" -> -2.6, "fright" -> -1.8,
+    "frightening" -> -2.0, "fulfilled" -> 1.8, "fulfilling" -> 1.9,
+    "garbage" -> -2.2, "gentle" -> 1.4, "gifted" -> 1.9, "glitch" -> -1.4,
+    "glitchy" -> -1.5, "glowing" -> 2.1, "grief" -> -2.1,
+    "grievance" -> -1.6, "grim" -> -1.8, "grumpy" -> -1.4,
+    "guilty" -> -1.5, "handy" -> 1.2, "harmonious" -> 1.7, "harsh" -> -1.5,
+    "hassle" -> -1.5, "heartwarming" -> 2.5, "hero" -> 2.2,
+    "hideous" -> -2.4, "homemade" -> 1.3, "hope" -> 1.4, "hopeful" -> 1.6,
+    "horrendous" -> -2.7, "horrid" -> -2.5, "humble" -> 1.2,
+    "humiliating" -> -2.3, "hurt" -> -1.7, "hurtful" -> -2.0,
+    "improve" -> 1.3, "improved" -> 1.6, "improvement" -> 1.4,
+    "inconvenient" -> -1.3, "innovative" -> 1.7, "inspire" -> 2.0,
+    "inspired" -> 2.1, "inspiring" -> 2.3, "insult" -> -2.0,
+    "intelligent" -> 1.9, "interesting" -> 1.4, "intuitive" -> 1.4,
+    "irate" -> -2.4, "irritating" -> -1.9, "junk" -> -1.9, "keen" -> 1.2,
+    "kindly" -> 1.6, "lame" -> -1.6, "laugh" -> 1.9, "laughed" -> 1.8,
+    "lie" -> -1.9, "lied" -> -2.0, "lies" -> -1.9, "limp" -> -1.0,
+    "lively" -> 1.6, "lucky" -> 1.9, "lukewarm" -> -0.9, "mad" -> -1.9,
+    "malfunction" -> -1.7, "mean" -> -1.6, "meaningful" -> 1.6,
+    "miserably" -> -2.3, "moist" -> 1.0, "mushy" -> -1.0, "neat" -> 1.5,
+    "negative" -> -1.5, "neglect" -> -1.8, "neglected" -> -1.8,
+    "nifty" -> 1.5, "nonsense" -> -1.5, "nurturing" -> 1.7,
+    "offend" -> -1.8, "offensive" -> -2.0, "outrage" -> -2.4,
+    "overcooked" -> -1.3, "overdone" -> -1.1, "overrated" -> -1.3,
+    "pain" -> -1.8, "painful" -> -2.0, "panic" -> -1.9, "peaceful" -> 1.9,
+    "petty" -> -1.3, "pitiful" -> -1.9, "playful" -> 1.6, "plump" -> 0.9,
+    "pointless" -> -1.6, "poorly" -> -1.7, "popular" -> 1.3,
+    "positive" -> 1.8, "praise" -> 2.0, "praised" -> 2.1,
+    "precious" -> 2.1, "prefer" -> 1.0, "preferred" -> 1.1,
+    "premium" -> 1.4, "pretentious" -> -1.5, "pretty" -> 1.6,
+    "productive" -> 1.5, "progress" -> 1.4, "promising" -> 1.6,
+    "prosperous" -> 1.9, "rage" -> -2.4, "raw" -> -1.0, "reeked" -> -2.1,
+    "refreshing" -> 1.9, "regrettable" -> -1.8, "reject" -> -1.4,
+    "rejected" -> -1.6, "rejoice" -> 2.4, "repulsive" -> -2.6,
+    "resourceful" -> 1.5, "revolting" -> -2.6, "rewarding" -> 2.0,
+    "ridiculous" -> -1.6, "robust" -> 1.3, "ruin" -> -2.0, "sadly" -> -1.7,
+    "safe" -> 1.3, "salty" -> -0.6, "scary" -> -1.7, "seamless" -> 1.8,
+    "seasoned" -> 1.0, "secure" -> 1.3, "sensational" -> 2.6,
+    "severe" -> -1.4, "shady" -> -1.7, "sham" -> -2.1, "shame" -> -1.8,
+    "shameful" -> -2.1, "shortage" -> -1.1, "silky" -> 1.4,
+    "sincere" -> 1.6, "skimpy" -> -1.2, "smoky" -> 0.8, "smooth" -> 1.4,
+    "soothing" -> 1.7, "spacious" -> 1.4, "sparkling" -> 1.7,
+    "speedy" -> 1.5, "sticky" -> -0.7, "stink" -> -1.8, "stinks" -> -1.9,
+    "stress" -> -1.6, "stressful" -> -1.8, "strong" -> 1.3,
+    "struggle" -> -1.5, "struggled" -> -1.5, "stupid" -> -1.9,
+    "succeed" -> 1.8, "success" -> 2.1, "successful" -> 2.0,
+    "superior" -> 1.9, "supportive" -> 1.8, "suspicious" -> -1.4,
+    "tacky" -> -1.3, "tangy" -> 0.9, "tense" -> -1.2, "terrified" -> -2.4,
+    "threat" -> -1.8, "threatening" -> -2.0, "thrive" -> 1.9,
+    "thriving" -> 1.9, "tidy" -> 1.4, "timely" -> 1.3, "tired" -> -1.0,
+    "tough" -> -0.8, "toxic" -> -2.2, "tragic" -> -2.3, "tranquil" -> 1.7,
+    "trash" -> -2.0, "trashy" -> -1.9, "treasure" -> 2.1, "trust" -> 1.7,
+    "trusted" -> 1.9, "ugly" -> -1.9, "unbearable" -> -2.4,
+    "unclean" -> -1.9, "undercooked" -> -1.7, "uneven" -> -0.9,
+    "unfair" -> -1.8, "unfortunate" -> -1.4, "unimpressed" -> -1.4,
+    "uninspired" -> -1.3, "unpleasant" -> -1.8, "unreasonable" -> -1.6,
+    "unsafe" -> -1.8, "unsatisfactory" -> -1.8, "untrustworthy" -> -2.1,
+    "unusable" -> -1.9, "uplifting" -> 2.2, "useful" -> 1.5,
+    "velvety" -> 1.5, "vibrant" -> 1.8, "victory" -> 2.3, "vile" -> -2.6,
+    "vivid" -> 1.3, "watery" -> -0.9, "weak" -> -1.2, "weird" -> -0.9,
+    "welcome" -> 1.7, "whine" -> -1.2, "wholesome" -> 1.7, "wise" -> 1.6,
+    "woeful" -> -2.0, "worthy" -> 1.6, "yuck" -> -2.1, "yucky" -> -2.0)
 
   val negators: Set[String] = Set(
     "not", "no", "never", "none", "nothing", "neither", "nobody", "nowhere",
