@@ -804,6 +804,23 @@ object OracleSql {
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 
+    // Same Knuth-hash arithmetic as q44 (all int64) + the same capped
+    // weighted threshold; no floats in the output, so the hash compare is
+    // airtight.
+    "q63_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS DOUBLE) AS w
+        |  FROM documents),
+        |m AS (SELECT avg(w) AS mw FROM d)
+        |SELECT doc_id, lang, CAST(w AS BIGINT) AS n_tokens
+        |FROM d CROSS JOIN m
+        |WHERE CAST((doc_id % 1000003) * 2654435761 % 2147483648 AS DOUBLE)
+        |      / 2147483648.0
+        |      < least(1.0, 0.3 * w / mw)
+        |ORDER BY doc_id""".stripMargin,
+
     // Batch twin of the stream-stream attribution join: click in
     // [imp_ts, imp_ts + 1h], inclusive both ends, same-user.
     "q59_attribution" ->

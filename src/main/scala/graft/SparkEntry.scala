@@ -138,7 +138,9 @@ object SparkEntry {
     // Gopher-style per-doc repetition fractions (quality-gate features)
     "q61_repetition_stats"  -> (TextOps.repetitionQuery _),
     // corpus-MLE bigram surprisal scoring (LM-based quality signal)
-    "q62_bigram_surprisal"  -> (TextOps.surprisalQuery _)
+    "q62_bigram_surprisal"  -> (TextOps.surprisalQuery _),
+    // deterministic weighted Bernoulli sample (corpus-temperature step)
+    "q63_weighted_sample"   -> (graft.operators.Sampling.weightedQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -61,4 +61,41 @@ object Sampling {
     stratifiedSample(graft.Tables.documents(s, dir), "doc_id", "lang", 0.2)
       .select(col("doc_id"), col("lang"), splitLabel(col("doc_id")).as("split"))
       .orderBy(col("doc_id"))
+
+  /** Deterministic weighted Bernoulli sample: row i kept iff
+    * hashUnit(id)/2³¹ < targetFrac · wᵢ/mean(w), capped at 1 — the
+    * corpus-temperature step (sample high-quality or long documents at a
+    * proportionally higher rate) with zero RNG state. Expected kept mass
+    * ≈ targetFrac of rows while weights stay uncapped; membership is a
+    * pure function of (id, weight, corpus mean), reproducible on any
+    * engine. The mean is a 1-row aggregate broadcast into the predicate —
+    * stays lazy, nothing collects to the driver.
+    *
+    * Cross-engine fp note: the comparison is safe because hashUnit/2³¹ is
+    * a dyadic rational on a 2⁻³¹ grid while summation-order drift in
+    * mean(w) perturbs the threshold by ~1e-16 — nine orders of magnitude
+    * below the grid.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String,
+      targetFrac: Double): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac in (0, 1]")
+    val mw = df.agg(avg(col(weightCol)).as("__mw"))
+    df.crossJoin(broadcast(mw))
+      .filter(hashUnit(col(idCol)).cast("double") / lit(M.toDouble)
+        < least(lit(1.0), lit(targetFrac) * col(weightCol) / col("__mw")))
+      .drop("__mw")
+  }
+
+  /** q63: token-count-weighted 30% document sample — long documents kept
+    * at proportionally higher rate (training-token-budget sampling).
+    */
+  def weightedQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+      .withColumn("w",
+        size(graft.text.TextOps.tokens(col("text"))).cast("double"))
+    weightedSample(d, "doc_id", "w", targetFrac = 0.3)
+      .select(col("doc_id"), col("lang"), col("w").cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -30,6 +30,29 @@ class SamplingSpec extends SparkSpec {
     assert(echo < 300, s"$echo of 1000 echoed id mod 10")
   }
 
+  test("weighted sample: keep rate tracks weight, deterministic, capped at 1") {
+    // two weight classes, 9:1 — the heavy class must be kept at ~9× the
+    // light class's rate (up to the p=1 cap), and re-runs are identical
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) 9.0 else 1.0))
+      .toDF("id", "w")
+    val kept = Sampling.weightedSample(df, "id", "w", targetFrac = 0.2)
+    val rates = kept.groupBy(col("w")).count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // mean w = 5: p_heavy = min(1, .2*9/5) = 0.36, p_light = .2*1/5 = 0.04
+    assert(rates(9.0) > 280 && rates(9.0) < 440, rates.toString) // 1000·0.36
+    assert(rates(1.0) > 10 && rates(1.0) < 90, rates.toString)   // 1000·0.04
+    val again = Sampling.weightedSample(df, "id", "w", targetFrac = 0.2)
+    assert(kept.select("id").as[Long].collect().sorted.toSeq
+      == again.select("id").as[Long].collect().sorted.toSeq)
+    // a weight far above the mean caps at p=1: that row is ALWAYS kept
+    // (uniform weights would normalize out — w/mean(w) = 1 regardless)
+    val spiked = (0L until 2000L).map(i => (i, if (i == 7L) 1e9 else 1.0))
+      .toDF("id", "w")
+    val keptIds = Sampling.weightedSample(spiked, "id", "w", targetFrac = 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(keptIds.contains(7L))
+  }
+
   test("stratified sample: exact ceil(n·frac) per stratum, deterministic") {
     val df = (0L until 300L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "fr"))
       .toDF("doc_id", "lang")
