@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers: directory partitioning for partition pruning.
@@ -54,6 +54,56 @@ object Layout {
       if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
     }
     bytes
+  }
+
+  /** Interleave the low 16 bits of `x` with zeros (Morton "part1by1") via
+    * the 4-step magic-mask spread — pure column arithmetic, stays inside
+    * whole-stage codegen.
+    */
+  private def part1by1(x: Column): Column = {
+    val a = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton (Z-order) code from two 16-bit grid coordinates. */
+  def mortonCode(gx: Column, gy: Column): Column =
+    part1by1(gx).bitwiseOR(shiftleft(part1by1(gy), 1))
+
+  /** Z-order clustering on two numeric columns — the OPTIMIZE ZORDER
+    * layout pattern (Delta/Iceberg) as plain Spark: each column is
+    * min/max-normalized onto a 16-bit grid (one 1-row aggregate,
+    * broadcast — no global sort for the normalization), the grid cells
+    * interleave into a Morton code, and the data is range-partitioned +
+    * sorted by that code. Rows close in BOTH dimensions land in the same
+    * output partition/file, so parquet min/max stats prune 2-D range
+    * predicates — a linear sort on one column leaves the other column's
+    * per-file range at full width and prunes nothing for it (LayoutSpec
+    * measures exactly this).
+    *
+    * Skew note: min/max normalization collapses under heavy-tailed
+    * columns; pre-transform (log, clamp) or rank via approx quantiles
+    * before z-ordering such data.
+    */
+  def zorderBy(df: DataFrame, c1: String, c2: String,
+      numPartitions: Int): DataFrame = {
+    val grid = 65535L
+    def cell(c: String, mn: Column, mx: Column): Column =
+      when(mx === mn, lit(0L)).otherwise(
+        least(floor((col(c) - mn) / (mx - mn) * lit(grid + 1)), lit(grid))
+          .cast("long"))
+    val stats = df.agg(
+      min(col(c1)).as("__mn1"), max(col(c1)).as("__mx1"),
+      min(col(c2)).as("__mn2"), max(col(c2)).as("__mx2"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", mortonCode(
+        cell(c1, col("__mn1"), col("__mx1")),
+        cell(c2, col("__mn2"), col("__mx2"))))
+      .drop("__mn1", "__mx1", "__mn2", "__mx2")
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
   }
 
   /** Small-file compaction: rewrite a parquet dataset into files of about

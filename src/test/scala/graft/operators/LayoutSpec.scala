@@ -38,6 +38,42 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 6400)
   }
 
+  test("z-order: thin-slab queries on EITHER dimension skip most partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100×100 uniform grid; 16 output partitions. A linear sort on x
+    // gives every partition the full y range — a y-slab query overlaps
+    // ALL of them; z-order keeps per-partition ranges tight in both
+    // dimensions, so min/max stats prune most partitions for both axes.
+    val pts = (for (x <- 0 until 100; y <- 0 until 100)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    def boxes(df: org.apache.spark.sql.DataFrame): Array[(Long, Long, Long, Long)] =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def overlapping(bx: Array[(Long, Long, Long, Long)],
+        xr: (Long, Long), yr: (Long, Long)): Int =
+      bx.count { case (x0, x1, y0, y1) =>
+        x1 >= xr._1 && x0 <= xr._2 && y1 >= yr._1 && y0 <= yr._2 }
+    val z = boxes(Layout.zorderBy(pts, "x", "y", numPartitions = 16))
+    val linear = boxes(pts.repartitionByRange(16, col("x")))
+    assert(z.length == 16 && linear.length == 16)
+    val ySlab = ((0L, 99L), (40L, 49L)) // all x, thin y band
+    val xSlab = ((40L, 49L), (0L, 99L)) // thin x band, all y
+    // linear-by-x: every partition spans all of y → zero pruning on y
+    assert(overlapping(linear, ySlab._1, ySlab._2) == 16)
+    // z-order: at most half the partitions touch a 10-wide band on either
+    // axis (4×4 cell layout ⇒ typically 4-8)
+    assert(overlapping(z, ySlab._1, ySlab._2) <= 8,
+      z.mkString("; "))
+    assert(overlapping(z, xSlab._1, xSlab._2) <= 8,
+      z.mkString("; "))
+    // and the clustering lost no rows
+    assert(Layout.zorderBy(pts, "x", "y", 16).count() == 10000)
+  }
+
   test("date partitioning: range scan prunes to the selected directories") {
     val path = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/events"
     val events = Tables.events(spark, "/root/testdata/sf0.001") // 30 days of data
