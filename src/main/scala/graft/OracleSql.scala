@@ -821,6 +821,20 @@ object OracleSql {
         |      < least(1.0, 0.3 * w / mw)
         |ORDER BY doc_id""".stripMargin,
 
+    // Plain inequality self-join ≙ the bucketed interval-overlap join.
+    "q64_overlapping_orders" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_custkey AS user_id,
+        |         epoch_us(o_orderdate) AS s,
+        |         epoch_us(o_orderdate) + 604800000000 AS e
+        |  FROM orders)
+        |SELECT a.user_id, a.k AS key_a, b.k AS key_b
+        |FROM o a JOIN o b
+        |  ON a.user_id = b.user_id
+        | AND a.s < b.e AND b.s < a.e
+        | AND a.k < b.k
+        |ORDER BY a.user_id, key_a, key_b""".stripMargin,
+
     // Batch twin of the stream-stream attribution join: click in
     // [imp_ts, imp_ts + 1h], inclusive both ends, same-user.
     "q59_attribution" ->

@@ -140,7 +140,9 @@ object SparkEntry {
     // corpus-MLE bigram surprisal scoring (LM-based quality signal)
     "q62_bigram_surprisal"  -> (TextOps.surprisalQuery _),
     // deterministic weighted Bernoulli sample (corpus-temperature step)
-    "q63_weighted_sample"   -> (graft.operators.Sampling.weightedQuery _)
+    "q63_weighted_sample"   -> (graft.operators.Sampling.weightedQuery _),
+    // bucketed interval-overlap self-join (order-burst detection)
+    "q64_overlapping_orders" -> (graft.operators.RangeJoin.overlappingOrdersQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -53,6 +53,60 @@ object RangeJoin {
       .drop("__bucket")
   }
 
+  /** Interval-overlap join: (key, startA, endA) ⋈ (key, startB, endB) where
+    * the half-open intervals intersect (startA < endB ∧ startB < endA)
+    * within the same key. Same bucketing discipline as [[pointInInterval]],
+    * but BOTH sides explode — so a pair sharing several buckets would emit
+    * several times. Dedup is free: the overlap's first instant
+    * max(startA, startB) lies in exactly one bucket that both intervals
+    * cover, so keeping only `bucket == floor(max(start)/width)` emits each
+    * pair exactly once — an equality filter, not a distinct shuffle.
+    *
+    * Column names must be disjoint across the two inputs (rename before
+    * calling); empty/inverted intervals are dropped on both sides (the
+    * descending-`sequence` guard, see [[pointInInterval]]).
+    */
+  def intervalOverlap(
+      a: DataFrame, b: DataFrame, key: String,
+      startA: String, endA: String, startB: String, endB: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    def exploded(df: DataFrame, s: String, e: String) =
+      df.filter(col(e) > col(s))
+        .withColumn("__bucket",
+          explode(sequence(floor(col(s) / w).cast("long"),
+            floor((col(e) - 1) / w).cast("long"))))
+    exploded(a, startA, endA)
+      .join(exploded(b, startB, endB), Seq(key, "__bucket"))
+      .filter(col(startA) < col(endB) && col(startB) < col(endA))
+      .filter(col("__bucket")
+        === floor(greatest(col(startA), col(startB)) / w).cast("long"))
+      .drop("__bucket")
+  }
+
+  /** q64: pairs of orders by the same customer whose 7-day activity
+    * windows overlap — burst detection over the interval-overlap join
+    * (the self-join flavor: same intervals on both sides, `key_a < key_b`
+    * keeps each unordered pair once).
+    */
+  def overlappingOrdersQuery(s: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 86400L * 1000000L
+    val base = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("start"))
+      .withColumn("end", col("start") + lit(week))
+    val a = base.select(col("user_id"), col("o_orderkey").as("key_a"),
+      col("start").as("start_a"), col("end").as("end_a"))
+    val b = base.select(col("user_id"), col("o_orderkey").as("key_b"),
+      col("start").as("start_b"), col("end").as("end_b"))
+    intervalOverlap(a, b, "user_id", "start_a", "end_a", "start_b", "end_b",
+        bucketWidth = week)
+      .filter(col("key_a") < col("key_b"))
+      .select(col("user_id"), col("key_a"), col("key_b"))
+      .orderBy(col("user_id"), col("key_a"), col("key_b"))
+  }
+
   /** q43: for each order, how many events the ordering customer produced in
     * the 7 days starting at the order date — the "activity after purchase"
     * interval join. Left semantics (orders with no events count 0).

@@ -52,6 +52,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(exploded == 0)
   }
 
+  test("interval overlap: exactly-once across buckets, half-open endpoints") {
+    val left = Seq(
+      (1L, "A", 0L, 10L),     // overlaps 11, 13; touches 12 at the boundary
+      (2L, "A", 50L, 100L),   // long: shares MANY buckets with 13
+      (3L, "B", 0L, 10L))     // other key
+      .toDF("aid", "k", "sa", "ea")
+    val right = Seq(
+      (11L, "A", 5L, 7L),     // inside 1
+      (12L, "A", 10L, 20L),   // touches 1 at t=10 → NO overlap (half-open)
+      (13L, "A", 8L, 99L),    // overlaps 1 and 2; spans many buckets
+      (14L, "B", 20L, 30L))   // no overlap on B
+      .toDF("bid", "k", "sb", "eb")
+    def pairs(w: Long): Seq[(Long, Long)] =
+      RangeJoin.intervalOverlap(left, right, "k", "sa", "ea", "sb", "eb", w)
+        .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    val expected = Seq((1L, 11L), (1L, 13L), (2L, 13L))
+    // exactly-once even when a pair shares dozens of buckets (w=3 → the
+    // (2,13) pair shares ~16 buckets; the max-start-bucket filter must
+    // keep exactly one copy), and width-independent semantics
+    assert(pairs(3L) == expected)
+    assert(pairs(7L) == expected)
+    assert(pairs(1000L) == expected)
+    // inverted interval on either side is dropped, not exploded
+    val bad = Seq((9L, "A", 10L, 0L)).toDF("aid", "k", "sa", "ea")
+    assert(RangeJoin.intervalOverlap(bad, right, "k", "sa", "ea", "sb", "eb", 3L)
+      .count() == 0)
+  }
+
   test("plan: equi-join on (key, bucket), never a nested-loop/cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val df = RangeJoin.pointInInterval(points, intervals, "k", "t", "start",
