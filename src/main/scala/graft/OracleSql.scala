@@ -821,6 +821,25 @@ object OracleSql {
         |      < least(1.0, 0.3 * w / mw)
         |ORDER BY doc_id""".stripMargin,
 
+    // Each funnel stage anchors on the previous stage's min timestamp —
+    // out-of-order events never count.
+    "q65_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS vt FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS ct
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.vt GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS pt
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.ct GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked_after_view,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel""".stripMargin,
+
     // Plain inequality self-join ≙ the bucketed interval-overlap join.
     "q64_overlapping_orders" ->
       """WITH o AS (

@@ -142,7 +142,9 @@ object SparkEntry {
     // deterministic weighted Bernoulli sample (corpus-temperature step)
     "q63_weighted_sample"   -> (graft.operators.Sampling.weightedQuery _),
     // bucketed interval-overlap self-join (order-burst detection)
-    "q64_overlapping_orders" -> (graft.operators.RangeJoin.overlappingOrdersQuery _)
+    "q64_overlapping_orders" -> (graft.operators.RangeJoin.overlappingOrdersQuery _),
+    // strictly-ordered view→click→purchase funnel counts
+    "q65_funnel"            -> (CoreQueries.funnel _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

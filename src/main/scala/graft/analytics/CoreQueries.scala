@@ -504,6 +504,29 @@ object CoreQueries {
           .as("min_value_event"))
       .orderBy(col("event_type"))
 
+  /** q65: strictly-ordered funnel — users who viewed, then clicked at or
+    * after their first view, then purchased at or after that first
+    * qualifying click. Each stage anchors on the PREVIOUS stage's
+    * timestamp (min-after-anchor), so out-of-order events never count —
+    * the property a naive per-type EXISTS gets wrong. Three stage
+    * aggregations all keyed on user_id (one logical shuffle key), then
+    * three scalar counts; no floats, so the oracle compare is exact.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") >= col("vt"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ct"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") >= col("ct"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
