@@ -821,6 +821,19 @@ object OracleSql {
         |      < least(1.0, 0.3 * w / mw)
         |ORDER BY doc_id""".stripMargin,
 
+    // The window formulation the custom aggregate must reproduce exactly:
+    // top-3 of the (price, orderkey) lexicographic order per customer.
+    "q66_topk_aggregate" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS BIGINT) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, rnk, o_orderkey,
+        |       round(o_totalprice, 2) AS o_totalprice
+        |FROM r WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
     // Each funnel stage anchors on the previous stage's min timestamp —
     // out-of-order events never count.
     "q65_funnel" ->

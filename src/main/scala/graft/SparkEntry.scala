@@ -144,7 +144,9 @@ object SparkEntry {
     // bucketed interval-overlap self-join (order-burst detection)
     "q64_overlapping_orders" -> (graft.operators.RangeJoin.overlappingOrdersQuery _),
     // strictly-ordered view→click→purchase funnel counts
-    "q65_funnel"            -> (CoreQueries.funnel _)
+    "q65_funnel"            -> (CoreQueries.funnel _),
+    // custom Catalyst AGGREGATE: map-side partial top-k per group
+    "q66_topk_aggregate"    -> (CoreQueries.topkAggregate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

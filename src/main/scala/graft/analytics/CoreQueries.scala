@@ -527,6 +527,27 @@ object CoreQueries {
       .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
   }
 
+  /** q66: per-customer top-3 orders via the custom [[graft.functions.TopKLargest]]
+    * Catalyst AGGREGATE — same answer as a row_number window (the oracle
+    * states that formulation), radically different plan: ObjectHashAggregate
+    * with map-side partial top-k, so the exchange carries ≤ k rows per
+    * (group, mapper) and nothing ever sorts a whole group. The struct input
+    * is (price, orderkey): lexicographic order = sort key + unique
+    * tie-break, making the result total-ordered on both engines.
+    */
+  def topkAggregate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.GraftFunctions.topk(
+        struct(col("o_totalprice"), col("o_orderkey")), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("o_custkey"), (col("i") + 1).cast("long").as("rnk"),
+        col("t.o_orderkey").as("o_orderkey"),
+        round(col("t.o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)

@@ -61,6 +61,21 @@ object GraftFunctions {
     HyperplaneSketch(args(0), bits)
   }
 
+  private def topkBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"graft_topk expects 2 arguments, got ${args.length}")
+    val kExpr = args(1)
+    require(kExpr.foldable, "graft_topk's k argument must be a constant integer")
+    val k = kExpr.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_topk's k argument must be a constant integer, got $other")
+    }
+    TopKLargest(args(0), k).toAggregateExpression()
+  }
+
   /** One (name, info, arity-checked builder) triple per engine function —
     * the single source both registration paths install from.
     */
@@ -77,7 +92,10 @@ object GraftFunctions {
       simhashBuilder _),
     ("graft_lsh_bucket",
       new ExpressionInfo(classOf[HyperplaneSketch].getCanonicalName, "graft_lsh_bucket"),
-      lshBucketBuilder _))
+      lshBucketBuilder _),
+    ("graft_topk",
+      new ExpressionInfo(classOf[TopKLargest].getCanonicalName, "graft_topk"),
+      topkBuilder _))
 
   /** Idempotent runtime registration into the session's function registry. */
   def register(spark: SparkSession): Unit =
@@ -93,9 +111,11 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column = call_function("graft_simhash", tokens)
   def lshBucket(v: Column, bits: Int): Column =
     call_function("graft_lsh_bucket", v, org.apache.spark.sql.functions.lit(bits))
+  def topk(v: Column, k: Int): Column =
+    call_function("graft_topk", v, org.apache.spark.sql.functions.lit(k))
 }
 
-/** `spark.sql.extensions` entry point — installs the same five functions
+/** `spark.sql.extensions` entry point — installs the same functions
   * (same arity-checked builders) as [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
