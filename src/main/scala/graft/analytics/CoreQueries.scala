@@ -537,6 +537,12 @@ object CoreQueries {
     */
   def topkAggregate(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // ObjectHashAggregate abandons hashing after 128 distinct groups by
+    // default and sorts instead — far too conservative for a buffer that
+    // holds ≤ k tiny values per group (64k groups × 3 × ~24 B ≈ 4 MB per
+    // task). The fallback still exists above this for genuinely unbounded
+    // group cardinality per mapper.
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(graft.functions.GraftFunctions.topk(

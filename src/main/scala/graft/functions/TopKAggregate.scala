@@ -55,8 +55,13 @@ case class TopKLargest(
 
   override def createAggregationBuffer(): ArrayBuffer[Any] = ArrayBuffer.empty
 
-  /** Insert keeping `buf` ascending and |buf| ≤ k; smallest is buf(0). */
-  private def insert(buf: ArrayBuffer[Any], v: Any): Unit = {
+  /** Insert keeping `buf` ascending and |buf| ≤ k; smallest is buf(0).
+    * `copyOnInsert` defers the defensive copy until a value actually
+    * enters the buffer — once the buffer is full, the common case is a
+    * floor-comparison and early return, and copying every scanned row
+    * first would allocate k-irrelevant copies for the whole input.
+    */
+  private def insert(buf: ArrayBuffer[Any], v: Any, copyOnInsert: Boolean): Unit = {
     if (buf.size == k) {
       if (ordering.compare(v, buf(0)) <= 0) return // below the floor
       buf.remove(0)
@@ -67,18 +72,19 @@ case class TopKLargest(
       val mid = (lo + hi) >>> 1
       if (ordering.compare(buf(mid), v) < 0) lo = mid + 1 else hi = mid
     }
-    buf.insert(lo, v)
+    buf.insert(lo, if (copyOnInsert) InternalRow.copyValue(v) else v)
   }
 
   override def update(buf: ArrayBuffer[Any], input: InternalRow): ArrayBuffer[Any] = {
     val v = child.eval(input)
-    // copy: eval may return a row/buffer reused by the scan
-    if (v != null) insert(buf, InternalRow.copyValue(v))
+    // copy on insert: eval may return a row/buffer reused by the scan
+    if (v != null) insert(buf, v, copyOnInsert = true)
     buf
   }
 
   override def merge(buf: ArrayBuffer[Any], other: ArrayBuffer[Any]): ArrayBuffer[Any] = {
-    other.foreach(insert(buf, _))
+    // deserialized/partial values are already owned — no copy needed
+    other.foreach(insert(buf, _, copyOnInsert = false))
     buf
   }
 
