@@ -508,23 +508,33 @@ object CoreQueries {
     * after their first view, then purchased at or after that first
     * qualifying click. Each stage anchors on the PREVIOUS stage's
     * timestamp (min-after-anchor), so out-of-order events never count —
-    * the property a naive per-type EXISTS gets wrong. Three stage
-    * aggregations all keyed on user_id (one logical shuffle key), then
-    * three scalar counts; no floats, so the oracle compare is exact.
+    * the property a naive per-type EXISTS gets wrong.
+    *
+    * Plan shape: conditional mins over ONE user-keyed window (a null
+    * anchor nulls the comparison, so a missing earlier stage disables
+    * every later one — identical semantics to the three-join chain the
+    * oracle states, which would shuffle the events table three times).
+    * The per-user reduction rides the window's partitioning and the
+    * final three counts are a scalar aggregate: one events shuffle plus
+    * a single-row exchange, PlanSpec-pinned. No floats → exact compare.
     */
   def funnel(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, Seq("user_id")).filter(col("ts") >= col("vt"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("ct"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, Seq("user_id")).filter(col("ts") >= col("ct"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
-    v.agg(count(lit(1)).as("n_viewed"))
-      .crossJoin(c.agg(count(lit(1)).as("n_clicked_after_view")))
-      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("vt",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("ct",
+        min(when(col("event_type") === "click" && col("ts") >= col("vt"),
+          col("ts"))).over(w))
+      .withColumn("pt",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("ct"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("vt")).as("vt"), max(col("ct")).as("ct"),
+        max(col("pt")).as("pt"))
+      .agg(count(col("vt")).as("n_viewed"),
+        count(col("ct")).as("n_clicked_after_view"),
+        count(col("pt")).as("n_full_funnel"))
   }
 
   /** q66: per-customer top-3 orders via the custom [[graft.functions.TopKLargest]]

@@ -191,6 +191,16 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("q65: the funnel shuffles events once, not once per stage") {
+    // three conditional-min windows + the per-user reduction all ride one
+    // user_id exchange; the only other exchange is the single-row scalar
+    // aggregate. (The equivalent three-join chain — the oracle's
+    // formulation — would shuffle the events table three times.)
+    val df = CoreQueries.funnel(spark, dir)
+    assert(graft.operators.Bucketing.numShuffles(df) == 2,
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("q37: corpus-side IVF list assignment aggregates, no window sort") {
     // nprobe=1 assignment is an argmax via max_by: only the query-side
     // probe (nprobe>1) and the final ranking may plan windows — exactly 2.
