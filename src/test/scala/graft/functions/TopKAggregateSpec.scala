@@ -50,6 +50,17 @@ class TopKAggregateSpec extends SparkSpec {
     assert(rows(1).getSeq[Long](1) == Seq(1L))
   }
 
+  test("type checks: k ≤ 0 and unorderable inputs fail analysis, not runtime") {
+    GraftFunctions.register(spark)
+    Seq((1L, Map("a" -> 1L))).toDF("g", "m").createOrReplaceTempView("topk_bad")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(m, 3) FROM topk_bad").collect() // maps unorderable
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(g, 0) FROM topk_bad").collect()
+    }
+  }
+
   test("plans as an aggregation: no Window operator anywhere") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = graft.analytics.CoreQueries.topkAggregate(spark, dir)

@@ -61,6 +61,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(spark, junk).collect().head.width > 0)
   }
 
+  test("mp4 parser: 64-bit largesize and to-end-of-container boxes") {
+    import java.nio.ByteBuffer
+    val base = Mp4Meta.syntheticMp4(3000L, 128, 64, 30)
+    // rewrite the leading ftyp as a largesize box: size=1 + 64-bit length
+    val ftypLen = ByteBuffer.wrap(base, 0, 4).getInt
+    val (ftyp, rest) = base.splitAt(ftypLen)
+    val wide = ByteBuffer.allocate(ftyp.length + 8)
+      .putInt(1).put(ftyp, 4, 4)            // size=1, type
+      .putLong(ftyp.length + 8L)            // largesize includes the 16B header
+      .put(ftyp, 8, ftyp.length - 8).array()
+    val info = Mp4Meta.parse(wide ++ rest).get
+    assert(info.durationMs == 3000L && info.width == 128 && info.nSamples == 30L)
+    // size=0: last box extends to the end of the container
+    val zeroEnd = (wide ++ rest).clone()
+    val moovOff = wide.length
+    ByteBuffer.wrap(zeroEnd, moovOff, 4).putInt(0)
+    val info0 = Mp4Meta.parse(zeroEnd).get
+    assert(info0.durationMs == 3000L && info0.height == 64)
+    // a largesize smaller than its own header is rejected
+    val broken = wide.clone()
+    ByteBuffer.wrap(broken, 8, 8).putLong(7L)
+    assert(Mp4Meta.parse(broken ++ rest).isEmpty)
+  }
+
   test("kind-specific metadata: image has dims, audio duration, video both") {
     val byKind = feats.collect().groupBy(_.kind)
     assert(byKind("image").forall(f => f.width > 0 && f.duration_ms == 0L))
