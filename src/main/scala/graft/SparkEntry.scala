@@ -146,7 +146,10 @@ object SparkEntry {
     // strictly-ordered view→click→purchase funnel counts
     "q65_funnel"            -> (CoreQueries.funnel _),
     // custom Catalyst AGGREGATE: map-side partial top-k per group
-    "q66_topk_aggregate"    -> (CoreQueries.topkAggregate _)
+    "q66_topk_aggregate"    -> (CoreQueries.topkAggregate _),
+    // matrix-free power-iteration PCA projection (rows-only: iterative
+    // eigen-math; planted-direction recovery pinned in QualityFloorsSpec)
+    "q67_pca_projection"    -> (Similarity.pcaProjectQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -262,6 +262,64 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Top principal direction of the (mean-centered) embedding cloud via
+    * MATRIX-FREE distributed power iteration: v ← normalize(Σᵢ xᵢ(xᵢ·v)).
+    * The d×d covariance is never materialized — each round is one
+    * scored-posexplode aggregation over the corpus (shuffle keyed by
+    * dimension index, d rows out), so the method scales to dimensions
+    * where d² would not fit a task, and the corpus is never collected.
+    * Deterministic: fixed init (normalized 1+j/d ramp — never orthogonal
+    * to a planted axis by symmetry), fixed iteration count, double math.
+    * Sign is normalized so the largest-|component| coordinate is
+    * positive (power iteration's sign is otherwise arbitrary).
+    *
+    * The d-vector result is collected to the driver — d scalars, the
+    * legitimate scalar-aggregate pattern.
+    */
+  def topPrincipalComponent(embeddings: DataFrame, iters: Int = 8): Array[Double] = {
+    val spark = embeddings.sparkSession
+    val x = embeddings.select(toDouble(col("embedding")).as("x"))
+      .localCheckpoint() // scanned once per iteration
+    val d = x.select(size(col("x"))).head().getInt(0)
+    val mean = x.select(posexplode(col("x")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(avg(col("v")).as("m"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1))
+    val meanCol = array(mean.map(lit(_)): _*)
+    val xc = x.select(zip_with(col("x"), meanCol, (a, b) => a - b).as("x"))
+      .localCheckpoint()
+    var v = Array.tabulate(d)(j => 1.0 + j.toDouble / d)
+    def normalize(u: Array[Double]): Array[Double] = {
+      val n = math.sqrt(u.map(a => a * a).sum)
+      u.map(_ / n)
+    }
+    v = normalize(v)
+    for (_ <- 0 until iters) {
+      val vCol = array(v.map(lit(_)): _*)
+      val next = xc
+        .withColumn("s", dot(col("x"), vCol))
+        .select(posexplode(col("x")).as(Seq("pos", "xv")), col("s"))
+        .groupBy(col("pos")).agg(sum(col("xv") * col("s")).as("nv"))
+        .orderBy(col("pos")).collect().map(_.getDouble(1))
+      v = normalize(next)
+    }
+    val pivot = v.indices.maxBy(j => math.abs(v(j)))
+    if (v(pivot) < 0) v.map(-_) else v
+  }
+
+  /** q67: every vector's score along the corpus's top principal axis —
+    * the projection feeding whitening / spectral filtering / outlier
+    * trimming. Iterative eigen-math isn't oracle-SQL territory → rows
+    * only; QualityFloorsSpec pins planted-direction recovery instead.
+    */
+  def pcaProjectQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val pc = topPrincipalComponent(e.select(col("vec_id"), col("embedding")))
+    val pcCol = array(pc.map(lit(_)): _*)
+    e.select(col("vec_id"),
+        round(dot(toDouble(col("embedding")), pcCol), 4).as("pc_score"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q37 ships with the trained quantizer (2 Lloyd rounds) — the gate path
     * exercises k-means training, not just the hash-ordered init;
     * QualityFloorsSpec pins trained recall ≥ untrained on the planted

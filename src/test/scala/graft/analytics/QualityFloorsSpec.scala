@@ -79,6 +79,27 @@ class QualityFloorsSpec extends SparkSpec {
       sameElements again.collect().map(_.toString).sorted)
   }
 
+  test("power-iteration PCA recovers a planted dominant direction") {
+    import spark.implicits._
+    // x_i = a_i·u + ε: amplitudes ±[1, 3] along a fixed unit axis u, plus
+    // deterministic small noise. The recovered component must align with
+    // u (|cos| ≥ 0.98) — and on re-run, identically (no RNG anywhere).
+    val d = 16
+    val u = Array.tabulate(d)(j => math.sin(j * 0.9 + 0.3))
+    val un = { val n = math.sqrt(u.map(a => a * a).sum); u.map(_ / n) }
+    val rows = (0 until 400).map { i =>
+      val a = (1.0 + (i % 20) / 10.0) * (if (i % 2 == 0) 1 else -1)
+      (i.toLong, Array.tabulate(d)(j =>
+        (a * un(j) + 0.05 * math.sin(i * 1.7 + j * 2.3)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val pc = Similarity.topPrincipalComponent(rows)
+    val cos = pc.zip(un).map { case (a, b) => a * b }.sum
+    info(f"planted-axis alignment |cos| = ${math.abs(cos)}%.4f")
+    assert(math.abs(cos) >= 0.98, s"recovered direction misaligned: $cos")
+    val again = Similarity.topPrincipalComponent(rows)
+    assert(pc.sameElements(again))
+  }
+
   test("q27 MinHash-LSH precision/recall vs q25 exact Jaccard") {
     val docs = graft.Tables.documents(spark, dir)
     // exact Jaccard at the MinHash estimate's own firing threshold (0.5),
