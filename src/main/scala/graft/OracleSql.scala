@@ -649,6 +649,20 @@ object OracleSql {
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
 
+    // grouping_id bit order: Spark's grouping_id() and DuckDB's
+    // GROUPING(a, b) both put the FIRST grouping column in the high bit.
+    "q68_revenue_cube" ->
+      """SELECT r_name, o_orderstatus,
+        |  CAST(GROUPING(r_name, o_orderstatus) AS BIGINT) AS gid,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, o_orderstatus)
+        |ORDER BY gid, r_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
     // Bipartite containment |A∩B|/|B_eval| (EVAL-side denominator — the
     // contamination score) with the df cap on the corpus side only —
     // mirrors Dedup.containmentPairs exactly.

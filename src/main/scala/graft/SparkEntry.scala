@@ -149,7 +149,9 @@ object SparkEntry {
     "q66_topk_aggregate"    -> (CoreQueries.topkAggregate _),
     // matrix-free power-iteration PCA projection (rows-only: iterative
     // eigen-math; planted-direction recovery pinned in QualityFloorsSpec)
-    "q67_pca_projection"    -> (Similarity.pcaProjectQuery _)
+    "q67_pca_projection"    -> (Similarity.pcaProjectQuery _),
+    // CUBE + grouping_id: all four grouping sets in one pass
+    "q68_revenue_cube"      -> (CoreQueries.revenueCube _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -452,6 +452,32 @@ object CoreQueries {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** q68: CUBE over (region, order status) — all four grouping-set
+    * combinations in one pass, with `grouping_id` disambiguating a real
+    * NULL from a subtotal row (the reason `grouping_id` exists; NULLS
+    * FIRST ordering alone couldn't distinguish them if the data had null
+    * keys). Completes the grouping-sets family next to q51 pivot and q52
+    * ROLLUP.
+    */
+  def revenueCube(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
+    val r = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"),
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(col("r_name"), col("o_orderstatus"), col("gid"),
+        col("revenue"), col("n_orders"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
   /** q54: the analytic-window suite per customer — lag/lead neighbors,
     * quartiles, percent_rank/cume_dist, first_value — all over one keyed
     * sort (the (price desc, orderkey) tie-break makes every function
