@@ -85,25 +85,28 @@ object PageRank {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).cache()
-    var visited = Seq((source, 0L)).toDF("id", "dist").localCheckpoint()
-    var frontier = visited
+    var frontier = Seq((source, 0L)).toDF("id", "dist").localCheckpoint()
+    // visited = the lazy union of per-round frontiers, each checkpointed
+    // ONCE when produced — re-checkpointing a single growing visited set
+    // every round would rewrite O(V) rows per round (O(V·depth) total)
+    var frontiers = List(frontier)
     var depth = 0L
     while (frontier.limit(1).count() > 0 && depth < maxDepth) {
       depth += 1
+      val visited = frontiers.map(_.select(col("id").as("seen"))).reduce(_ union _)
       frontier = e.join(frontier.select(col("id")), e("src") === col("id"))
         .select(col("dst").as("id")).distinct()
-        .join(visited.select(col("id").as("seen")), col("id") === col("seen"),
-          "left_anti")
+        .join(visited, col("id") === col("seen"), "left_anti")
         .select(col("id"), lit(depth).as("dist"))
         .localCheckpoint()
-      visited = visited.union(frontier).localCheckpoint()
+      frontiers = frontier :: frontiers
     }
     e.unpersist()
     // same contract as connectedComponents: a truncated traversal would
     // report reachable vertices as unreachable — refuse to return it
     if (frontier.limit(1).count() > 0) throw new IllegalStateException(
       s"BFS frontier still non-empty at maxDepth=$maxDepth — raise maxDepth")
-    visited.orderBy(col("dist"), col("id"))
+    frontiers.reduce(_ union _).orderBy(col("dist"), col("id"))
   }
 
   /** Directed customer→supplier "buys from" edges from orders⋈lineitem —
