@@ -17,16 +17,24 @@ object Bench {
     // query once at sf0.001 compiles each plan's generated code before
     // anything is measured; the timed sf pass then measures execution,
     // not compilation.
+    // Dev-loop filter: SPARK_GRAFT_ONLY=q57,q62 times just those queries.
+    // Unset (the driver's mode) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
         spark.catalog.clearCache()
       }
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Materialize through the noop sink: count() would let Catalyst prune
       // projections/sorts/aggregate expressions and time a bare row count

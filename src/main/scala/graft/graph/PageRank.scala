@@ -29,32 +29,45 @@ object PageRank {
   def run(edges: DataFrame, damping: Double = 0.85, maxIter: Int = 30,
       tol: Double = 1e-6): DataFrame = {
     val e = edges.select(col("src"), col("dst")).cache()
-    val vertices = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
-    val n = vertices.count()
+    // ONE setup pass computes the vertex set AND out-degrees: flatten each
+    // edge into (src, o=1) + (dst, o=0) and sum — a vertex's out-degree is
+    // its src-occurrence count, and a sum of 0 (never a src) means dangling
+    // (kept as NULL so the per-round filters stay index-free predicates).
+    // The separate union-distinct + groupBy formulation cost two shuffles
+    // and two checkpoints here.
+    val verts = e.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("o")),
+        struct(col("dst").as("id"), lit(0L).as("o")))).as("v"))
+      .groupBy(col("v.id").as("id"))
+      .agg(sum(col("v.o")).as("d"))
+      .select(col("id"), when(col("d") > 0, col("d")).as("out_deg"))
+      .localCheckpoint()
+    val n = verts.count()
     require(n > 0, "PageRank needs at least one edge")
-    val outDeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("out_deg")).localCheckpoint()
 
-    var ranks = vertices.select(col("id"), lit(1.0 / n).as("rank"))
+    // Rank state CARRIES out_deg so a round never re-joins a degree table:
+    // each round is one lazy plan over (checkpointed ranks, cached e) —
+    // the dangling mass rides along as a broadcast 1-row aggregate instead
+    // of a driver collect, so fixed-round mode runs exactly ONE Spark job
+    // per round (the next-state checkpoint).
+    var ranks = verts.select(col("id"), col("out_deg"),
+        lit(1.0 / n).as("rank"))
       .localCheckpoint()
     var iter = 0
     var delta = Double.MaxValue
     while (delta > tol && iter < maxIter) {
-      // checkpointed: both the dangling-mass aggregate and the contribs
-      // join consume it — uncached it would re-execute the join twice
-      val withDeg = ranks.join(outDeg, Seq("id"), "left").localCheckpoint()
-      val dangling = withDeg.filter(col("out_deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
-      val contribs = e.join(withDeg.filter(col("out_deg").isNotNull),
+      val dangling = ranks.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val contribs = e.join(ranks.filter(col("out_deg").isNotNull),
           e("src") === col("id"))
         .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("in_c"))
-      val next = vertices.join(contribs, Seq("id"), "left")
-        .select(col("id"),
+      val next = verts.join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), col("out_deg"),
           (lit((1.0 - damping) / n)
-            + lit(damping) * (coalesce(col("in_c"), lit(0.0)) + lit(dangling / n)))
+            + lit(damping) * (coalesce(col("in_c"), lit(0.0))
+              + col("dm") / n))
             .as("rank"))
         .localCheckpoint()
       // tol ≤ 0 means "run exactly maxIter rounds" (the deterministic
@@ -62,14 +75,14 @@ object PageRank {
       // would cost an extra ranks⋈ranks join per round for a value no one
       // reads
       delta = if (tol > 0.0)
-        next.join(ranks.withColumnRenamed("rank", "old"), "id")
+        next.join(ranks.select(col("id"), col("rank").as("old")), "id")
           .agg(sum(abs(col("rank") - col("old")))).collect()(0).getDouble(0)
       else Double.MaxValue
       ranks = next
       iter += 1
     }
     e.unpersist()
-    ranks
+    ranks.select(col("id"), col("rank"))
   }
 
   /** BFS shortest paths from a source vertex — the "pathfinding" leg of
@@ -118,10 +131,14 @@ object PageRank {
   def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    // distinct BEFORE the string concat: the dedup shuffle then carries two
+    // longs per row instead of two built strings (and builds each surviving
+    // string once, not once per lineitem)
     o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey")).as("src"),
-        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .distinct()
+      .select(concat(lit("c:"), col("ck")).as("src"),
+        concat(lit("s:"), col("sk")).as("dst"))
   }
 
   /** q57: PageRank over the directed purchase graph at exactly 5

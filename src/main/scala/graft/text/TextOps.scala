@@ -268,20 +268,23 @@ object TextOps {
     * corpus. Weighted by occurrence (sum tf·s / sum tf), expressed
     * identically in the oracle so the fp summation shape matches.
     *
-    * Caching contract: the bigram-occurrence table feeds the corpus
-    * counts AND the per-doc tf — cached like the pair miners; callers
-    * clear the cache after materializing (Verify/Bench do).
+    * Plan shape: ONE exploded-bigram aggregate (doc_id, g) → window sum
+    * over g for the corpus bigram count c₂ → window sum over w₁ for the
+    * unigram-context count c₁ → final per-doc aggregate. The counts are
+    * integer window sums over the tf table (exact — no fp concern), so
+    * the earlier formulation's cached bigram stream, two extra aggregates
+    * and two equi-joins collapse into two Window nodes: 4 exchanges total
+    * and no cache to spill at 100 TB.
     */
   def surprisalStats(docs: DataFrame): DataFrame = {
-    val bg = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(tokenWindows(col("t"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
       .withColumn("w1", split(col("g"), " ").getItem(0))
-      .cache()
-    val c2 = bg.groupBy(col("g"), col("w1")).agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val tf = bg.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
-    tf.join(c2, Seq("g")).join(c1, Seq("w1"))
+    tf.withColumn("c2", sum(col("tf")).over(Window.partitionBy(col("g"))))
+      .withColumn("c1", sum(col("tf")).over(Window.partitionBy(col("w1"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"),
         round(sum(col("tf") * log(col("c1").cast("double") / col("c2")))
