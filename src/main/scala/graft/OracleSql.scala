@@ -898,6 +898,121 @@ object OracleSql {
     // even with cycles; min(dist) per vertex IS the BFS hop count. The
     // dist < 10 bound mirrors the engine's maxDepth=10 (frontier empties
     // long before that on this graph).
+    // Per-vertex triangle counts are independent of enumeration order, so
+    // the oracle uses the plain id-ordered closure join; the engine's
+    // degree-ordered orientation must produce the same multiset.
+    "q69_triangle_counts" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |capped AS (
+        |  SELECT c, p FROM (
+        |    SELECT c, p, count(*) OVER (PARTITION BY p) AS df FROM cp)
+        |  WHERE df <= 18),
+        |edges AS (
+        |  SELECT DISTINCT x.c AS u, y.c AS v
+        |  FROM capped x JOIN capped y ON x.p = y.p AND x.c < y.c),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.v = e2.u
+        |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT id AS cust_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT a AS id FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |GROUP BY id
+        |ORDER BY cust_id""".stripMargin,
+
+    "q70_edit_distance_pairs" ->
+      """SELECT a.p_brand AS block, a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY block, id_a, id_b""".stripMargin,
+
+    // Manual UNION ALL states the unpivot semantics the engine's Expand
+    // plans in one pass.
+    "q71_unpivot_metrics" ->
+      """SELECT l_returnflag, metric,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 4) AS avg_value,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |GROUP BY l_returnflag, metric
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q72_corr_matrix" ->
+      """SELECT col_a, col_b, corr FROM (
+        |  SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+        |    round(corr(l_discount, l_tax), 6) AS corr FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_extendedprice',
+        |    round(corr(l_quantity, l_extendedprice), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    round(corr(l_quantity, l_discount), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    round(corr(l_quantity, l_tax), 6) FROM lineitem)
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q73_gap_fill_locf" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT p.priority, CAST(d.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT priority FROM daily) p
+        |  CROSS JOIN (
+        |    SELECT unnest(generate_series(
+        |      (SELECT min(day) FROM daily),
+        |      (SELECT max(day) FROM daily),
+        |      INTERVAL 1 DAY)) AS day) d)
+        |SELECT g.priority, g.day,
+        |  last_value(d.revenue IGNORE NULLS) OVER (
+        |    PARTITION BY g.priority ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_revenue,
+        |  d.revenue IS NULL AS is_gap
+        |FROM grid g LEFT JOIN daily d
+        |  ON d.priority = g.priority AND d.day = g.day
+        |ORDER BY g.priority, g.day""".stripMargin,
+
+    // Change-flag + running sum builds the run id (same trick as q45
+    // sessionization); valid_to = next run's start.
+    "q74_scd2_history" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |runs0 AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run_id
+        |  FROM marked),
+        |runs AS (
+        |  SELECT user_id, run_id, event_type,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM runs0 GROUP BY 1, 2, 3)
+        |SELECT user_id, run_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    AS valid_to,
+        |  n_events,
+        |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    IS NULL) AS is_current
+        |FROM runs
+        |ORDER BY user_id, run_id""".stripMargin,
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

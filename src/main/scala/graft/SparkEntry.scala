@@ -151,7 +151,19 @@ object SparkEntry {
     // eigen-math; planted-direction recovery pinned in QualityFloorsSpec)
     "q67_pca_projection"    -> (Similarity.pcaProjectQuery _),
     // CUBE + grouping_id: all four grouping sets in one pass
-    "q68_revenue_cube"      -> (CoreQueries.revenueCube _)
+    "q68_revenue_cube"      -> (CoreQueries.revenueCube _),
+    // degree-ordered triangle counting over the co-purchase projection
+    "q69_triangle_counts"   -> (graft.graph.Triangles.trianglesQuery _),
+    // blocked Levenshtein near-dup pairs (record-linkage dedup)
+    "q70_edit_distance_pairs" -> (Dedup.editDistanceQuery _),
+    // native unpivot (Expand) wide→long reshape + aggregate
+    "q71_unpivot_metrics"   -> (CoreQueries.unpivotMetrics _),
+    // one-scan pairwise Pearson correlation matrix, long format
+    "q72_corr_matrix"       -> (CoreQueries.corrMatrix _),
+    // calendar gap-fill + last-observation-carried-forward
+    "q73_gap_fill_locf"     -> (graft.operators.TimeSeries.gapFillQuery _),
+    // run-length SCD2-style interval history from the event stream
+    "q74_scd2_history"      -> (graft.operators.TimeSeries.scd2Query _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -590,6 +590,53 @@ object CoreQueries {
       .orderBy(col("o_custkey"), col("rnk"))
   }
 
+  /** q71: unpivot/melt — the wide→long reshape (Spark's native `unpivot`,
+    * which plans as an Expand, one output row per (input row, metric): no
+    * join, no shuffle before the aggregate). Aggregated per (flag, metric)
+    * so the driver compare stays small; the Expand feeds a partial
+    * hash-aggregate, so the exchange carries 12 groups, not 4× the rows.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  /** q72: pairwise Pearson correlations of the lineitem measures, long
+    * format — ONE scan computes all six `corr` aggregates in a single
+    * partial-aggregate pass (6 co-moment accumulators riding one
+    * exchange), then the 1×6 row unpivots driver-side-free into
+    * (col_a, col_b, corr) rows.
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"$a|$b")
+    }
+    Tables.lineitem(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        pairs.map { case (a, b) => col(s"`$a|$b`") }.toArray,
+        "pair", "corr")
+      .select(
+        split(col("pair"), "\\|").getItem(0).as("col_a"),
+        split(col("pair"), "\\|").getItem(1).as("col_b"),
+        col("corr"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)

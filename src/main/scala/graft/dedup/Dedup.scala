@@ -329,6 +329,39 @@ object Dedup {
       k = 5, threshold = 0.5, maxDf = 100)
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs within blocking buckets —
+    * the record-linkage flavor of near-dup mining: names/titles that differ
+    * by a few character edits, where shingle/minhash methods (built for
+    * long documents) have nothing to grip.
+    *
+    * Scale shape: the candidate set is an equi-join on the blocking key
+    * (never all-pairs — same discipline as the inverted-index miners), a
+    * length-difference pre-filter discards most candidates before any DP
+    * runs (|len(a)−len(b)| ≤ d is necessary for distance ≤ d), and the
+    * distance itself uses Spark's thresholded `levenshtein`, whose banded
+    * DP abandons a pair as soon as the distance provably exceeds `maxDist`
+    * (returning −1) — O(d·min(n,m)) per pair instead of O(n·m).
+    */
+  def editDistancePairs(recs: DataFrame, blockCol: String, idCol: String,
+      textCol: String, maxDist: Int): DataFrame = {
+    val a = recs.select(col(blockCol).as("block"), col(idCol).as("id_a"),
+      col(textCol).as("s_a"))
+    val b = recs.select(col(blockCol).as("block"), col(idCol).as("id_b"),
+      col(textCol).as("s_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("block"), col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("block"), col("id_a"), col("id_b"))
+  }
+
+  /** q70: part names within distance ≤ 2 of each other, blocked by brand. */
+  def editDistanceQuery(s: SparkSession, dir: String): DataFrame =
+    editDistancePairs(Tables.part(s, dir), "p_brand", "p_partkey", "p_name",
+      maxDist = 2)
+
   /** Connected components over an undirected near-dup pair graph:
     * (doc_id, cluster_id) where cluster_id is the minimum doc_id reachable
     * through any chain of pairs — the step that turns pairwise near-dup

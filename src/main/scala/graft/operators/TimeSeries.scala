@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series regularization operators: calendar gap-filling with
+  * last-observation-carried-forward, and run-length interval histories
+  * (SCD2-style) — the feature-engineering steps that turn an irregular
+  * event stream into the dense, join-ready series a training pipeline
+  * consumes.
+  *
+  * Scale shape: both operators are one keyed shuffle over the fact data.
+  * The calendar grid is dimension-sized (days × groups — thousands of
+  * rows even when the facts are 100 TB), so it broadcasts; the LOCF fill
+  * is a running `last(ignoreNulls)` window that rides the grid join's
+  * partitioning. The run/interval builder is the sessionization trick
+  * (change-flag + running sum) over one (user, time)-windowed pass.
+  */
+object TimeSeries {
+
+  /** Fill calendar gaps in a per-(group, day) aggregate and carry the last
+    * seen value forward. `is_gap` marks manufactured rows; leading gaps
+    * (before a group's first observation) stay null.
+    */
+  def gapFillLocf(daily: DataFrame, groupCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val bounds = daily.agg(min(col(dayCol)).as("lo"), max(col(dayCol)).as("hi"))
+    // full calendar × group grid: dimension-sized, broadcast into the join
+    val grid = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as(dayCol))
+      .crossJoin(daily.select(col(groupCol)).distinct())
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    broadcast(grid).join(daily, Seq(groupCol, dayCol), "left")
+      .withColumn("filled_" + valueCol,
+        last(col(valueCol), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col(valueCol).isNull)
+      .select(col(groupCol), col(dayCol), col("filled_" + valueCol),
+        col("is_gap"))
+  }
+
+  /** q73: daily revenue per order priority with every calendar day
+    * present and gaps carried forward — the LOCF-regularized series.
+    */
+  def gapFillQuery(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    gapFillLocf(daily, "priority", "day", "revenue")
+      .orderBy(col("priority"), col("day"))
+  }
+
+  /** Run-length interval history (SCD2-style): collapse consecutive
+    * same-value observations per key into (valid_from, valid_to) intervals,
+    * `valid_to` = the next run's start (null ⇒ current). The run id is the
+    * sessionization change-flag + running-sum; ties on the timestamp break
+    * by `idCol` so the runs are deterministic across engines.
+    */
+  def runHistory(obs: DataFrame, keyCol: String, valueCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(valueCol), 1).over(w)
+    val marked = obs
+      .select(col(keyCol), col(valueCol), col(tsCol), col(idCol))
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col(valueCol), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = marked.groupBy(col(keyCol), col("run_id"), col(valueCol))
+      .agg(min(col(tsCol)).as("valid_from"), count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy(col(keyCol)).orderBy(col("run_id"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** q74: per-user event-type history — which type each user was "in",
+    * from when to when, built from the raw event stream.
+    */
+  def scd2Query(s: SparkSession, dir: String): DataFrame =
+    runHistory(Tables.events(s, dir), "user_id", "event_type", "ts", "event_id")
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("run_id"))
+}
