@@ -1013,6 +1013,70 @@ object OracleSql {
         |FROM runs
         |ORDER BY user_id, run_id""".stripMargin,
 
+    // H = ln N − (Σ c·ln c)/N; sums of BIGINT are HUGEINT in DuckDB →
+    // cast the count out, and upcast inside ln/division to DOUBLE.
+    "q75_token_entropy" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(ln(CAST(sum(c) AS DOUBLE))
+        |    - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 4)
+        |    AS entropy
+        |FROM cnt GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q76_event_transitions" ->
+      """WITH steps AS (
+        |  SELECT
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev,
+        |    event_type AS curr
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev, curr, count(*) AS n
+        |  FROM steps WHERE prev IS NOT NULL GROUP BY prev, curr)
+        |SELECT prev, curr, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 4) AS p
+        |FROM cnt
+        |ORDER BY prev, curr""".stripMargin,
+
+    // median = quantile_cont(0.5), the same linear interpolation Spark's
+    // exact `percentile` uses; the fence constant is CAST AS DOUBLE (bare
+    // DuckDB numeric literals are DECIMAL).
+    "q77_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |stats AS (
+        |  SELECT e.event_type, any_value(m.med) AS med,
+        |    median(abs(e.value - m.med)) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type)
+        |SELECT e.event_type,
+        |  round(any_value(s.med), 4) AS median,
+        |  round(any_value(s.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN abs(e.value - s.med)
+        |      > CAST(4.4478 AS DOUBLE) * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  count(*) AS n
+        |FROM events e JOIN stats s USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+
+    // Ties on acctbal break by name DESC — the lexicographic order of the
+    // engine's (acctbal, name) top-k struct.
+    "q78_top_customer_list" ->
+      """SELECT n.n_name, count(*) AS n_customers,
+        |  array_to_string(
+        |    (list(c.c_name ORDER BY c.c_acctbal DESC, c.c_name DESC))[1:3],
+        |    ',') AS top3
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

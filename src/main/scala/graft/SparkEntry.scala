@@ -163,7 +163,15 @@ object SparkEntry {
     // calendar gap-fill + last-observation-carried-forward
     "q73_gap_fill_locf"     -> (graft.operators.TimeSeries.gapFillQuery _),
     // run-length SCD2-style interval history from the event stream
-    "q74_scd2_history"      -> (graft.operators.TimeSeries.scd2Query _)
+    "q74_scd2_history"      -> (graft.operators.TimeSeries.scd2Query _),
+    // per-doc Shannon entropy of the token distribution (quality signal)
+    "q75_token_entropy"     -> (TextOps.entropyQuery _),
+    // first-order Markov transition probabilities over event sequences
+    "q76_event_transitions" -> (CoreQueries.eventTransitions _),
+    // robust median/MAD outlier fences per event type
+    "q77_mad_outliers"      -> (CoreQueries.madOutliers _),
+    // bounded-state ordered string agg (LISTAGG) via the top-k aggregate
+    "q78_top_customer_list" -> (CoreQueries.topCustomerList _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -637,6 +637,78 @@ object CoreQueries {
       .orderBy(col("col_a"), col("col_b"))
   }
 
+  /** q76: first-order Markov transition matrix over each user's event
+    * sequence — P(curr | prev) estimated from adjacent pairs, the
+    * behavioral-sequence primitive (and the categorical twin of q62's
+    * bigram LM). One user-keyed window pass produces the lag pairs; the
+    * row-normalization is a window sum over the (tiny) transition-count
+    * table, not a second scan.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("curr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy(col("prev"))).cast("double"), 4))
+      .orderBy(col("prev"), col("curr"))
+  }
+
+  /** q77: robust outlier profile per event type — median, MAD (median
+    * absolute deviation), and the count beyond the standard 3σ-equivalent
+    * fence |v − med| > 3·1.4826·MAD. Median/MAD are the skew-proof
+    * alternative to q49's mean/σ z-scores.
+    *
+    * Two aggregation passes by construction (MAD needs the median first);
+    * both group tables are dimension-sized and broadcast back, so the
+    * events table is scanned, never shuffled — the exact `percentile`
+    * sorts only within each (small) group partition.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withMed = e.join(broadcast(med), "event_type")
+    val stats = withMed.groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+    withMed.drop("med").join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(first(col("med")), 4).as("median"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(4.4478) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q78: ordered string aggregation (LISTAGG/string_agg) with BOUNDED
+    * state — the top-3 customers by account balance per nation as one
+    * comma-joined string. Reuses q66's [[graft.functions.TopKLargest]]
+    * aggregate, so each mapper retains ≤ k structs per group and nothing
+    * ever collects a whole group into memory — the collect_list +
+    * array_sort + slice formulation would buffer every customer of a
+    * nation on one reducer at 100 TB.
+    */
+  def topCustomerList(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        graft.functions.GraftFunctions.topk(
+          struct(col("c_acctbal"), col("c_name")), 3).as("top"))
+      .select(col("n_name"), col("n_customers"),
+        array_join(transform(col("top"), x => x.getField("c_name")), ",")
+          .as("top3"))
+      .orderBy(col("n_name"))
+  }
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)

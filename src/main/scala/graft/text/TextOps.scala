@@ -294,4 +294,30 @@ object TextOps {
 
   def surprisalQuery(s: SparkSession, dir: String): DataFrame =
     surprisalStats(Tables.documents(s, dir))
+
+  /** q75: per-document Shannon entropy (nats) of the token distribution,
+    * H = ln N − (Σ c·ln c)/N — the vocabulary-diversity quality signal
+    * (low entropy ⇒ repetitive/keyword-stuffed text; complements q61's
+    * repetition fractions, which look at bigrams rather than unigrams).
+    *
+    * Same single-exchange shape as [[repetitionStats]]: repartition the
+    * compact doc rows BEFORE the explode, so both the (doc, token) count
+    * and the per-doc fold ride one HashPartitioning(doc_id) without
+    * re-shuffling the exploded token stream.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(log(sum(col("c")).cast("double"))
+          - sum(col("c") * log(col("c").cast("double"))) / sum(col("c")), 4)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+
+  def entropyQuery(s: SparkSession, dir: String): DataFrame =
+    tokenEntropy(Tables.documents(s, dir))
 }
