@@ -34,7 +34,10 @@ object TimeSeries {
       .crossJoin(daily.select(col(groupCol)).distinct())
     val w = Window.partitionBy(col(groupCol)).orderBy(col(dayCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    broadcast(grid).join(daily, Seq(groupCol, dayCol), "left")
+    // LEFT join ⇒ only the right side can be the broadcast build side;
+    // `daily` is an aggregate of at most grid cardinality, so neither the
+    // grid nor the fact scan ever shuffles for this join
+    grid.join(broadcast(daily), Seq(groupCol, dayCol), "left")
       .withColumn("filled_" + valueCol,
         last(col(valueCol), ignoreNulls = true).over(w))
       .withColumn("is_gap", col(valueCol).isNull)

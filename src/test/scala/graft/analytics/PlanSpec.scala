@@ -201,6 +201,55 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("q69: wedge enumeration never plans a cartesian or nested-loop join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = graft.graph.Triangles.trianglesQuery(spark, dir)
+    val bad = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, df.queryExecution.executedPlan.toString)
+    spark.catalog.clearCache() // the oriented edge set is cached
+  }
+
+  test("q71: unpivot plans ONE lineitem scan (Expand), not one per metric") {
+    val df = CoreQueries.unpivotMetrics(spark, dir)
+    assert(scans(df).size == 1, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q72: all six correlations ride one scan and one scalar aggregate") {
+    val df = CoreQueries.corrMatrix(spark, dir)
+    assert(scans(df).size == 1, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q73: the gap-fill join broadcasts the daily aggregate (no fact shuffle for the join)") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.operators.TimeSeries.gapFillQuery(spark, dir)
+    val bhj = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q75: one doc-keyed exchange feeds both entropy aggregations") {
+    // same repartition-before-explode discipline as q61
+    val df = graft.text.TextOps.entropyQuery(spark, dir)
+    assert(graft.operators.Bucketing.numShuffles(df) == 2,
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("q78: bounded LISTAGG is an object-hash aggregate — no window, no group sort") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = CoreQueries.topCustomerList(spark, dir)
+    assert(PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }.isEmpty, df.queryExecution.executedPlan.toString)
+    assert(PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case o: ObjectHashAggregateExec => o
+    }.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
+
   test("q37: corpus-side IVF list assignment aggregates, no window sort") {
     // nprobe=1 assignment is an argmax via max_by: only the query-side
     // probe (nprobe>1) and the final ranking may plan windows — exactly 2.
