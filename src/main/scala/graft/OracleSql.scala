@@ -1077,6 +1077,54 @@ object OracleSql {
         |GROUP BY n.n_name
         |ORDER BY n.n_name""".stripMargin,
 
+    // FULL JOIN USING coalesces the key in both engines; presence flags
+    // read the pre-coalesce nulls.
+    "q79_full_outer_activity" ->
+      """SELECT id,
+        |  (n_orders IS NOT NULL AND n_events IS NOT NULL) AS in_both,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(spend, CAST(0 AS DOUBLE)) AS spend,
+        |  coalesce(n_events, 0) AS n_events,
+        |  coalesce(event_value, CAST(0 AS DOUBLE)) AS event_value
+        |FROM (SELECT o_custkey AS id, count(*) AS n_orders,
+        |        round(sum(o_totalprice), 2) AS spend
+        |      FROM orders GROUP BY 1) o
+        |FULL JOIN (SELECT user_id AS id, count(*) AS n_events,
+        |        round(sum(value), 2) AS event_value
+        |      FROM events GROUP BY 1) e USING (id)
+        |ORDER BY id""".stripMargin,
+
+    // Left folds via list_reduce with a prepended 0 reproduce Spark's
+    // aggregate() fp summation order bit-for-bit (q26 discipline).
+    "q80_vector_stats" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(sqrt(list_reduce(
+        |    list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b)), 6) AS norm2,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  round(list_reduce(
+        |    list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(embedding, x ->
+        |        greatest(least(CAST(x AS DOUBLE), CAST(0.1 AS DOUBLE)),
+        |          CAST(-0.1 AS DOUBLE)))),
+        |    (a, b) -> a + b) / len(embedding), 6) AS clipped_mean
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "q81_grouping_sets" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS yr,
+        |  CAST(GROUPING(n_name, year(o_orderdate)) AS BIGINT) AS gid,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, year(o_orderdate)), (n_name),
+        |  (year(o_orderdate)))
+        |ORDER BY gid, nation NULLS FIRST, yr NULLS FIRST""".stripMargin,
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

@@ -171,7 +171,15 @@ object SparkEntry {
     // robust median/MAD outlier fences per event type
     "q77_mad_outliers"      -> (CoreQueries.madOutliers _),
     // bounded-state ordered string agg (LISTAGG) via the top-k aggregate
-    "q78_top_customer_list" -> (CoreQueries.topCustomerList _)
+    "q78_top_customer_list" -> (CoreQueries.topCustomerList _),
+    // FULL OUTER join (completes the join-type surface)
+    "q79_full_outer_activity" -> (CoreQueries.customerActivityFullOuter _),
+    // higher-order array functions with fold-order-pinned fp
+    "q80_vector_stats"      -> (Similarity.vectorStatsQuery _),
+    // asymmetric GROUPING SETS via the SQL surface
+    "q81_grouping_sets"     -> (CoreQueries.groupingSetsRevenue _),
+    // mergeable HLL sketches (union without rescan) — rows-only
+    "q82_hll_sketches"      -> (CoreQueries.hllUserSketches _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -709,6 +709,75 @@ object CoreQueries {
       .orderBy(col("n_name"))
   }
 
+  /** q79: FULL OUTER join completing the join-type surface (inner/left/
+    * semi/anti are q02-q06) — the per-customer orders-vs-events activity
+    * reconciliation, where either side may be absent. The USING-style join
+    * coalesces the key; presence flags read the pre-coalesce nulls.
+    */
+  def customerActivityFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).groupBy(col("o_custkey").as("id"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("spend"))
+    val e = Tables.events(s, dir).groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("event_value"))
+    o.join(e, Seq("id"), "full_outer")
+      .select(col("id"),
+        (col("n_orders").isNotNull && col("n_events").isNotNull).as("in_both"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("event_value"), lit(0.0)).as("event_value"))
+      .orderBy(col("id"))
+  }
+
+  /** q81: arbitrary GROUPING SETS through the SQL surface — the asymmetric
+    * set list ((nation, yr), (nation), (yr)) that neither ROLLUP (q52) nor
+    * CUBE (q68) expresses, in ONE Expand pass with grouping_id
+    * disambiguating the null rows.
+    */
+  def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_gs")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_gs")
+    s.sql("""
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(grouping_id(n_name, year(o_orderdate)) AS BIGINT) AS gid,
+        round(sum(o_totalprice), 2) AS revenue,
+        count(*) AS n_orders
+      FROM orders_gs
+      JOIN customer_gs ON o_custkey = c_custkey
+      JOIN nation_gs ON c_nationkey = n_nationkey
+      GROUP BY n_name, year(o_orderdate)
+        GROUPING SETS ((n_name, year(o_orderdate)), (n_name), (year(o_orderdate)))
+      ORDER BY gid, nation NULLS FIRST, yr NULLS FIRST""")
+  }
+
+  /** q82: mergeable distinct-count sketches (DataSketches HLL) — the
+    * re-aggregatable profiling primitive: per-type sketches built in one
+    * pass, then UNIONED into the global estimate without rescanning the
+    * facts (the property a plain approx_count_distinct, q31, lacks).
+    * Rows-only: DuckDB's HLL is a different sketch; SketchSpec pins the
+    * estimates to the exact counts instead.
+    */
+  def hllUserSketches(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val perType = e.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val all = perType
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      .crossJoin(broadcast(
+        e.agg(countDistinct(col("user_id")).as("exact_users"))))
+      .select(lit("__all__").as("event_type"), col("est_users"),
+        col("exact_users"))
+    perType
+      .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("est_users"),
+        col("exact_users"))
+      .union(all)
+      .orderBy(col("event_type"))
+  }
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)

@@ -65,6 +65,29 @@ object Similarity {
   def cosineTopKQuery(s: SparkSession, dir: String): DataFrame =
     cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
 
+  /** q80: per-vector feature statistics through the higher-order array
+    * functions — L2 norm (left-fold of squares), positive-dimension count
+    * (filter), and a clip-then-mean (transform folded). Shuffle-free
+    * per-row expressions; every fold is LEFT-ordered so the DuckDB
+    * `list_reduce` mirror reproduces the fp summation bit-for-bit (the
+    * same discipline as the q26 cosine kernel oracle).
+    */
+  def vectorStats(embeddings: DataFrame): DataFrame = {
+    val e = col("embedding")
+    embeddings.select(col("vec_id"),
+      size(e).cast("long").as("dim"),
+      round(sqrt(aggregate(e, lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("norm2"),
+      size(filter(e, x => x > 0f)).cast("long").as("n_pos"),
+      round(aggregate(e, lit(0.0),
+        (a, x) => a + greatest(least(x.cast("double"), lit(0.1)), lit(-0.1)))
+        / size(e), 6).as("clipped_mean"))
+      .orderBy(col("vec_id"))
+  }
+
+  def vectorStatsQuery(s: SparkSession, dir: String): DataFrame =
+    vectorStats(Tables.embeddings(s, dir))
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * hash-derived value in [-1, 1) — reproducible with no RNG state.
     */
