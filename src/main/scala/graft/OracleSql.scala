@@ -1125,6 +1125,50 @@ object OracleSql {
         |  (year(o_orderdate)))
         |ORDER BY gid, nation NULLS FIRST, yr NULLS FIRST""".stripMargin,
 
+    // Each event lands in len/slide = 4 epoch-aligned windows: the k-offset
+    // cross join reproduces Spark's window(ts, '1 hour', '15 minutes').
+    "q83_sliding_windows" ->
+      """SELECT ws AS window_start, event_type, count(*) AS n_events
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - k * INTERVAL '15 minutes' AS ws,
+        |         event_type
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+        |GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // ASOF with the inequality flipped = the forward join; the 7-day
+    // look-ahead tolerance nulls the attachment after the match.
+    "q84_next_event" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, min(event_id) AS next_event_id
+        |  FROM events GROUP BY user_id, ts)
+        |SELECT o.o_orderkey, o.o_custkey AS user_id,
+        |  CASE WHEN e.ts <= o.o_orderdate + INTERVAL 7 DAY
+        |       THEN e.next_event_id END AS next_event_id
+        |FROM orders o ASOF LEFT JOIN ev e
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q85_event_type_pmi" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tc AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_ab
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab,
+        |  round(ln(CAST(n_ab AS DOUBLE) * nu.n_users
+        |    / CAST(ta.n * tb.n AS DOUBLE)), 4) AS pmi
+        |FROM p
+        |JOIN tc ta ON ta.event_type = p.type_a
+        |JOIN tc tb ON tb.event_type = p.type_b
+        |CROSS JOIN nu
+        |ORDER BY type_a, type_b""".stripMargin,
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

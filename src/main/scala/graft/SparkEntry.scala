@@ -179,7 +179,15 @@ object SparkEntry {
     // asymmetric GROUPING SETS via the SQL surface
     "q81_grouping_sets"     -> (CoreQueries.groupingSetsRevenue _),
     // mergeable HLL sketches (union without rescan) — rows-only
-    "q82_hll_sketches"      -> (CoreQueries.hllUserSketches _)
+    "q82_hll_sketches"      -> (CoreQueries.hllUserSketches _),
+    // sliding (overlapping) event-time windows — streaming code path
+    "q83_sliding_windows"   -> ((s, dir) =>
+      WindowedAggs.sliding(Tables.events(s, dir), "1 hour", "15 minutes")
+        .orderBy(col("window_start"), col("event_type"))),
+    // forward as-of join with look-ahead tolerance (next event per order)
+    "q84_next_event"        -> (graft.operators.AsOfJoin.nextEventQuery _),
+    // PMI association between co-occurring event types
+    "q85_event_type_pmi"    -> (CoreQueries.eventTypePmi _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

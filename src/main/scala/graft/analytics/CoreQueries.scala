@@ -778,6 +778,37 @@ object CoreQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q85: pointwise mutual information between event types that co-occur
+    * in the same user's history — PMI = ln(n_ab·N / (n_a·n_b)) over the
+    * per-user distinct type sets; the association metric behind word2vec-
+    * style co-occurrence factorization, here on the categorical stream.
+    *
+    * Scale shape: the self-join is keyed by user and each user contributes
+    * ≤ |type vocabulary| rows, so pair blow-up is bounded per key; the
+    * marginals and the user count are dimension-sized broadcasts.
+    */
+  def eventTypePmi(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = ut.select(countDistinct(col("user_id")).as("n_users"))
+    val tc = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(tc.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(tc.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .withColumn("pmi", round(log(col("n_ab").cast("double") * col("n_users")
+        / (col("n_a") * col("n_b")).cast("double")), 4))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("pmi"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)

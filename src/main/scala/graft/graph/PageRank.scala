@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -97,8 +97,20 @@ object PageRank {
       maxDepth: Int = 30): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    shortestPathsFrom(edges, Seq(source).toDF("id"), maxDepth)
+      .orderBy(col("dist"), col("id"))
+  }
+
+  /** [[shortestPaths]] generalized to a seed-vertex DataFrame (one `id`
+    * column, any key type) — the iterative body is key-type-agnostic, so
+    * integer-keyed graphs avoid pushing strings through every frontier
+    * shuffle. Unordered output.
+    */
+  def shortestPathsFrom(edges: DataFrame, sources: DataFrame,
+      maxDepth: Int = 30): DataFrame = {
     val e = edges.select(col("src"), col("dst")).cache()
-    var frontier = Seq((source, 0L)).toDF("id", "dist").localCheckpoint()
+    var frontier = sources.select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint()
     // visited = the lazy union of per-round frontiers, each checkpointed
     // ONCE when produced — re-checkpointing a single growing visited set
     // every round would rewrite O(V) rows per round (O(V·depth) total)
@@ -119,7 +131,7 @@ object PageRank {
     // report reachable vertices as unreachable — refuse to return it
     if (frontier.limit(1).count() > 0) throw new IllegalStateException(
       s"BFS frontier still non-empty at maxDepth=$maxDepth — raise maxDepth")
-    frontiers.reduce(_ union _).orderBy(col("dist"), col("id"))
+    frontiers.reduce(_ union _)
   }
 
   /** Directed customer→supplier "buys from" edges from orders⋈lineitem —
@@ -128,18 +140,33 @@ object PageRank {
     * Distinct-ed: the graph operators want a simple edge SET, not one
     * edge per lineitem.
     */
-  def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    purchaseEdgesInt(s, dir)
+      .select(decodeId(col("src")).as("src"), decodeId(col("dst")).as("dst"))
+
+  /** Integer-keyed purchase graph: customer c ↦ 2c, supplier s ↦ 2s+1 —
+    * the two key spaces interleave into one long, so every iterative
+    * shuffle (frontier joins, rank joins, distincts) carries an 8-byte
+    * key instead of a built string; [[decodeId]] reconstructs the
+    * `c:`/`s:` ids on the final (vertex-sized) projection only.
+    */
+  def purchaseEdgesInt(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    // distinct BEFORE the string concat: the dedup shuffle then carries two
-    // longs per row instead of two built strings (and builds each surviving
-    // string once, not once per lineitem)
+    // distinct on the integer pair: the dedup shuffle carries two longs
+    // per row, once per distinct pair — not once per lineitem
     o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .distinct()
-      .select(concat(lit("c:"), col("ck")).as("src"),
-        concat(lit("s:"), col("sk")).as("dst"))
+      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
   }
+
+  /** Inverse of the [[purchaseEdgesInt]] encoding (valid for both parities:
+    * (2k)>>1 = (2k+1)>>1 = k).
+    */
+  def decodeId(id: Column): Column =
+    concat(when(id.bitwiseAND(1) === 0, "c:").otherwise("s:"),
+      shiftright(id, 1))
 
   /** q57: PageRank over the directed purchase graph at exactly 5
     * iterations (tol=0 ⇒ the round count is fixed, so the unrolled
@@ -150,8 +177,8 @@ object PageRank {
     * below the rounding grain.
     */
   def pagerankQuery(s: SparkSession, dir: String): DataFrame =
-    run(purchaseEdges(s, dir), damping = 0.85, maxIter = 5, tol = 0.0)
-      .select(col("id"), round(col("rank"), 8).as("rank"))
+    run(purchaseEdgesInt(s, dir), damping = 0.85, maxIter = 5, tol = 0.0)
+      .select(decodeId(col("id")).as("id"), round(col("rank"), 8).as("rank"))
       .orderBy(col("id"))
 
   /** q58: BFS hop counts from customer 1 over the UNDIRECTED purchase
@@ -161,9 +188,13 @@ object PageRank {
     * truncation guard, not a tuning knob.
     */
   def bfsQuery(s: SparkSession, dir: String): DataFrame = {
-    val e = purchaseEdges(s, dir)
-    shortestPaths(
+    import s.implicits._
+    val e = purchaseEdgesInt(s, dir)
+    shortestPathsFrom(
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))),
-      source = "c:1", maxDepth = 10)
+      Seq(2L).toDF("id"), // c:1 under the 2c encoding
+      maxDepth = 10)
+      .select(decodeId(col("id")).as("id"), col("dist"))
+      .orderBy(col("dist"), col("id"))
   }
 }

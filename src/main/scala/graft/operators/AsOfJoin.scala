@@ -49,7 +49,28 @@ object AsOfJoin {
   def backward(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightCols: Seq[String],
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame =
+    sweep(left, right, key, leftTs, rightTs, rightCols, tolerance,
+      forward = false)
+
+  /** Forward as-of join: attach the right row with the SMALLEST timestamp
+    * ≥ the left timestamp (the "next observation" join — e.g. the first
+    * event after an order). Mirror image of [[backward]]: same single
+    * union-and-sweep shuffle, frame flipped to (currentRow,
+    * unboundedFollowing) with a `first(ignoreNulls)` sweep, tolerance
+    * bounding the look-AHEAD instead of the lookback.
+    */
+  def forward(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    sweep(left, right, key, leftTs, rightTs, rightCols, tolerance,
+      forward = true)
+
+  private def sweep(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      tolerance: Option[Long], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightCols.forall(!leftCols.contains(_)),
       s"rightCols ${rightCols.filter(leftCols.contains)} collide with left " +
@@ -76,38 +97,48 @@ object AsOfJoin {
           right.schema(rightTs).dataType))
       else Nil)
     val payloadType = org.apache.spark.sql.types.StructType(payloadFields)
-    // side 0 sorts before side 1 at equal ts → a right row AT the left
-    // row's timestamp is visible to it (inclusive ≤)
+    // at equal ts the RIGHT row must be visible to the left row (inclusive
+    // semantics both directions): backward sweeps look back, so rights
+    // sort first; forward sweeps look ahead, so lefts sort first
+    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
     val l = left
-      .select((Seq(col(key), col(leftTs).as("__ts"), lit(1).as("__side"))
+      .select((Seq(col(key), col(leftTs).as("__ts"), lit(leftSide).as("__side"))
         ++ leftCols.filterNot(_ == key).map(col)
         :+ lit(null).cast(payloadType).as("__r")): _*)
     // a null right timestamp would sort nulls-first (= -infinity) and leak
     // its payload into every otherwise-unmatched left row; ASOF semantics
     // never match on null, so drop such rows before the sweep
     val r = right.filter(col(rightTs).isNotNull)
-      .select((Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side"))
+      .select((Seq(col(key), col(rightTs).as("__ts"), lit(rightSide).as("__side"))
         ++ leftCols.filterNot(_ == key)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))
         :+ struct((rightCols.map(col) ++
           (if (tolerance.isDefined) Seq(col(rightTs).as("__rts")) else Nil)): _*)
           .as("__r")): _*)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w0 = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+    val w =
+      if (forward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sweepExpr =
+      if (forward) first(col("__r"), ignoreNulls = true)
+      else last(col("__r"), ignoreNulls = true)
     val swept = l.unionByName(r)
-      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__r", sweepExpr.over(w))
+      .filter(col("__side") === leftSide)
     val bounded = tolerance match {
       case Some(tol) =>
         // timestamp/date columns age in MICROS; numeric epoch columns in
-        // their own unit (plain subtraction); other types were rejected
+        // their own unit (plain subtraction); other types were rejected.
+        // Backward ages the attached row into the past, forward into the
+        // future — the distance is positive in the sweep direction either way
         val age = right.schema(rightTs).dataType match {
           case _: org.apache.spark.sql.types.NumericType =>
-            col("__ts") - col("__r.__rts")
+            if (forward) col("__r.__rts") - col("__ts")
+            else col("__ts") - col("__r.__rts")
           case _ =>
-            unix_micros(col("__ts").cast("timestamp")) -
-              unix_micros(col("__r.__rts").cast("timestamp"))
+            val ts = unix_micros(col("__ts").cast("timestamp"))
+            val rts = unix_micros(col("__r.__rts").cast("timestamp"))
+            if (forward) rts - ts else ts - rts
         }
         swept.withColumn("__r", when(age <= tol, col("__r")))
       case None => swept
@@ -133,5 +164,24 @@ object AsOfJoin {
       .select(col("event_id"), col("user_id"), col("ts"),
         col("last_orderkey"), round(col("last_totalprice"), 2).as("last_totalprice"))
       .orderBy(col("event_id"))
+  }
+
+  /** q84: each order annotated with the customer's FIRST event at or after
+    * the order date, within a 7-day look-ahead — the forward twin of q39
+    * (did the purchase get a follow-up signal, and which). Events are
+    * pre-reduced to the min event_id per (user, ts) so the attached row is
+    * deterministic on both engines.
+    */
+  def nextEventQuery(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+        col("o_orderdate"))
+    val e = graft.Tables.events(s, dir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("next_event_id"))
+    forward(o, e, "user_id", "o_orderdate", "ts", Seq("next_event_id"),
+        tolerance = Some(7L * 86400L * 1000000L))
+      .select(col("o_orderkey"), col("user_id"), col("next_event_id"))
+      .orderBy(col("o_orderkey"))
   }
 }

@@ -79,4 +79,44 @@ class JoinParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("forward as-of ≡ naive join + argmin across seeds, incl. tolerance") {
+    (1 to 5).foreach { seed =>
+      val rnd = new Random(seed)
+      val keys = Seq("a", "b", "c")
+      val right = (0 until 30).map { i =>
+        (keys(rnd.nextInt(keys.length)), (rnd.nextInt(50) * 20).toLong, s"r$i")
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        .toDF("k", "rts", "payload")
+      val left = (0 until 60).map { i =>
+        (i.toLong, keys(rnd.nextInt(keys.length)), rnd.nextInt(1100).toLong)
+      }.toDF("lid", "k", "lts")
+
+      for (tol <- Seq(None, Some(100L))) {
+        val naive = left.join(right, Seq("k"), "left")
+          .filter(col("rts").isNull
+            || (col("rts") >= col("lts")
+              && tol.map(t => col("rts") - col("lts") <= t).getOrElse(lit(true))))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("lid")).orderBy(col("rts").asc_nulls_last)))
+          .filter(col("rnk") === 1)
+          // a row may survive the left join but fail the direction filter's
+          // rts bound for every right row — those lefts match nothing
+          .select(col("lid"),
+            when(col("rts").isNotNull, col("payload")).as("payload"))
+          .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+
+        val fast = AsOfJoin.forward(left, right, "k", "lts", "rts",
+            Seq("payload"), tolerance = tol)
+          .collect().map(r => r.getAs[Long]("lid") -> Option(r.getAs[String]("payload")))
+          .toMap
+
+        val lids = left.select("lid").as[Long].collect()
+        lids.foreach { lid =>
+          assert(fast.getOrElse(lid, None) == naive.getOrElse(lid, None),
+            s"seed=$seed tol=$tol lid=$lid")
+        }
+      }
+    }
+  }
 }
