@@ -357,10 +357,146 @@ object Dedup {
       .orderBy(col("block"), col("id_a"), col("id_b"))
   }
 
-  /** q70: part names within distance ≤ 2 of each other, blocked by brand. */
+  /** Segment-blocked edit-distance pairs (PassJoin-style, Li et al.
+    * VLDB'11): EXACTLY the same pairs as [[editDistancePairs]], found
+    * without enumerating the block cross product.
+    *
+    * Pigeonhole: d edits distribute over d+1 disjoint segments of one
+    * string, so some segment survives unedited and appears VERBATIM in
+    * the other string, position-shifted by at most d. Each record is
+    * therefore indexed by its d+1 segments, and probes with every
+    * substring that could match a segment of a length-l string
+    * (l ∈ [len−d, len+d], start within ±d of the segment's home
+    * position). Candidates are the (i, l, substring) key collisions —
+    * near-identical strings only — then verified with the exact banded
+    * DP.
+    *
+    * Scale: the blocking key becomes (block, l, segment-index, content) —
+    * fine-grained regardless of the block column's cardinality (a
+    * 25-value brand column caps the naive join at 25-way parallelism and
+    * O(Σ block²) work; segment keys restore both). Probe fan-out is
+    * O((2d+1)²·(d+1)) keys per row — constant.
+    */
+  def editDistancePairsSegmented(recs: DataFrame, blockCol: String,
+      idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val d = maxDist
+    val k = d + 1 // segment count
+    // scheme(l): segment i of a length-l string has length
+    //   base (+1 for the last l%k segments), start = i·base + overflow
+    def segLen(l: Column, i: Column): Column =
+      (l / k).cast("int") + when(i >= lit(k) - pmod(l, lit(k)), 1).otherwise(0)
+    def segStart(l: Column, i: Column): Column =
+      (i * (l / k).cast("int")
+        + greatest(lit(0), i - (lit(k) - pmod(l, lit(k))))).cast("int")
+
+    val base = recs.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(textCol).as("s"), length(col(textCol)).as("n"))
+    // index side: the d+1 segments of each string with n ≥ k (every
+    // segment non-empty — the pigeonhole needs one unedited NON-EMPTY
+    // segment), keyed by (l = n, i, content)
+    val idx = base.filter(col("n") >= k)
+      .select(col("block"), col("id"), col("s"), col("n"),
+        explode(transform(sequence(lit(0), lit(d)), i =>
+          struct(i.as("i"),
+            col("s").substr(segStart(col("n"), i) + 1, segLen(col("n"), i))
+              .as("seg"))))
+          .as("e"))
+      .select(col("block"), col("id").as("id_b"), col("s").as("s_b"),
+        col("n").as("l"), col("e.i").as("i"), col("e.seg").as("seg"))
+    // probe side: for each plausible indexed length l ≥ k and segment i,
+    // every substring of this string with segment i's length at a start
+    // within ±d of the segment's home position (the shift window)
+    val probe = base.select(col("block"), col("id").as("id_a"),
+        col("s").as("s_a"),
+        explode(flatten(transform(
+          // both bounds clamped to ≥ k: for n+d < k the range would be
+          // DESCENDING (sequence never returns empty); the clamped l=k
+          // probe matches nothing because short strings are not indexed
+          sequence(greatest(col("n") - d, lit(k)),
+            greatest(col("n") + d, lit(k))), l0 => {
+            val l = l0.cast("int")
+            flatten(transform(sequence(lit(0), lit(d)), i => {
+              val li = segLen(l, i)
+              val pi = segStart(l, i)
+              val lo = greatest(lit(0), pi - d)
+              val hi = least(col("n").cast("int") - li, pi + d)
+              // sequence() is DESCENDING for hi < lo, never empty — clamp
+              // the bound, then drop the out-of-window positions
+              transform(filter(sequence(lo, greatest(hi, lo)), p => p <= hi),
+                p => struct(l.as("l"), i.as("i"),
+                  col("s").substr(p + 1, li).as("seg")))
+            }))
+          })))
+          .as("e"))
+      .select(col("block"), col("id_a"), col("s_a"),
+        col("e.l").as("l"), col("e.i").as("i"), col("e.seg").as("seg"))
+    val segCands = probe.join(idx, Seq("block", "l", "i", "seg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("block"), col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+    // catch-all for strings SHORTER than k, which the pigeonhole can't
+    // cover: they only reach strings of length ≤ n+d ≤ 2d, so both sides
+    // of this little block-local join hold ≤ 2d-char strings — bounded,
+    // and empty whenever the corpus has no near-empty strings
+    val shortCands = base.filter(col("n") <= d).as("x")
+      .join(base.filter(col("n") <= 2 * d).as("y"),
+        col("x.block") === col("y.block") && col("x.id") =!= col("y.id"))
+      .select(col("x.block").as("block"),
+        least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"),
+        when(col("x.id") < col("y.id"), col("x.s")).otherwise(col("y.s"))
+          .as("s_a"),
+        when(col("x.id") < col("y.id"), col("y.s")).otherwise(col("x.s"))
+          .as("s_b"))
+    segCands.union(shortCands)
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), d).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("block"), col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("block"), col("id_a"), col("id_b"))
+  }
+
+  /** [[editDistancePairsSegmented]] over DISTINCT text values, expanded
+    * back to record pairs — the canonicalize-then-mine discipline (the
+    * same move [[exactByHash]] makes for exact dedup): when the text
+    * column is low-cardinality (product names, titles, usernames), the
+    * miner touches each distinct string once and the per-record work
+    * collapses to output-bound expansion joins. Identical result set to
+    * the naive block join: cross-name pairs come from the distinct-level
+    * mining × the two name groups; same-name record pairs are distance 0
+    * by definition.
+    */
+  def editDistancePairsByText(recs: DataFrame, blockCol: String,
+      idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val rows = recs.select(col(blockCol).as("block"), col(idCol).as("rid"),
+      col(textCol).as("nm"))
+    val names = rows.select(col("block"), col("nm")).distinct()
+    // text as its own id: distinct strings, so ids are unique and the
+    // miner's strict id_a < id_b order is a total order over names
+    val namePairs = editDistancePairsSegmented(names, "block", "nm", "nm",
+      maxDist)
+    val expanded = namePairs
+      .join(rows.select(col("block"), col("nm").as("id_a"),
+        col("rid").as("ra")), Seq("block", "id_a"))
+      .join(rows.select(col("block"), col("nm").as("id_b"),
+        col("rid").as("rb")), Seq("block", "id_b"))
+      .select(col("block"), least(col("ra"), col("rb")).as("id_a"),
+        greatest(col("ra"), col("rb")).as("id_b"), col("dist"))
+    val sameName = rows.as("x").join(rows.as("y"),
+        col("x.block") === col("y.block") && col("x.nm") === col("y.nm")
+          && col("x.rid") < col("y.rid"))
+      .select(col("x.block").as("block"), col("x.rid").as("id_a"),
+        col("y.rid").as("id_b"), lit(0L).as("dist"))
+    expanded.union(sameName)
+      .orderBy(col("block"), col("id_a"), col("id_b"))
+  }
+
+  /** q70: part names within distance ≤ 2 of each other, blocked by brand —
+    * distinct-name segment mining + expansion (identical pairs to the
+    * naive block join, EditDistanceSpec-pinned both ways).
+    */
   def editDistanceQuery(s: SparkSession, dir: String): DataFrame =
-    editDistancePairs(Tables.part(s, dir), "p_brand", "p_partkey", "p_name",
-      maxDist = 2)
+    editDistancePairsByText(Tables.part(s, dir), "p_brand", "p_partkey",
+      "p_name", maxDist = 2)
 
   /** Connected components over an undirected near-dup pair graph:
     * (doc_id, cluster_id) where cluster_id is the minimum doc_id reachable

@@ -33,4 +33,43 @@ class EditDistanceSpec extends SparkSpec {
   test("cross-block identical strings never pair") {
     assert(!pairs(2).exists { case (a, b, _) => Set(a, b).contains(4L) })
   }
+
+  def segmented(df: org.apache.spark.sql.DataFrame, maxDist: Int): Set[(Long, Long, Long)] =
+    Dedup.editDistancePairsSegmented(df, "brand", "id", "name", maxDist)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  def naive(df: org.apache.spark.sql.DataFrame, maxDist: Int): Set[(Long, Long, Long)] =
+    Dedup.editDistancePairs(df, "brand", "id", "name", maxDist)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("segmented (PassJoin) path ≡ naive block join on the fixture") {
+    for (d <- 0 to 3) assert(segmented(recs, d) == naive(recs, d), s"d=$d")
+  }
+
+  def byText(df: org.apache.spark.sql.DataFrame, maxDist: Int): Set[(Long, Long, Long)] =
+    Dedup.editDistancePairsByText(df, "brand", "id", "name", maxDist)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("distinct-text mining + expansion ≡ naive block join on the fixture") {
+    for (d <- 0 to 3) assert(byText(recs, d) == naive(recs, d), s"d=$d")
+  }
+
+  test("segmented ≡ naive on a generated corpus incl. short strings") {
+    // deterministic mutation corpus: seeds + 1-3 char edits of seeds, some
+    // strings at/below d (the catch-all path), across two blocks
+    val seeds = Seq("kettle", "whisk", "abcdefgh", "ab", "a", "", "spatula")
+    val variants = for {
+      (s, si) <- seeds.zipWithIndex
+      (v, vi) <- Seq(s, s + "x", s.drop(1), s.take(3) + "Z" + s.drop(4),
+        s + "xy", "Q" + s).zipWithIndex
+    } yield ((si * 10 + vi).toLong, if (si % 2 == 0) "b1" else "b2", v)
+    val df = {
+      import spark.implicits._
+      variants.toDF("id", "brand", "name")
+    }
+    for (d <- 0 to 3) {
+      assert(segmented(df, d) == naive(df, d), s"segmented d=$d")
+      assert(byText(df, d) == naive(df, d), s"byText d=$d")
+    }
+  }
 }
