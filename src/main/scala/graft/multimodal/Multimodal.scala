@@ -221,7 +221,8 @@ object Multimodal {
           1, maxFrames).as("frame_indices"))
 
   /** "Resize" planning: target dims preserving aspect ratio (metadata only;
-    * the pixel work belongs to the stubbed codec layer).
+    * videos stop here — their pixel work needs the out-of-scope frame
+    * decoder; images continue into [[resizeImages]]).
     */
   def resizePlan(feats: DataFrame, maxDim: Int): DataFrame =
     feats.filter(col("kind").isin("image", "video"))
@@ -230,6 +231,47 @@ object Multimodal {
       .select(col("media_id"),
         round(col("width") * col("scale")).cast("int").as("target_width"),
         round(col("height") * col("scale")).cast("int").as("target_height"))
+
+  /** REAL aspect-preserving image downscale: decode (javax.imageio) →
+    * bilinear Graphics2D redraw → PNG re-encode, per-partition over the
+    * typed Dataset like [[decode]]. Images already within `maxDim` pass
+    * through untouched (no useless re-encode); undecodable payloads pass
+    * through unchanged rather than dying mid-batch — the quarantine
+    * discipline. Pure-JDK and headless-safe.
+    */
+  def resizeImages(spark: SparkSession, media: Dataset[MediaRow],
+      maxDim: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { row =>
+      if (row.kind != "image") row
+      else {
+        val decoded = try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.content)))
+        } catch { case _: java.io.IOException => None }
+        decoded match {
+          case Some(img) if math.max(img.getWidth, img.getHeight) > maxDim =>
+            val s = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+            val (tw, th) = (math.max(1, math.round(img.getWidth * s).toInt),
+              math.max(1, math.round(img.getHeight * s).toInt))
+            val out = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, tw, th, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val bytes = bos.toByteArray
+            row.copy(content = bytes, content_length = bytes.length.toLong)
+          case _ => row
+        }
+      }
+    })
+  }
 
   /** In-memory PNG encode of a deterministic gradient image (test/demo data
     * that the REAL image decoder parses).

@@ -127,6 +127,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeImages: real pixel downscale, pass-through for small/non-image/corrupt") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", "mem://big",
+        Multimodal.syntheticPng(64, 32, 1), 0L, "image/png"),
+      Multimodal.MediaRow(2L, "image", "mem://small",
+        Multimodal.syntheticPng(10, 8, 2), 0L, "image/png"),
+      Multimodal.MediaRow(3L, "audio", "mem://wav",
+        Multimodal.syntheticWav(100, 3), 0L, "audio/wav"),
+      Multimodal.MediaRow(4L, "image", "mem://corrupt",
+        Array[Byte](1, 2, 3), 3L, "image/png"))
+    val out = Multimodal.resizeImages(spark, rows.toDS(), maxDim = 16)
+      .collect().map(r => r.media_id -> r).toMap
+    // 64x32 → 16x8, genuinely re-encoded and decodable at the new dims
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).content))
+    assert(resized.getWidth == 16 && resized.getHeight == 8)
+    assert(out(1L).content_length == out(1L).content.length.toLong)
+    // already within bounds → byte-identical pass-through (no re-encode)
+    assert(out(2L).content.sameElements(rows(1).content))
+    // non-image and undecodable rows flow through unchanged
+    assert(out(3L).content.sameElements(rows(2).content))
+    assert(out(4L).content.sameElements(rows(3).content))
+  }
+
   test("metadata ops prune the binary payload from the scan") {
     // write as parquet, read back, and check the physical ReadSchema
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
