@@ -1169,6 +1169,57 @@ object OracleSql {
         |CROSS JOIN nu
         |ORDER BY type_a, type_b""".stripMargin,
 
+    // day − row_number() is constant within a consecutive-day run: the
+    // gaps-and-islands grouping without a self-join.
+    "q86_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+        |  FROM isl GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT user_id, len, start_day,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start_day) AS rn,
+        |    sum(len) OVER (PARTITION BY user_id) AS tot
+        |  FROM st)
+        |SELECT user_id, len AS streak_len, start_day AS streak_start,
+        |  CAST(tot AS BIGINT) AS n_active_days
+        |FROM sel WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q87_nation_regression" ->
+      """SELECT n_name AS nation, count(*) AS n,
+        |  round(regr_slope(o_totalprice, x), 4) AS slope,
+        |  round(regr_intercept(o_totalprice, x), 2) AS intercept,
+        |  round(regr_r2(o_totalprice, x), 6) AS r2
+        |FROM (
+        |  SELECT o_totalprice, o_custkey,
+        |    CAST(datediff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS DOUBLE) AS x
+        |  FROM orders)
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY nation""".stripMargin,
+
+    "q88_modal_priority" ->
+      """WITH counts AS (
+        |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |    count(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT segment, priority AS mode_priority, n
+        |FROM (SELECT *, row_number() OVER (PARTITION BY segment
+        |        ORDER BY n DESC, priority) AS rn FROM counts)
+        |WHERE rn = 1
+        |ORDER BY segment""".stripMargin,
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

@@ -187,7 +187,13 @@ object SparkEntry {
     // forward as-of join with look-ahead tolerance (next event per order)
     "q84_next_event"        -> (graft.operators.AsOfJoin.nextEventQuery _),
     // PMI association between co-occurring event types
-    "q85_event_type_pmi"    -> (CoreQueries.eventTypePmi _)
+    "q85_event_type_pmi"    -> (CoreQueries.eventTypePmi _),
+    // gaps-and-islands: longest consecutive-day streak per user
+    "q86_activity_streaks"  -> (graft.operators.TimeSeries.streaksQuery _),
+    // per-group OLS regression (slope/intercept/r²) in one grouped pass
+    "q87_nation_regression" -> (CoreQueries.nationRegression _),
+    // deterministic per-group mode with pinned tie-break
+    "q88_modal_priority"    -> (CoreQueries.modalPriority _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

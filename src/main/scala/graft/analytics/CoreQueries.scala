@@ -809,6 +809,54 @@ object CoreQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** q87: per-nation ordinary-least-squares trend of order value over
+    * time — `regr_slope`/`regr_intercept`/`regr_r2` of totalprice against
+    * days-since-epoch-start. The OLS moments are algebraic aggregates
+    * (sum, sum², cross-sum), so Spark computes them map-side-combined in
+    * the same single shuffle as the count — per-group regression at 100 TB
+    * costs exactly one grouped pass, never a per-group fit loop.
+    */
+  def nationRegression(s: SparkSession, dir: String): DataFrame = {
+    val x = datediff(to_date(col("o_orderdate")),
+      lit("1992-01-01").cast("date")).cast("double")
+    val y = col("o_totalprice")
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        round(regr_slope(y, x), 4).as("slope"),
+        round(regr_intercept(y, x), 2).as("intercept"),
+        round(regr_r2(y, x), 6).as("r2"))
+      .orderBy(col("nation"))
+  }
+
+  /** q88: deterministic per-group mode — the most frequent order priority
+    * per market segment, ties broken by the smallest priority string.
+    * Spark's built-in `mode()` is tie-arbitrary (hash-map iteration
+    * order), so cross-engine determinism requires the count-then-rank
+    * formulation; the rank window runs over the (segment × priority)
+    * count table, which is dimension-sized however big the fact table is.
+    */
+  def modalPriority(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+    val best = Window.partitionBy(col("segment"))
+      .orderBy(col("n").desc, col("priority"))
+    counts.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("segment"), col("priority").as("mode_priority"), col("n"))
+      .orderBy(col("segment"))
+  }
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)

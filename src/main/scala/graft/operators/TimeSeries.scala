@@ -89,4 +89,40 @@ object TimeSeries {
       .select(col("user_id"), col("run_id"), col("event_type"),
         col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
       .orderBy(col("user_id"), col("run_id"))
+
+  /** Gaps-and-islands: collapse a per-key set of active days into maximal
+    * consecutive-day runs. The island id is `day − row_number()` — constant
+    * within a run, strictly decreasing across gaps — so the grouping needs
+    * no self-join or iterative closure, just one (key)-partitioned window
+    * followed by a groupBy that reuses the same clustering: one shuffle
+    * total regardless of streak length.
+    */
+  def streaks(days: DataFrame, keyCol: String, dayCol: String): DataFrame = {
+    val byDay = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    days
+      .withColumn("__grp", date_sub(col(dayCol), row_number().over(byDay)))
+      .groupBy(col(keyCol), col("__grp"))
+      .agg(count(lit(1)).as("len"), min(col(dayCol)).as("start_day"))
+      .drop("__grp")
+  }
+
+  /** q86: longest consecutive-day activity streak per user (tie → the
+    * earliest streak), plus the user's total active-day count. The
+    * best-streak pick and the total ride the SAME user partitioning as
+    * [[streaks]], so the whole query is one keyed exchange of the
+    * distinct (user, day) pairs.
+    */
+  def streaksQuery(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val st = streaks(days, "user_id", "day")
+    val byUser = Window.partitionBy(col("user_id"))
+    val best = byUser.orderBy(col("len").desc, col("start_day"))
+    st.withColumn("rn", row_number().over(best))
+      .withColumn("tot", sum(col("len")).over(byUser))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("len").as("streak_len"),
+        col("start_day").as("streak_start"), col("tot").as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
 }

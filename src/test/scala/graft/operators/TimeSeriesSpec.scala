@@ -55,4 +55,41 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq == Seq((1L, "a"), (2L, "b")))
   }
+
+  test("streaks: consecutive days form one island, gaps split, singletons count") {
+    val days = Seq(
+      ("u1", "2024-01-01"), ("u1", "2024-01-02"), ("u1", "2024-01-03"),
+      ("u1", "2024-01-05"),                       // gap → new island
+      ("u2", "2024-02-10")                        // lone day
+    ).toDF("user_id", "day").withColumn("day", to_date(col("day")))
+    val out = TimeSeries.streaks(days, "user_id", "day")
+      .orderBy("user_id", "start_day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString))
+    assert(out.toSeq == Seq(
+      ("u1", 3L, "2024-01-01"), ("u1", 1L, "2024-01-05"),
+      ("u2", 1L, "2024-02-10")))
+  }
+
+  test("streaks: month and year boundaries do not break a run") {
+    val days = Seq(("u", "2023-12-31"), ("u", "2024-01-01"), ("u", "2024-01-02"))
+      .toDF("user_id", "day").withColumn("day", to_date(col("day")))
+    val out = TimeSeries.streaks(days, "user_id", "day").collect()
+    assert(out.length == 1 && out(0).getLong(1) == 3L)
+  }
+
+  test("streaksQuery ties: equal-length streaks pick the earliest start") {
+    // build via streaks on a crafted frame mirroring the query's tail logic:
+    // two 2-day islands for one user — the query must report the first
+    val days = Seq(
+      ("u", "2024-01-01"), ("u", "2024-01-02"),
+      ("u", "2024-03-01"), ("u", "2024-03-02")
+    ).toDF("user_id", "day").withColumn("day", to_date(col("day")))
+    val st = TimeSeries.streaks(days, "user_id", "day")
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("len").desc, col("start_day"))
+    val top = st.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1).collect()
+    assert(top.length == 1 && top(0).getAs[java.sql.Date]("start_day")
+      .toString == "2024-01-01")
+  }
 }
