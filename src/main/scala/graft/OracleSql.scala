@@ -1220,6 +1220,54 @@ object OracleSql {
         |WHERE rn = 1
         |ORDER BY segment""".stripMargin,
 
+    // init-less list_reduce seeds with the first element — the same
+    // seeding as the Spark side's element_at(xs, 1) + slice fold; the
+    // 0.3/0.7 coefficients are spelled on both sides (never 1 − α) so
+    // the float recursion is bit-identical.
+    "q89_ewma_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type,
+        |    list(CAST(n AS DOUBLE) ORDER BY day) AS xs,
+        |    count(*) AS n_days, max(day) AS last_day
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, last_day,
+        |  round(list_reduce(xs, (a, b) ->
+        |    CAST(0.3 AS DOUBLE) * b + CAST(0.7 AS DOUBLE) * a), 6) AS ewma
+        |FROM ser
+        |ORDER BY event_type""".stripMargin,
+
+    "q90_price_histogram" ->
+      """WITH counts AS (
+        |  SELECT least(CAST(floor(o_totalprice / CAST(25000 AS DOUBLE))
+        |      AS BIGINT), 23) AS bucket, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |grid AS (SELECT unnest(range(24)) AS bucket)
+        |SELECT g.bucket,
+        |  g.bucket * CAST(25000 AS DOUBLE) AS lo,
+        |  (g.bucket + 1) * CAST(25000 AS DOUBLE) AS hi,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM grid g LEFT JOIN counts c ON g.bucket = c.bucket
+        |ORDER BY g.bucket""".stripMargin,
+
+    // skyline on distinct profiles: sorted by (price asc, size desc), a
+    // profile is dominated iff an earlier row's size ≥ its own — the
+    // running-max window replaces the dominance self-join.
+    "q91_part_frontier" ->
+      """WITH prof AS (
+        |  SELECT DISTINCT p_brand, p_retailprice, p_size FROM part),
+        |m AS (
+        |  SELECT p_brand, p_retailprice, p_size,
+        |    max(p_size) OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice ASC, p_size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM prof)
+        |SELECT p_brand AS brand, p_retailprice AS price, p_size AS part_size
+        |FROM m WHERE pm IS NULL OR pm < p_size
+        |ORDER BY brand, price, part_size""".stripMargin,
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

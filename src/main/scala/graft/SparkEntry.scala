@@ -193,7 +193,13 @@ object SparkEntry {
     // per-group OLS regression (slope/intercept/r²) in one grouped pass
     "q87_nation_regression" -> (CoreQueries.nationRegression _),
     // deterministic per-group mode with pinned tie-break
-    "q88_modal_priority"    -> (CoreQueries.modalPriority _)
+    "q88_modal_priority"    -> (CoreQueries.modalPriority _),
+    // EWMA smoothing via higher-order fold (recursion windows can't do)
+    "q89_ewma_daily"        -> (CoreQueries.ewmaDailyEvents _),
+    // fixed-grid equi-width histogram with explicit empty buckets
+    "q90_price_histogram"   -> (CoreQueries.priceHistogram _),
+    // per-brand Pareto frontier via running-max (no dominance self-join)
+    "q91_part_frontier"     -> (CoreQueries.partFrontier _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -857,6 +857,87 @@ object CoreQueries {
       .orderBy(col("segment"))
   }
 
+  /** q89: exponentially-weighted moving average of the daily event volume
+    * per event type — the classic smoothing primitive whose recursion
+    * s_i = α·x_i + (1−α)·s_{i−1} SQL window frames can't express. The
+    * fold runs as a higher-order `aggregate` over each type's day-ordered
+    * series, seeded with the first observation (DuckDB's init-less
+    * `list_reduce` mirrors that seeding exactly; the α/(1−α) coefficients
+    * are spelled identically on both sides so the fp fold is bit-equal).
+    *
+    * State is bounded: `collect_list` holds one entry per (type, day) —
+    * the calendar horizon, not the event count — so a 100 TB event table
+    * still folds a few-thousand-element array per type.
+    */
+  def ewmaDailyEvents(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("xs"),
+        count(lit(1)).as("n_days"), max(col("day")).as("last_day"))
+      .select(col("event_type"), col("n_days"), col("last_day"),
+        round(aggregate(
+          expr("slice(xs, 2, size(xs) - 1)"),
+          element_at(col("xs"), 1).getField("n").cast("double"),
+          (acc, x) => lit(0.3) * x.getField("n").cast("double")
+            + lit(0.7) * acc), 6).as("ewma"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q90: equi-width histogram of order values over a FIXED grid
+    * ([0, 600k) in 24 buckets) — fixed bounds keep the bucket function a
+    * pure per-row expression (no min/max pre-scan) and make histograms
+    * from different data slices directly addable. The bucket-id grid is
+    * generated and left-joined so empty buckets surface as explicit
+    * zeros; the grid side is 24 rows, broadcast by construction.
+    */
+  def priceHistogram(s: SparkSession, dir: String): DataFrame = {
+    val width = 25000.0
+    val counts = Tables.orders(s, dir)
+      .select(least(floor(col("o_totalprice") / lit(width)), lit(23L))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    s.range(24).toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (col("bucket") * lit(width)).as("lo"),
+        ((col("bucket") + 1) * lit(width)).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Pareto frontier (skyline) per group: the distinct (cost, benefit)
+    * profiles not dominated by any other (lower-or-equal cost AND
+    * higher-or-equal benefit, one strict). On DISTINCT profiles sorted by
+    * (cost asc, benefit desc), a row is dominated iff some EARLIER row has
+    * benefit ≥ its own — so one running-max window over the group replaces
+    * the quadratic dominance self-join, and the distinct-profile
+    * restriction is what makes that single-pass test exact (equal-profile
+    * duplicates would otherwise shadow each other despite neither
+    * dominating).
+    */
+  def paretoFrontier(rows: DataFrame, groupCol: String, costCol: String,
+      benefitCol: String): DataFrame = {
+    val prof = rows.select(col(groupCol), col(costCol), col(benefitCol))
+      .distinct()
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(costCol).asc, col(benefitCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    prof.withColumn("__pm", max(col(benefitCol)).over(w))
+      .filter(col("__pm").isNull || col("__pm") < col(benefitCol))
+      .drop("__pm")
+  }
+
+  /** q91: the price-vs-size Pareto frontier of the part catalog per brand
+    * — "no cheaper part of this brand is at least as large".
+    */
+  def partFrontier(s: SparkSession, dir: String): DataFrame =
+    paretoFrontier(Tables.part(s, dir), "p_brand", "p_retailprice", "p_size")
+      .select(col("p_brand").as("brand"), col("p_retailprice").as("price"),
+        col("p_size").as("part_size"))
+      .orderBy(col("brand"), col("price"), col("part_size"))
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
