@@ -1268,6 +1268,74 @@ object OracleSql {
         |FROM m WHERE pm IS NULL OR pm < p_size
         |ORDER BY brand, price, part_size""".stripMargin,
 
+    // Plain every-token inverted index: the prefix filter is a
+    // semantics-neutral optimization (candidate SUPERSET + exact verify),
+    // so the oracle states only the measure. Division spelled as
+    // c / (na + nb − c) with both operands cast to DOUBLE on both sides
+    // → identical bits → the τ boundary can't disagree.
+    "q92_token_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM tok a JOIN tok b
+        |    ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jac
+        |  FROM common
+        |  JOIN sz na ON na.doc_id = id_a
+        |  JOIN sz nb ON nb.doc_id = id_b)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= CAST(0.9 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The MG sketch + recheck is semantics-neutral (guaranteed candidate
+    // superset, then exact counts): the oracle states only the measure.
+    // n·64 > total is pure integer — no boundary fp risk.
+    "q93_heavy_tokens" ->
+      """WITH tok AS (
+        |  SELECT token FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |tot AS (SELECT count(*) AS total FROM tok),
+        |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
+        |SELECT token, n FROM c, tot
+        |WHERE n * 64 > total
+        |ORDER BY n DESC, token""".stripMargin,
+
+    // Peeling unrolled to 8 rounds — the measured fixpoint is ≤ 2
+    // effective rounds at every SF and peel rounds are idempotent at
+    // fixpoint, so rounds 3-8 are no-ops; the Spark side iterates to
+    // stability and THROWS past 8 rounds, so both engines can only ever
+    // report the same (fixpoint) table.
+    "q94_kcore" -> {
+      // MATERIALIZED is load-bearing: e_{i−1} is referenced three times
+      // per round, so inlined CTEs would re-expand the base scan 3^8
+      // times (DuckDB then dies on fd exhaustion before it dies on time).
+      val rounds = (1 to 8).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
+           |  HAVING count(*) >= 10),
+           |e$i AS MATERIALIZED (SELECT c.src, c.dst FROM e${i - 1} c
+           |  JOIN d$i a ON c.src = a.src
+           |  JOIN d$i b2 ON c.dst = b2.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e0 AS MATERIALIZED (SELECT src, dst FROM b UNION SELECT dst, src FROM b),
+         |$rounds
+         |SELECT CASE WHEN src % 2 = 0 THEN 'c:' || (src >> 1)
+         |            ELSE 's:' || (src >> 1) END AS id,
+         |  count(*) AS deg
+         |FROM e8 GROUP BY 1
+         |ORDER BY id""".stripMargin
+    },
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

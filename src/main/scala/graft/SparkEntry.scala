@@ -199,7 +199,13 @@ object SparkEntry {
     // fixed-grid equi-width histogram with explicit empty buckets
     "q90_price_histogram"   -> (CoreQueries.priceHistogram _),
     // per-brand Pareto frontier via running-max (no dominance self-join)
-    "q91_part_frontier"     -> (CoreQueries.partFrontier _)
+    "q91_part_frontier"     -> (CoreQueries.partFrontier _),
+    // PPJoin: prefix-filtered exact token-set Jaccard self-join
+    "q92_token_jaccard_pairs" -> (graft.dedup.PPJoin.similarPairsQuery _),
+    // Misra–Gries bounded-state candidates + exact broadcast recheck
+    "q93_heavy_tokens"      -> (TextOps.heavyTokensQuery _),
+    // k-core peeling to fixpoint (unrolled-round oracle, throw on overrun)
+    "q94_kcore"             -> (graft.graph.KCore.kcoreQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

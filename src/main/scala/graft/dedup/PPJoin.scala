@@ -1,0 +1,129 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextOps
+
+/** Prefix-filtered set-similarity self-join (PPJoin-style): exact
+  * token-set Jaccard pairs at threshold τ, mined without indexing every
+  * token.
+  *
+  * The prefix-filter theorem: order every document's distinct tokens by a
+  * single GLOBAL ordering (here: document frequency ascending, rarest
+  * first, ties by token) and keep only each document's first
+  * |x| − ⌈τ·|x|⌉ + 1 tokens (its "prefix"). Any pair with
+  * J(a,b) ≥ τ must share at least one PREFIX token — if two sets are
+  * disjoint on both prefixes, their overlap is at most
+  * min(|a|,|b|) − prefix coverage, which algebra bounds below τ. So an
+  * inverted index over prefixes alone generates a candidate superset,
+  * and the expensive index over frequent tokens (the ones whose buckets
+  * explode quadratically — exactly the ones the df-ascending order pushes
+  * OUT of prefixes) is never built. [[Dedup.jaccardPairs]] attacks the
+  * same problem by dropping hot shingles (df cap, approximating the
+  * universe); PPJoin keeps the measure EXACT and shrinks the index
+  * instead — complementary trade-offs.
+  *
+  * Candidates then pass the length filter (J ≥ τ forces
+  * τ·max(|a|,|b|) ≤ min(|a|,|b|)) before exact verification, which joins
+  * the pair list back to per-doc sorted token arrays and computes
+  * |A∩B| / |A∪B| precisely. Verification cost is per-candidate, and the
+  * prefix+length filters keep candidates near the true-pair count.
+  *
+  * Scale shape: df ranking and the prefix index shuffle by token; the
+  * candidate join output is pair-keyed; verification is two hash joins
+  * against the doc→array table (arrays are per-doc token sets, megabyte-
+  * bounded). No stage is ever doc×doc.
+  */
+object PPJoin {
+
+  /** Distinct (doc_id, token) pairs of a corpus. */
+  def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+
+  /** Exact Jaccard ≥ τ pairs over distinct token sets. */
+  def similarPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val tok = docTokens(docs).cache()
+
+    // global rarity order: df ascending, token ascending — every doc sorts
+    // its tokens by the SAME order or the prefix theorem does not hold
+    val dfWin = Window.partitionBy(col("token"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("token"))
+    val szWin = Window.partitionBy(col("doc_id"))
+    val ranked = tok
+      .withColumn("df", count(lit(1)).over(dfWin))
+      .withColumn("pos", row_number().over(byRarity))
+      .withColumn("sz", count(lit(1)).over(szWin))
+
+    // prefix: first |x| − ⌈τ|x|⌉ + 1 tokens in rarity order
+    val prefix = ranked.filter(
+      col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+
+    // candidate pairs from the prefix-only inverted index + length filter
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.token") === col("b.token")
+          && col("a.doc_id") < col("b.doc_id"))
+      .filter(lit(threshold) * greatest(col("a.sz"), col("b.sz"))
+        <= least(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    // exact verification on full sets
+    val sets = tok.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("token"))).as("toks"),
+        count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("toks").as("toks_a"),
+        col("sz").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("toks").as("toks_b"),
+        col("sz").as("n_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The unfiltered baseline: every-token inverted index (the plan PPJoin
+    * avoids). Kept for the parity spec — both must produce identical
+    * pairs on any corpus.
+    */
+  def bruteForcePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val tok = docTokens(docs)
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    tok.as("a")
+      .join(tok.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q92: token-set near-dup pairs over the document corpus at τ = 0.9.
+    * (q25 is the 5-shingle variant of the same corpus — word ORDER
+    * matters there; here only vocabulary overlap does. The corpus draws
+    * from a small shared vocabulary, so pairwise token-set Jaccard is
+    * high across the board — τ must sit in the true near-dup regime or
+    * the "similar" relation degenerates to all-pairs; measured: τ = 0.5
+    * matches ~73% of all pairs, τ = 0.9 the ~9% that share ≥90% of
+    * vocabulary. High τ is also where the prefix filter prunes hardest:
+    * prefix length ≈ |x|/10 + 1.)
+    */
+  def similarPairsQuery(s: SparkSession, dir: String): DataFrame =
+    similarPairs(Tables.documents(s, dir), threshold = 0.9)
+}

@@ -76,6 +76,23 @@ object GraftFunctions {
     TopKLargest(args(0), k).toAggregateExpression()
   }
 
+  private def heavyCandidatesBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"graft_heavy_candidates expects 2 arguments, got ${args.length}")
+    val kExpr = args(1)
+    require(kExpr.foldable,
+      "graft_heavy_candidates' k argument must be a constant integer")
+    val k = kExpr.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_heavy_candidates' k argument must be a constant integer, got $other")
+    }
+    MisraGriesCandidates(args(0), k).toAggregateExpression()
+  }
+
   /** One (name, info, arity-checked builder) triple per engine function —
     * the single source both registration paths install from.
     */
@@ -95,7 +112,11 @@ object GraftFunctions {
       lshBucketBuilder _),
     ("graft_topk",
       new ExpressionInfo(classOf[TopKLargest].getCanonicalName, "graft_topk"),
-      topkBuilder _))
+      topkBuilder _),
+    ("graft_heavy_candidates",
+      new ExpressionInfo(classOf[MisraGriesCandidates].getCanonicalName,
+        "graft_heavy_candidates"),
+      heavyCandidatesBuilder _))
 
   /** Idempotent runtime registration into the session's function registry. */
   def register(spark: SparkSession): Unit =
@@ -113,6 +134,9 @@ object GraftFunctions {
     call_function("graft_lsh_bucket", v, org.apache.spark.sql.functions.lit(bits))
   def topk(v: Column, k: Int): Column =
     call_function("graft_topk", v, org.apache.spark.sql.functions.lit(k))
+  def heavyCandidates(v: Column, k: Int): Column =
+    call_function("graft_heavy_candidates", v,
+      org.apache.spark.sql.functions.lit(k))
 }
 
 /** `spark.sql.extensions` entry point — installs the same functions

@@ -320,4 +320,50 @@ object TextOps {
 
   def entropyQuery(s: SparkSession, dir: String): DataFrame =
     tokenEntropy(Tables.documents(s, dir))
+
+  /** Exact heavy hitters by two bounded passes: items with frequency
+    * strictly above n/k.
+    *
+    * Pass 1 runs the [[graft.functions.MisraGriesCandidates]] sketch —
+    * every mapper keeps ≤ k−1 counters regardless of vocabulary size, and
+    * the merged survivors are a GUARANTEED superset of the true heavy
+    * hitters. Pass 2 broadcast-semi-joins the ≤ k−1 candidates back and
+    * counts them exactly, then applies the integer predicate n·k > total
+    * (no floating point, so engines can't disagree at the boundary).
+    *
+    * vs a plain `groupBy(item).count()`: that shuffles one partial per
+    * DISTINCT item per mapper — fine for a 31-token corpus, ruinous for
+    * an open vocabulary (URLs, user-ids) at 100 TB. The sketch bounds
+    * pass-1 state by k, not by vocabulary. The recheck pass makes the
+    * output exact and merge-order-independent (MG counters alone are
+    * neither).
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(items.sparkSession)
+    val cand = items
+      .agg(graft.functions.GraftFunctions.heavyCandidates(col(itemCol), k)
+        .as("c"))
+      .select(explode(col("c")).as(itemCol))
+    val tot = items.agg(count(lit(1)).as("total"))
+    items.join(broadcast(cand), Seq(itemCol), "left_semi")
+      .groupBy(col(itemCol)).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n") * k > col("total"))
+      .select(col(itemCol), col("n"))
+      .orderBy(col("n").desc, col(itemCol))
+  }
+
+  /** q93: tokens covering more than 1/64 of the corpus token stream.
+    * (This synthetic corpus draws from a ~31-token vocabulary, so the
+    * sketch's eviction path never fires here — the candidate buffer
+    * never fills; MisraGriesSpec exercises eviction and merge-compaction
+    * on skewed crafted streams. The recheck output is exact either way.)
+    */
+  def heavyTokensQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    heavyHitters(
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token")),
+      "token", k = 64)
+  }
 }
