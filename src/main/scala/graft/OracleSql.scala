@@ -1336,6 +1336,82 @@ object OracleSql {
          |ORDER BY id""".stripMargin
     },
 
+    "q95_association_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |nb AS (SELECT count(DISTINCT o) AS n_baskets FROM b),
+        |ic AS (SELECT p, count(*) AS n_item FROM b GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p AS item_a, b2.p AS item_b, count(*) AS n_ab
+        |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(na.n_item AS DOUBLE), 6)
+        |    AS conf_a_to_b,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(nb2.n_item AS DOUBLE), 6)
+        |    AS conf_b_to_a,
+        |  round(CAST(n_ab * n_baskets AS DOUBLE)
+        |    / CAST(na.n_item * nb2.n_item AS DOUBLE), 6) AS lift
+        |FROM pairs
+        |JOIN ic na ON na.p = item_a
+        |JOIN ic nb2 ON nb2.p = item_b
+        |CROSS JOIN nb
+        |WHERE n_ab >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // The Bloom prefilter is a candidate-superset pass with exact
+    // removal after it — the oracle is the PLAIN semi-join.
+    "q96_bloom_semijoin" ->
+      """SELECT o_orderpriority AS priority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+        |GROUP BY 1
+        |ORDER BY priority""".stripMargin,
+
+    "q97_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type, c_mktsegment AS segment, count(*) AS o
+        |  FROM events JOIN customer ON c_custkey = user_id
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o,
+        |    sum(o) OVER (PARTITION BY event_type) AS row_tot,
+        |    sum(o) OVER (PARTITION BY segment) AS col_tot,
+        |    sum(o) OVER () AS n,
+        |    event_type, segment
+        |  FROM cells),
+        |e AS (
+        |  SELECT o, event_type, segment, n,
+        |    CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE) AS ex
+        |  FROM m)
+        |SELECT
+        |  round(sum(pow(CAST(o AS DOUBLE) - ex, 2) / ex), 4) AS chi2,
+        |  CAST((count(DISTINCT event_type) - 1)
+        |    * (count(DISTINCT segment) - 1) AS BIGINT) AS dof,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM e""".stripMargin,
+
+    // One plain global window states the ranking; the Spark side builds
+    // the identical ranks with bucket-local windows + broadcast prefix
+    // offsets (the zipWithIndex pattern) — semantics-neutral.
+    "q98_gini_spend" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS id, round(sum(o_totalprice), 2) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, id) AS i FROM spend),
+        |a AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  round(sx, 2) AS total_spend,
+        |  round((CAST(2 AS DOUBLE) * six) / (n * sx)
+        |    - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+        |FROM a""".stripMargin,
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

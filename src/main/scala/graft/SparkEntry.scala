@@ -205,7 +205,15 @@ object SparkEntry {
     // Misra–Gries bounded-state candidates + exact broadcast recheck
     "q93_heavy_tokens"      -> (TextOps.heavyTokensQuery _),
     // k-core peeling to fixpoint (unrolled-round oracle, throw on overrun)
-    "q94_kcore"             -> (graft.graph.KCore.kcoreQuery _)
+    "q94_kcore"             -> (graft.graph.KCore.kcoreQuery _),
+    // market-basket association rules (support/confidence/lift)
+    "q95_association_rules" -> (graft.analytics.Association.partRulesQuery _),
+    // Bloom-prefiltered semi-join (oracle: the plain semi-join)
+    "q96_bloom_semijoin"    -> (graft.operators.BloomJoin.flaggedRevenueQuery _),
+    // χ² independence test over the contingency-cell table
+    "q97_chi_square"        -> (CoreQueries.chiSquareSegments _),
+    // Gini concentration with distributed (bucket-offset) global ranking
+    "q98_gini_spend"        -> (CoreQueries.giniSpend _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

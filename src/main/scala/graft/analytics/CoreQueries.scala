@@ -938,6 +938,94 @@ object CoreQueries {
         col("p_size").as("part_size"))
       .orderBy(col("brand"), col("price"), col("part_size"))
 
+  /** q97: χ² independence test between event type and the acting
+    * customer's market segment — "does behavior depend on segment?", the
+    * categorical-association significance primitive (q85's PMI measures
+    * per-pair strength; χ² tests the whole table).
+    *
+    * One fact-table pass builds the contingency cells; every marginal
+    * (row totals, column totals, grand total) is a window over the
+    * CELL table, which is |types|×|segments| rows no matter how many
+    * events exist — the statistic costs one grouped aggregate at any
+    * scale.
+    */
+  def chiSquareSegments(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment")), "user_id")
+      .groupBy(col("event_type"), col("segment"))
+      .agg(count(lit(1)).as("o"))
+    val byType = Window.partitionBy(col("event_type"))
+    val bySeg = Window.partitionBy(col("segment"))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("row_tot", sum(col("o")).over(byType))
+      .withColumn("col_tot", sum(col("o")).over(bySeg))
+      .withColumn("n", sum(col("o")).over(all))
+      .withColumn("e", (col("row_tot") * col("col_tot")).cast("double")
+        / col("n").cast("double"))
+      .agg(
+        round(sum(pow(col("o").cast("double") - col("e"), 2) / col("e")), 4)
+          .as("chi2"),
+        ((countDistinct(col("event_type")) - 1)
+          * (countDistinct(col("segment")) - 1)).as("dof"),
+        max(col("n")).as("n"))
+  }
+
+  /** q98: Gini coefficient of customer spend —
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-ranked spend.
+    *
+    * The global rank is built WITHOUT a global single-partition window:
+    * per-customer spend rows land in explicit value-range buckets, rank
+    * within each bucket rides a bucket-keyed window, and each bucket's
+    * offset comes from the (bucket → count) prefix table — 25 rows,
+    * broadcast. That is the zipWithIndex pattern expressed in DataFrame
+    * operators: total order at scale with only a bucket-keyed exchange.
+    * The oracle states the same ranking as one plain window — the
+    * bucketed construction is semantics-neutral by design.
+    *
+    * Spend is rounded to cents BEFORE ranking on both sides, so rank
+    * order (and therefore Σ i·xᵢ) cannot depend on engine-specific sum
+    * bits.
+    */
+  /** Gini over a per-entity (id, x) table; `bucketW`/`maxBucket` define
+    * the value-range buckets the distributed ranking rides on (bucket
+    * choice affects only load balance, never the result).
+    */
+  def gini(perEntity: DataFrame, bucketW: Double, maxBucket: Long): DataFrame = {
+    val bucketed = perEntity
+      .withColumn("b", least(floor(col("x") / lit(bucketW)), lit(maxBucket))
+        .cast("long"))
+    // bucket prefix counts: maxBucket+1 rows however large the entity set is
+    val prefix = bucketed.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .withColumn("offset",
+        coalesce(sum(col("c")).over(
+          Window.orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("offset"))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("x"), col("id"))
+    bucketed
+      .withColumn("r", row_number().over(inBucket))
+      .join(broadcast(prefix), "b")
+      .withColumn("i", col("r") + col("offset"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("x")), 2).as("total_spend"),
+        round(lit(2.0) * sum(col("i") * col("x"))
+          / (count(lit(1)) * sum(col("x")))
+          - (count(lit(1)) + 1).cast("double") / count(lit(1)), 6)
+          .as("gini"))
+  }
+
+  def giniSpend(s: SparkSession, dir: String): DataFrame =
+    gini(
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("id"))
+        .agg(round(sum(col("o_totalprice")), 2).as("x")),
+      bucketW = 200000.0, // per-customer spend sits in ~[0, 5M) at any SF
+      maxBucket = 24L)
+
   def sentimentByLang(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)

@@ -93,6 +93,27 @@ object GraftFunctions {
     MisraGriesCandidates(args(0), k).toAggregateExpression()
   }
 
+  // Spark ships BloomFilterAggregate / BloomFilterMightContain as
+  // internal expressions for its own runtime row-level filtering but
+  // does not register them as SQL functions; the engine exposes them
+  // through the same registry as its own expressions. The bloom binary
+  // handed to might_contain must be FOLDABLE (its analysis rule rejects
+  // arbitrary columns), which is why BloomJoin inlines the built filter
+  // as a literal.
+  private def bloomAggBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      s"graft_bloom_agg expects 3 arguments (value, items, bits), got ${args.length}")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      args(0), args(1), args(2)).toAggregateExpression()
+  }
+
+  private def bloomContainsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"graft_bloom_contains expects 2 arguments, got ${args.length}")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      args(0), args(1))
+  }
+
   /** One (name, info, arity-checked builder) triple per engine function —
     * the single source both registration paths install from.
     */
@@ -116,7 +137,17 @@ object GraftFunctions {
     ("graft_heavy_candidates",
       new ExpressionInfo(classOf[MisraGriesCandidates].getCanonicalName,
         "graft_heavy_candidates"),
-      heavyCandidatesBuilder _))
+      heavyCandidatesBuilder _),
+    ("graft_bloom_agg",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
+          .getCanonicalName, "graft_bloom_agg"),
+      bloomAggBuilder _),
+    ("graft_bloom_contains",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          .getCanonicalName, "graft_bloom_contains"),
+      bloomContainsBuilder _))
 
   /** Idempotent runtime registration into the session's function registry. */
   def register(spark: SparkSession): Unit =
