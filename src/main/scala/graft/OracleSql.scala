@@ -1268,20 +1268,26 @@ object OracleSql {
         |FROM m WHERE pm IS NULL OR pm < p_size
         |ORDER BY brand, price, part_size""".stripMargin,
 
-    // Plain every-token inverted index: the prefix filter is a
+    // Plain every-shingle inverted index: the prefix filter is a
     // semantics-neutral optimization (candidate SUPERSET + exact verify),
-    // so the oracle states only the measure. Division spelled as
-    // c / (na + nb − c) with both operands cast to DOUBLE on both sides
-    // → identical bits → the τ boundary can't disagree.
+    // so the oracle states only the measure — exact Jaccard over the FULL
+    // 5-shingle universe (q25's oracle applies a df cap; this one must
+    // not). Division spelled as c / (na + nb − c) with both operands cast
+    // to DOUBLE on both sides → identical bits → the τ boundary can't
+    // disagree.
     "q92_token_jaccard_pairs" ->
-      """WITH tok AS (
-        |  SELECT DISTINCT doc_id, token FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |    FROM documents) WHERE token <> ''),
-        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(t, i + 1, i + 5), ' ') AS token
+        |  FROM tk, unnest(range(0, len(t) - 4)) AS g(i)
+        |  WHERE len(t) >= 5),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |  FROM tok a JOIN tok b
+        |  FROM sh a JOIN sh b
         |    ON a.token = b.token AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |j AS (
@@ -1291,7 +1297,7 @@ object OracleSql {
         |  JOIN sz na ON na.doc_id = id_a
         |  JOIN sz nb ON nb.doc_id = id_b)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard
-        |FROM j WHERE jac >= CAST(0.9 AS DOUBLE)
+        |FROM j WHERE jac >= CAST(0.8 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // The MG sketch + recheck is semantics-neutral (guaranteed candidate
@@ -1411,6 +1417,35 @@ object OracleSql {
         |  round((CAST(2 AS DOUBLE) * six) / (n * sx)
         |    - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
         |FROM a""".stripMargin,
+
+    // Same symbol strings (ordered by ts, event_id), same regexes; both
+    // engines count non-overlapping leftmost matches, so n_matches agrees.
+    "q99_sequence_motifs" ->
+      """WITH seqs AS (
+        |  SELECT user_id, list_aggregate(
+        |    list(substr(event_type, 1, 1) ORDER BY ts, event_id),
+        |    'string_agg', '') AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT pattern, n_keys_matching, n_matches FROM (
+        |  SELECT 'browse_to_buy' AS pattern,
+        |    CAST(sum(CASE WHEN regexp_matches(seq, 'v+c+p')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_matching,
+        |    CAST(sum(len(regexp_extract_all(seq, 'v+c+p'))) AS BIGINT)
+        |      AS n_matches
+        |  FROM seqs
+        |  UNION ALL
+        |  SELECT 'error_retry',
+        |    CAST(sum(CASE WHEN regexp_matches(seq, 'e[vc]*e')
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(len(regexp_extract_all(seq, 'e[vc]*e'))) AS BIGINT)
+        |  FROM seqs
+        |  UNION ALL
+        |  SELECT 'instant_buy',
+        |    CAST(sum(CASE WHEN regexp_matches(seq, 'sp')
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(len(regexp_extract_all(seq, 'sp'))) AS BIGINT)
+        |  FROM seqs)
+        |ORDER BY pattern""".stripMargin,
 
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (

@@ -213,7 +213,9 @@ object SparkEntry {
     // χ² independence test over the contingency-cell table
     "q97_chi_square"        -> (CoreQueries.chiSquareSegments _),
     // Gini concentration with distributed (bucket-offset) global ranking
-    "q98_gini_spend"        -> (CoreQueries.giniSpend _)
+    "q98_gini_spend"        -> (CoreQueries.giniSpend _),
+    // MATCH_RECOGNIZE-style regex motifs over event-type sequences
+    "q99_sequence_motifs"   -> (graft.analytics.SequenceMatch.motifQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -45,10 +45,26 @@ object PPJoin {
       explode(TextOps.tokens(col("text"))).as("token"))
       .distinct()
 
-  /** Exact Jaccard ≥ τ pairs over distinct token sets. */
-  def similarPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** Exact Jaccard ≥ τ pairs over distinct word-token sets. NOTE: prefix
+    * filtering earns its keep only when the element UNIVERSE is large
+    * relative to set sizes (rare elements exist to put in prefixes). On a
+    * tiny closed vocabulary every "rare" token is still hot and the
+    * candidate join degenerates toward all near-pairs — measured 93 s at
+    * sf0.1 on this corpus's 31-token vocabulary vs ~2 s for the same
+    * corpus as 5-shingle sets ([[similarPairsOver]] + [[Dedup.shingles]],
+    * the q92 path, universe ~240k). Kept for open-vocabulary corpora and
+    * the parity spec.
+    */
+  def similarPairs(docs: DataFrame, threshold: Double): DataFrame =
+    similarPairsOver(docTokens(docs), threshold)
+
+  /** Exact Jaccard ≥ τ pairs over arbitrary per-doc element sets:
+    * `elems` = DISTINCT (doc_id, token) rows, any element domain
+    * (word tokens, shingles, hashed features).
+    */
+  def similarPairsOver(elems: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val tok = docTokens(docs).cache()
+    val tok = elems.select(col("doc_id"), col("token")).cache()
 
     // global rarity order: df ascending, token ascending — every doc sorts
     // its tokens by the SAME order or the prefix theorem does not hold
@@ -114,16 +130,18 @@ object PPJoin {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** q92: token-set near-dup pairs over the document corpus at τ = 0.9.
-    * (q25 is the 5-shingle variant of the same corpus — word ORDER
-    * matters there; here only vocabulary overlap does. The corpus draws
-    * from a small shared vocabulary, so pairwise token-set Jaccard is
-    * high across the board — τ must sit in the true near-dup regime or
-    * the "similar" relation degenerates to all-pairs; measured: τ = 0.5
-    * matches ~73% of all pairs, τ = 0.9 the ~9% that share ≥90% of
-    * vocabulary. High τ is also where the prefix filter prunes hardest:
-    * prefix length ≈ |x|/10 + 1.)
+  /** q92: exact shingle-set Jaccard ≥ 0.8 pairs over the corpus — the
+    * same 5-shingle universe as q25, mined by PPJoin instead of the full
+    * inverted index. The contrast is the point: q25 approximates the
+    * universe (drops shingles with df > maxDf) to bound its index; PPJoin
+    * keeps the measure EXACT and bounds the index by construction — only
+    * each doc's ⌈(1−τ)·|x|⌉+1 RAREST shingles are ever indexed, and at
+    * this vocabulary (~240k shingles, df ≤ 4) those prefixes are nearly
+    * unique, so candidates ≈ true pairs.
     */
   def similarPairsQuery(s: SparkSession, dir: String): DataFrame =
-    similarPairs(Tables.documents(s, dir), threshold = 0.9)
+    similarPairsOver(
+      Dedup.shingles(Tables.documents(s, dir), k = 5)
+        .select(col("doc_id"), col("shingle").as("token")),
+      threshold = 0.8)
 }

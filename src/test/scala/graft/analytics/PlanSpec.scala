@@ -260,4 +260,60 @@ class PlanSpec extends SparkSpec {
     }
     assert(windows.size == 2, df.queryExecution.executedPlan.toString)
   }
+
+  test("q92: PPJoin candidate generation never plans a cartesian product") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = graft.dedup.PPJoin.similarPairsQuery(spark, dir)
+    val bad = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, df.queryExecution.executedPlan.toString)
+    spark.catalog.clearCache() // PPJoin caches the token table
+  }
+
+  test("q95: basket pair mining is basket-keyed; marginals broadcast") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = Association.partRulesQuery(spark, dir)
+    assert(PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case c: CartesianProductExec => c
+    }.isEmpty, df.queryExecution.executedPlan.toString)
+    // the only nested-loop is the 1-row basket-count attach
+    assert(PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case b: BroadcastNestedLoopJoinExec => b
+    }.size <= 1, df.queryExecution.executedPlan.toString)
+    // both item-marginal joins hash-broadcast
+    assert(PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }.size >= 2, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q96: the Bloom prefilter sits in the plan before the exact semi-join") {
+    val df = graft.operators.BloomJoin.flaggedRevenueQuery(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val mc = plan.indexOf("might_contain")
+    val join = plan.indexOf("Join LeftSemi")
+    // optimizedPlan prints top-down: the semi-join node must appear
+    // BEFORE (above) the bloom filter that feeds its left child
+    assert(mc >= 0, plan)
+    assert(join >= 0 && join < mc, plan)
+  }
+
+  test("q98: the per-entity rank window is bucket-keyed, not global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = CoreQueries.giniSpend(spark, dir)
+    val windows = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    // one bucket-partitioned rank over entities + one empty-partition
+    // cumulation over the 25-row bucket-prefix table (by design)
+    assert(windows.size == 2, df.queryExecution.executedPlan.toString)
+    assert(windows.count(_.partitionSpec.nonEmpty) == 1,
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("q99: all patterns ride one events scan and one aggregate") {
+    val df = graft.analytics.SequenceMatch.motifQuery(spark, dir)
+    assert(scans(df).size == 1, df.queryExecution.executedPlan.toString)
+  }
 }
