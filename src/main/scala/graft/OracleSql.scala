@@ -1447,6 +1447,49 @@ object OracleSql {
         |  FROM seqs)
         |ORDER BY pattern""".stripMargin,
 
+    // One plain global running sum states the token offsets; the Spark
+    // side builds identical offsets with bucket-local windows + broadcast
+    // prefix bases. Offsets are non-negative, so `//` (trunc) == floor.
+    "q100_sequence_packing" ->
+      """WITH sized AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+        |c AS (
+        |  SELECT n, sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        |  FROM sized),
+        |b AS (
+        |  SELECT n, (e - n) // 512 AS bin,
+        |    ((e - 1) // 512) > ((e - n) // 512) AS crosses
+        |  FROM c)
+        |SELECT bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_crossing
+        |FROM b GROUP BY 1
+        |ORDER BY bin""".stripMargin,
+
+    "q101_chunking" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |    AS t
+        |  FROM documents),
+        |nn AS (
+        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+        |  FROM tk WHERE len(t) >= 1),
+        |ch AS (
+        |  SELECT doc_id,
+        |    len(list_slice(t, CAST(i * 48 + 1 AS BIGINT),
+        |      CAST(least(i * 48 + 64, n) AS BIGINT))) AS ct
+        |  FROM nn, unnest(range(0, (n - 1) // 48 + 1)) AS g(i))
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(ct) AS BIGINT) AS chunk_token_sum,
+        |  CAST(max(ct) AS BIGINT) AS max_chunk,
+        |  CAST(min(ct) AS BIGINT) AS min_chunk
+        |FROM ch GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

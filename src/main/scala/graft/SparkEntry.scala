@@ -215,7 +215,11 @@ object SparkEntry {
     // Gini concentration with distributed (bucket-offset) global ranking
     "q98_gini_spend"        -> (CoreQueries.giniSpend _),
     // MATCH_RECOGNIZE-style regex motifs over event-type sequences
-    "q99_sequence_motifs"   -> (graft.analytics.SequenceMatch.motifQuery _)
+    "q99_sequence_motifs"   -> (graft.analytics.SequenceMatch.motifQuery _),
+    // concat-then-cut sequence packing into 512-token context bins
+    "q100_sequence_packing" -> (graft.operators.Packing.packingQuery _),
+    // overlapping token chunking (RAG splitter), per-doc summary
+    "q101_chunking"         -> (graft.operators.Packing.chunkingQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
