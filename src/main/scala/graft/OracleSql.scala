@@ -1490,6 +1490,70 @@ object OracleSql {
         |FROM ch GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
 
+    // BM25 constants spelled as decimal literals on both sides (2.2,
+    // 1.2, 0.25, 0.75, 0.5 — runtime-derived constants can land an ulp
+    // off). The cosine block is the q26 kernel mirror (left-ordered
+    // folds). Rank keys use round(·, 6) on both sides.
+    "q102_hybrid_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |    AS t
+        |  FROM documents WHERE doc_id <> 0),
+        |b2 AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t
+        |  FROM base WHERE len(t) >= 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM b2),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(t) AS term FROM b2)
+        |  WHERE term IN ('join', 'merge', 'sort') GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, sum(
+        |    ln(CAST(1 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))
+        |      / (df + CAST(0.5 AS DOUBLE)))
+        |    * (tf * CAST(2.2 AS DOUBLE))
+        |    / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |      + CAST(0.75 AS DOUBLE) * dl
+        |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |    AS score
+        |  FROM tf JOIN dfs USING (term) CROSS JOIN stats GROUP BY 1),
+        |tt AS (SELECT doc_id, score FROM sc
+        |  ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
+        |tr AS (SELECT doc_id, CAST(row_number() OVER
+        |  (ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rank_text
+        |  FROM tt),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM e),
+        |qv AS (SELECT v AS q, nrm AS qn FROM n WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT n.vec_id AS doc_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(q) + 1), i -> q[i] * v[i])),
+        |      (s, x) -> s + x) / (qn * nrm) AS cos
+        |  FROM n, qv WHERE n.vec_id <> 0),
+        |ct AS (SELECT doc_id, cos FROM cs
+        |  ORDER BY round(cos, 6) DESC, doc_id LIMIT 50),
+        |vr AS (SELECT doc_id, CAST(row_number() OVER
+        |  (ORDER BY round(cos, 6) DESC, doc_id) AS BIGINT) AS rank_vec
+        |  FROM ct),
+        |f AS (
+        |  SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+        |    rank_text, rank_vec,
+        |    coalesce(CAST(1 AS DOUBLE) / (rank_text + 60), CAST(0 AS DOUBLE))
+        |      + coalesce(CAST(1 AS DOUBLE) / (rank_vec + 60),
+        |        CAST(0 AS DOUBLE)) AS rrf
+        |  FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id)
+        |SELECT doc_id, rank_text, rank_vec, round(rrf, 6) AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

@@ -219,7 +219,9 @@ object SparkEntry {
     // concat-then-cut sequence packing into 512-token context bins
     "q100_sequence_packing" -> (graft.operators.Packing.packingQuery _),
     // overlapping token chunking (RAG splitter), per-doc summary
-    "q101_chunking"         -> (graft.operators.Packing.chunkingQuery _)
+    "q101_chunking"         -> (graft.operators.Packing.chunkingQuery _),
+    // BM25 + cosine hybrid retrieval fused by reciprocal rank
+    "q102_hybrid_rrf"       -> (graft.text.Retrieval.hybridQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
