@@ -28,8 +28,11 @@ object Association {
     */
   def pairRules(baskets: DataFrame, basketCol: String, itemCol: String,
       minCount: Long): DataFrame = {
+    // five consumers (both self-join sides, two marginal builds, the
+    // basket count) — materialize the distinct basket table once, like
+    // the shingle table in jaccardPairs (at warehouse scale: persist)
     val b = baskets.select(col(basketCol).as("o"), col(itemCol).as("p"))
-      .distinct()
+      .distinct().cache()
     val nBaskets = b.agg(countDistinct(col("o")).as("n_baskets"))
     val itemCounts = b.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
     b.as("a")

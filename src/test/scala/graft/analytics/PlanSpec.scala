@@ -316,4 +316,42 @@ class PlanSpec extends SparkSpec {
     val df = graft.analytics.SequenceMatch.motifQuery(spark, dir)
     assert(scans(df).size == 1, df.queryExecution.executedPlan.toString)
   }
+
+  test("q93: the MG sketch aggregates as ObjectHashAggregate; recheck broadcasts") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.text.TextOps.heavyTokensQuery(spark, dir)
+    assert(PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case o: ObjectHashAggregateExec => o
+    }.nonEmpty, df.queryExecution.executedPlan.toString)
+    // candidate semi-join must be broadcast (≤ k−1 rows), never shuffled
+    assert(PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec if b.joinType.sql == "LEFT SEMI" => b
+    }.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q100: packing offsets use a bucket-keyed window and a broadcast prefix") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.Packing.packingQuery(spark, dir)
+    val windows = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    // the corpus-sized cumsum window partitions by bucket; only the
+    // bucket-prefix cumulation (≤ buckets rows) may be global
+    assert(windows.count(_.partitionSpec.nonEmpty) == 1,
+      df.queryExecution.executedPlan.toString)
+    assert(PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q102: both retrieval cuts plan as TakeOrderedAndProject, no global sort-all") {
+    val df = graft.text.Retrieval.hybridQuery(spark, dir)
+    val topk = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case t: TakeOrderedAndProjectExec => t
+    }
+    // BM25 top-50, cosine top-50, fused top-20
+    assert(topk.size == 3, df.queryExecution.executedPlan.toString)
+  }
 }
