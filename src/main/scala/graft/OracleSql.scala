@@ -1554,6 +1554,57 @@ object OracleSql {
         |SELECT doc_id, rank_text, rank_vec, round(rrf, 6) AS rrf
         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
+    // dow from pure date arithmetic (dayofweek() week origins differ);
+    // residuals rounded BEFORE the 2σ fence so both engines compare
+    // identical numbers.
+    "q103_seasonal_anomalies" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, n,
+        |    avg(n) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+        |    datediff('day', DATE '1992-01-01', day) % 7 AS dow
+        |  FROM daily),
+        |s AS (
+        |  SELECT day, n, trend,
+        |    avg(n - trend) OVER (PARTITION BY dow) AS seasonal
+        |  FROM t),
+        |r AS (
+        |  SELECT day, n, trend, seasonal,
+        |    round(n - trend - seasonal, 4) AS resid
+        |  FROM s),
+        |f AS (SELECT *, round(stddev_samp(resid) OVER (), 4) AS sd FROM r)
+        |SELECT day, n, round(trend, 4) AS trend,
+        |  round(seasonal, 4) AS seasonal, resid,
+        |  abs(resid) > CAST(2 AS DOUBLE) * sd AS is_anomaly
+        |FROM f ORDER BY day""".stripMargin,
+
+    // Both "runs" derive deterministically from the same table, so the
+    // oracle rebuilds them; the classification itself is the operator.
+    "q104_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    ROW(o_totalprice, o_orderstatus, o_orderpriority) AS p
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) < DATE '1998-06-01'),
+        |n AS (
+        |  SELECT o_orderkey AS k,
+        |    ROW(CASE WHEN o_orderkey % 97 = 0
+        |          THEN round(o_totalprice + CAST(1 AS DOUBLE), 2)
+        |          ELSE o_totalprice END,
+        |      o_orderstatus, o_orderpriority) AS p
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |d AS (
+        |  SELECT CASE WHEN o.k IS NULL THEN 'added'
+        |              WHEN n.k IS NULL THEN 'removed'
+        |              WHEN o.p IS NOT DISTINCT FROM n.p THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM o FULL JOIN n ON o.k = n.k)
+        |SELECT status, count(*) AS n FROM d GROUP BY 1
+        |ORDER BY status""".stripMargin,
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

@@ -221,7 +221,11 @@ object SparkEntry {
     // overlapping token chunking (RAG splitter), per-doc summary
     "q101_chunking"         -> (graft.operators.Packing.chunkingQuery _),
     // BM25 + cosine hybrid retrieval fused by reciprocal rank
-    "q102_hybrid_rrf"       -> (graft.text.Retrieval.hybridQuery _)
+    "q102_hybrid_rrf"       -> (graft.text.Retrieval.hybridQuery _),
+    // additive seasonal decomposition + 2σ residual anomaly flags
+    "q103_seasonal_anomalies" -> (graft.operators.TimeSeries.seasonalQuery _),
+    // snapshot diff: added/removed/changed/unchanged between runs
+    "q104_snapshot_diff"    -> (graft.operators.SnapshotDiff.ordersDiffQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -106,6 +106,52 @@ object TimeSeries {
       .drop("__grp")
   }
 
+  /** Additive seasonal decomposition of a daily count series:
+    * trend = centered 7-day rolling mean, seasonal = day-of-week mean of
+    * the detrended values, residual = value − trend − seasonal, with a
+    * 2σ residual anomaly flag.
+    *
+    * The series itself is horizon-bounded (one row per day per group —
+    * NOT fact-sized), so its windows run over a dimension-sized frame by
+    * construction; the fact table is touched once, in the daily count.
+    * Day-of-week comes from pure date arithmetic (pmod of an epoch
+    * datediff) — engine-portable, unlike dayofweek() whose week origin
+    * differs across engines. Residuals are ROUNDED before the σ fence so
+    * both engines compare identical numbers.
+    */
+  def seasonalResiduals(daily: DataFrame, dayCol: String,
+      valueCol: String): DataFrame = {
+    val byDay = Window.orderBy(col(dayCol)) // horizon-bounded frame
+    val trendW = byDay.rowsBetween(-3, 3)
+    val detrended = daily
+      .withColumn("trend", avg(col(valueCol)).over(trendW))
+      .withColumn("dow",
+        pmod(datediff(col(dayCol), lit("1992-01-01").cast("date")), lit(7)))
+      .withColumn("det", col(valueCol) - col("trend"))
+    val seasonal = detrended
+      .withColumn("seasonal", avg(col("det")).over(Window.partitionBy(col("dow"))))
+      .withColumn("resid",
+        round(col(valueCol) - col("trend") - col("seasonal"), 4))
+    seasonal
+      .withColumn("sd", round(stddev_samp(col("resid")).over(Window.partitionBy()), 4))
+      .select(col(dayCol), col(valueCol),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        col("resid"),
+        (abs(col("resid")) > lit(2.0) * col("sd")).as("is_anomaly"))
+      .orderBy(col(dayCol))
+  }
+
+  /** q103: decompose the daily event volume into trend + weekday
+    * seasonality + residual, and flag anomalous days.
+    */
+  def seasonalQuery(s: SparkSession, dir: String): DataFrame =
+    seasonalResiduals(
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")),
+      "day", "n")
+
   /** q86: longest consecutive-day activity streak per user (tie → the
     * earliest streak), plus the user's total active-day count. The
     * best-streak pick and the total ride the SAME user partitioning as

@@ -77,6 +77,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(1) == 3L)
   }
 
+  test("seasonalResiduals: flat series decomposes to zero residuals, no anomalies") {
+    val daily = (0 until 21).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), 100L))
+      .toDF("day", "n")
+    val out = TimeSeries.seasonalResiduals(daily, "day", "n").collect()
+    assert(out.length == 21)
+    assert(out.forall(r => r.getDouble(4) == 0.0))       // resid
+    assert(out.forall(r => !r.getBoolean(5)))            // is_anomaly
+    assert(out.forall(r => r.getDouble(2) == 100.0))     // trend
+  }
+
+  test("seasonalResiduals: a one-day spike shows up in the residual") {
+    val daily = (0 until 28).map { i =>
+      val v = if (i == 14) 500L else 100L
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), v)
+    }.toDF("day", "n")
+    val out = TimeSeries.seasonalResiduals(daily, "day", "n")
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(4)).toMap
+    // the spike day's residual dominates every other day's
+    val spike = out("2024-01-15")
+    assert(out.filterNot(_._1 == "2024-01-15").values.forall(v =>
+      math.abs(v) < math.abs(spike)))
+  }
+
   test("streaksQuery ties: equal-length streaks pick the earliest start") {
     // build via streaks on a crafted frame mirroring the query's tail logic:
     // two 2-day islands for one user — the query must report the first
