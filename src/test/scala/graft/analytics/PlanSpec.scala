@@ -354,4 +354,22 @@ class PlanSpec extends SparkSpec {
     // BM25 top-50, cosine top-50, fused top-20
     assert(topk.size == 3, df.queryExecution.executedPlan.toString)
   }
+
+  test("EVERY driver query plans without a CartesianProductExec") {
+    // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
+    // because scalar attaches (crossJoin of a broadcast one-row aggregate
+    // — corpus totals, means, bounds) legitimately plan as BNLJ; a true
+    // CartesianProductExec anywhere means some refactor lost a join key.
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, dir)
+        val bad = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+          case c: CartesianProductExec => c
+        }
+        spark.catalog.clearCache()
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
 }
