@@ -1605,6 +1605,35 @@ object OracleSql {
         |SELECT status, count(*) AS n FROM d GROUP BY 1
         |ORDER BY status""".stripMargin,
 
+    // q48's gate + min-doc_id keep-rule, then q101's chunk arithmetic.
+    "q105_rag_prep" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, text, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM tk0),
+        |gated AS (SELECT * FROM st WHERE n_tokens >= 20),
+        |kept AS (
+        |  SELECT doc_id, toks, n_tokens FROM (
+        |    SELECT doc_id, toks, n_tokens,
+        |      min(doc_id) OVER (PARTITION BY text) AS keep_id
+        |    FROM gated)
+        |  WHERE doc_id = keep_id),
+        |ch AS (
+        |  SELECT doc_id,
+        |    len(list_slice(toks, CAST(i * 48 + 1 AS BIGINT),
+        |      CAST(least(i * 48 + 64, n_tokens) AS BIGINT))) AS ct
+        |  FROM kept, unnest(range(0, (n_tokens - 1) // 48 + 1)) AS g(i))
+        |SELECT count(DISTINCT doc_id) AS n_docs_kept,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(ct) AS BIGINT) AS chunk_tokens,
+        |  round(CAST(sum(ct) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |    AS avg_chunk_tokens
+        |FROM ch""".stripMargin,
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

@@ -225,7 +225,9 @@ object SparkEntry {
     // additive seasonal decomposition + 2σ residual anomaly flags
     "q103_seasonal_anomalies" -> (graft.operators.TimeSeries.seasonalQuery _),
     // snapshot diff: added/removed/changed/unchanged between runs
-    "q104_snapshot_diff"    -> (graft.operators.SnapshotDiff.ordersDiffQuery _)
+    "q104_snapshot_diff"    -> (graft.operators.SnapshotDiff.ordersDiffQuery _),
+    // RAG-prep composition: gate → exact dedup → overlapping chunks
+    "q105_rag_prep"         -> (graft.pipeline.Curation.ragPrepQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -56,4 +56,27 @@ object Curation {
 
   def curateQuery(s: SparkSession, dir: String): DataFrame =
     curate(Tables.documents(s, dir))
+
+  /** q105: the retrieval-side sibling of [[curate]] — prep a corpus for
+    * an embedding index: quality gate → exact dedup → overlapping token
+    * chunks, reported as one summary row (per-chunk rows are q101's
+    * surface; here the composition itself is under test). Same gate and
+    * keep-rule as q48, then [[graft.operators.Packing.chunks]] at the
+    * q101 geometry (64/48).
+    */
+  def ragPrep(docs: DataFrame, minTokens: Long = 20L): DataFrame = {
+    val gated = TextOps.withQuality(docs)
+      .filter(col("n_tokens") >= minTokens)
+    val kept = Dedup.exactKeepRows(gated)
+    graft.operators.Packing.chunks(kept.select(col("doc_id"), col("text")),
+        k = 64, s = 48)
+      .agg(countDistinct(col("doc_id")).as("n_docs_kept"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        round(sum(col("n_tokens")).cast("double")
+          / count(lit(1)).cast("double"), 4).as("avg_chunk_tokens"))
+  }
+
+  def ragPrepQuery(s: SparkSession, dir: String): DataFrame =
+    ragPrep(Tables.documents(s, dir))
 }

@@ -51,4 +51,18 @@ class CurationSpec extends SparkSpec {
     val out = Curation.curate(docs, minTokens = 26L).collect()
     assert(out.map(_.getLong(0)).toSet == Set(5L))
   }
+
+  test("ragPrep: gate excludes, dedup collapses, chunk math is exact") {
+    val tokens70 = (1 to 70).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, tokens70),           // 70 tokens → chunks at 64/48: 2 (64 + 22)
+      (2L, tokens70),           // exact dup of 1 → deduped away
+      (3L, "too short"),        // gated (< 20 tokens)
+      (4L, (1 to 48).map(i => s"u$i").mkString(" ")) // 48 tokens → 1 chunk
+    ).toDF("doc_id", "text")
+    val r = Curation.ragPrep(d).collect()(0)
+    assert(r.getLong(0) == 2L)              // docs 1 and 4 kept
+    assert(r.getLong(1) == 3L)              // 2 + 1 chunks
+    assert(r.getLong(2) == (64L + 22L) + 48L)
+  }
 }
