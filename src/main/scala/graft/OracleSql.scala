@@ -1461,7 +1461,7 @@ object OracleSql {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
         |  FROM sized),
         |b AS (
-        |  SELECT n, (e - n) // 512 AS bin,
+        |  SELECT n, CAST((e - n) // 512 AS BIGINT) AS bin,
         |    ((e - 1) // 512) > ((e - n) // 512) AS crosses
         |  FROM c)
         |SELECT bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
@@ -1633,6 +1633,56 @@ object OracleSql {
         |  round(CAST(sum(ct) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
         |    AS avg_chunk_tokens
         |FROM ch""".stripMargin,
+
+    // SemDeDup screen over the fixed first-8-vectors codebook. The cosine
+    // kernel is the q26 left-fold mirror; every ordering/threshold decision
+    // goes through round(·, 6) on both engines (assignment argmax, the
+    // within-cluster rank, and the τ compare), so fp last-ulp drift cannot
+    // flip an assignment, a rank, or a drop.
+    "q106_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM e),
+        |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+        |  FROM n WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT n.vec_id, c.centroid_id,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v) + 1), i -> v[i] * cv[i])),
+        |      (s, x) -> s + x) / (nrm * cn), 6) AS c_cos
+        |  FROM n, c),
+        |asg AS (
+        |  SELECT vec_id, centroid_id, c_cos FROM (
+        |    SELECT vec_id, centroid_id, c_cos,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY c_cos DESC, centroid_id) AS cr
+        |    FROM sc)
+        |  WHERE cr = 1),
+        |r AS (
+        |  SELECT vec_id, centroid_id, c_cos,
+        |    CAST(row_number() OVER (PARTITION BY centroid_id
+        |      ORDER BY c_cos ASC, vec_id) AS BIGINT) AS rnk
+        |  FROM asg),
+        |dups AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM r a
+        |  JOIN r b ON a.centroid_id = b.centroid_id AND b.rnk < a.rnk
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id
+        |  WHERE round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i])),
+        |      (s, x) -> s + x) / (na.nrm * nb.nrm), 6) >= 0.4),
+        |res AS (
+        |  SELECT r.vec_id, r.centroid_id, r.rnk,
+        |    d.vec_id IS NULL AS kept
+        |  FROM r LEFT JOIN dups d ON r.vec_id = d.vec_id)
+        |SELECT vec_id, centroid_id, rnk, kept
+        |FROM res ORDER BY vec_id""".stripMargin,
 
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (

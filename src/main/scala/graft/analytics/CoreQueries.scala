@@ -573,12 +573,9 @@ object CoreQueries {
     */
   def topkAggregate(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // ObjectHashAggregate abandons hashing after 128 distinct groups by
-    // default and sorts instead — far too conservative for a buffer that
-    // holds ≤ k tiny values per group (64k groups × 3 × ~24 B ≈ 4 MB per
-    // task). The fallback still exists above this for genuinely unbounded
-    // group cardinality per mapper.
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    // The raised objectHashAggregate fallback threshold this aggregate wants
+    // lives in [[graft.SessionDefaults]] — set at session construction, not
+    // here, so no query mutates the shared session mid-run.
     Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(graft.functions.GraftFunctions.topk(
@@ -695,7 +692,7 @@ object CoreQueries {
     */
   def topCustomerList(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    // fallbackThreshold conf: see [[graft.SessionDefaults]] (session-level).
     Tables.customer(s, dir)
       .join(broadcast(Tables.nation(s, dir)),
         col("c_nationkey") === col("n_nationkey"))

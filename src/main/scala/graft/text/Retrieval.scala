@@ -96,7 +96,7 @@ object Retrieval {
       .withColumn("rrf",
         coalesce(lit(1.0) / (col("rank_text") + 60), lit(0.0))
           + coalesce(lit(1.0) / (col("rank_vec") + 60), lit(0.0)))
-      .orderBy(col("rrf").desc, col("doc_id"))
+      .orderBy(round(col("rrf"), 6).desc, col("doc_id"))
       .limit(20)
       .select(col("doc_id"), col("rank_text"), col("rank_vec"),
         round(col("rrf"), 6).as("rrf"))

@@ -22,14 +22,23 @@ for name, sql in sorted(oracle.items()):
             fails.append((name, f"cols exp={list(exp.columns)} got={list(got.columns)}")); continue
         if len(exp) != len(got):
             fails.append((name, f"rows exp={len(exp)} got={len(got)}")); continue
-        # normalize dtypes for compare
+        # The driver's hash is dtype-sensitive (float64 0.0 != int64 0), so
+        # the local gate must be dtype-strict too. The ONLY normalization is
+        # timezone on datetimes (Spark writes UTC-instant timestamps, DuckDB
+        # returns naive ones — the driver normalizes the same way); every
+        # other dtype divergence is an oracle bug: CAST it in the SQL.
+        dt_fails = []
         for c in exp.columns:
             e, g = exp[c], got[c]
             if str(e.dtype).startswith('datetime') or str(g.dtype).startswith('datetime'):
                 exp[c] = pd.to_datetime(e).dt.tz_localize(None) if getattr(e.dtype,'tz',None) is None else pd.to_datetime(e).dt.tz_convert('UTC').dt.tz_localize(None)
                 got[c] = pd.to_datetime(g).dt.tz_localize(None) if getattr(g.dtype,'tz',None) is None else pd.to_datetime(g).dt.tz_convert('UTC').dt.tz_localize(None)
+            elif exp[c].dtype != got[c].dtype:
+                dt_fails.append(f"dtype[{c}] oracle={exp[c].dtype} spark={got[c].dtype}")
+        if dt_fails:
+            fails.append((name, dt_fails)); continue
         try:
-            pd.testing.assert_frame_equal(exp.reset_index(drop=True), got.reset_index(drop=True), check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(exp.reset_index(drop=True), got.reset_index(drop=True), check_dtype=True, check_exact=True)
             print(f"OK    {name} ({len(exp)} rows)")
         except AssertionError as e:
             fails.append((name, str(e).split(chr(10))[0:4]))
@@ -38,3 +47,4 @@ for name, sql in sorted(oracle.items()):
 for n, m in fails:
     print(f"FAIL  {n}: {m}")
 print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracle queries match")
+sys.exit(1 if fails else 0)
