@@ -227,7 +227,9 @@ object SparkEntry {
     // snapshot diff: added/removed/changed/unchanged between runs
     "q104_snapshot_diff"    -> (graft.operators.SnapshotDiff.ordersDiffQuery _),
     // RAG-prep composition: gate → exact dedup → overlapping chunks
-    "q105_rag_prep"         -> (graft.pipeline.Curation.ragPrepQuery _)
+    "q105_rag_prep"         -> (graft.pipeline.Curation.ragPrepQuery _),
+    // SemDeDup: cluster-then-screen semantic (embedding-space) dedup
+    "q106_semantic_dedup"   -> (graft.dedup.SemDedup.semDedupQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

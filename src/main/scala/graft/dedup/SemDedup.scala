@@ -1,0 +1,105 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** SemDeDup-style semantic (embedding-space) deduplication [Abbas et al.,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication", arXiv:2303.09540]: quantize the embedding space into
+  * clusters, then WITHIN each cluster drop every item that is too close
+  * (cosine ≥ τ) to an earlier-ranked clustermate. This is the modern
+  * curation step that removes *semantic* duplicates — paraphrases,
+  * templated rewrites, translations-of-the-same-page — which survive every
+  * lexical dedup tier (exact hash / MinHash / SimHash / edit distance).
+  *
+  * Reference tie: the clustering row of the reference's ML feature surface
+  * (/root/reference/README.md:321-336); the composition itself follows the
+  * published SemDeDup recipe.
+  *
+  * Semantics (the paper's upper-triangular screen): items in a cluster are
+  * ranked by similarity to their centroid ASCENDING (the paper keeps the
+  * LOW-centroid-similarity representatives — they are the informative
+  * outliers); item i is dropped iff SOME j with rank_j < rank_i has
+  * cos(i, j) ≥ τ — including j's that are themselves dropped (the screen is
+  * against all earlier items, not just survivors, exactly as in the paper's
+  * `torch.triu` implementation). Greedy, deterministic, NOT transitive
+  * closure — a chain a~b~c with cos(a,c) < τ keeps a and c.
+  *
+  * 100 TB shape: the centroid table is tiny → broadcast argmax assignment
+  * (one narrow pass, map-side `max_by` collapse, no window). The screen
+  * self-join is keyed on `centroid_id` — both sides shuffle once on the
+  * cluster id and every pair evaluation is cluster-local. Per-cluster work
+  * is O(|cluster|²) *by the algorithm's own definition*; the scaling knob is
+  * the quantizer's `nlist` (the paper runs 50k clusters over 5B items,
+  * keeping clusters at ~10⁵ and the quadratic term bounded). Rank keys use
+  * round(·, 6) so the DuckDB oracle reproduces ordering decisions exactly.
+  */
+object SemDedup {
+
+  /** Per-vector verdict: (vec_id, centroid_id, rnk, kept).
+    *
+    * @param centroids (centroid_id, centroid) — fixed or k-means-trained
+    *                  ([[graft.similarity.Similarity.kmeansCentroids]]); the
+    *                  screen is agnostic to how the quantizer was built.
+    * @param tau       drop threshold on round(cosine, 6).
+    */
+  def semDedup(embeddings: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    // nearest-centroid assignment: argmax over the broadcast centroid table,
+    // partial-aggregated map-side so the exchange carries one row per vector
+    // (the ivfAssign nprobe=1 shape); ties break toward the smaller
+    // centroid_id via the negated id in the max key
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos",
+        round(GraftFunctions.cosine(col("embedding"), col("centroid")), 6))
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(
+        max_by(struct(col("centroid_id"), col("c_cos")),
+          struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        col("best.centroid_id").as("centroid_id"),
+        col("best.c_cos").as("c_cos"))
+    // within-cluster rank, farthest-from-centroid first (the paper's
+    // keep-the-outliers order), vec_id tie-break
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("c_cos").asc, col("vec_id"))
+    val ranked = assigned
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .localCheckpoint() // screened against itself — scan the ranking once
+    // the screen: i is a duplicate iff ∃ j in the same cluster with
+    // rnk_j < rnk_i and cos(i, j) ≥ τ
+    val dups = ranked.as("a").join(ranked.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("b.rnk") < col("a.rnk") &&
+          round(GraftFunctions.cosine(col("a.embedding"), col("b.embedding")), 6)
+            >= tau)
+      .select(col("a.vec_id").as("vec_id"))
+      .distinct()
+    ranked
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("rnk"),
+        col("dup").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q106: semantic dedup of the embeddings table. The quantizer here is the
+    * FIXED first-8-vectors codebook (centroid c = embedding of vec_id c) —
+    * deliberately oracle-expressible; the trained path
+    * ([[graft.similarity.Similarity.kmeansCentroids]]) plugs into the same
+    * screen and is floor-tested in SemDedupSpec instead (iterative fp
+    * training is not oracle-SQL territory). τ = 0.4 sits in this synthetic
+    * corpus's near-dup band (max pairwise cosine ≈ 0.5–0.6 across SFs).
+    */
+  def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    semDedup(e, centroids, tau = 0.4)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SemDeDup screen semantics on planted corpora: per-group pruning to one
+  * representative, the paper's non-transitive chain behavior, and the
+  * trained-quantizer (k-means) path the oracle can't express.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  private def embDf(rows: Seq[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def centDf(rows: Seq[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("centroid_id", "centroid")
+  }
+
+  /** Unit vector in R^8 along axis `a`, rotated toward axis `b` by theta. */
+  private def planted(a: Int, b: Int, theta: Double): Array[Float] = {
+    val v = Array.fill(8)(0.0f)
+    v(a) = math.cos(theta).toFloat
+    v(b) = math.sin(theta).toFloat
+    v
+  }
+
+  test("planted near-dup groups prune to one representative each") {
+    // three groups of 5 near-copies around orthogonal axes (tiny angular
+    // jitter, far above τ within a group, ~0 across groups) + 3 singletons
+    val groups = for {
+      g <- 0 until 3
+      i <- 0 until 5
+    } yield ((g * 5 + i).toLong, planted(g, 3, i * 0.02))
+    val singles = (0 until 3).map(i =>
+      ((100 + i).toLong, planted(4 + i, 3, 0.0)))
+    val e = embDf(groups ++ singles)
+    val cents = centDf((0 until 6).map(g =>
+      (g.toLong, planted(if (g < 3) g else g + 1, 3, 0.0))))
+    val out = SemDedup.semDedup(e, cents, tau = 0.95).collect()
+    assert(out.length == 18)
+    val kept = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    // exactly one survivor per planted group…
+    for (g <- 0 until 3)
+      assert(kept.count(id => id >= g * 5 && id < g * 5 + 5) == 1,
+        s"group $g should keep exactly one of its 5 near-copies")
+    // …and every singleton survives
+    assert(Set(100L, 101L, 102L).subsetOf(kept))
+    assert(kept.size == 6)
+  }
+
+  test("screen is the paper's greedy, not transitive closure") {
+    // chain at angles 0°/25°/50° in a plane, τ = 0.9: cos(25°) ≈ 0.906 ≥ τ
+    // links the middle vector to both ends, but cos(50°) ≈ 0.64 < τ — the
+    // two ends must BOTH survive (transitive closure would keep only one)
+    def at(deg: Double) = planted(0, 1, math.toRadians(deg))
+    val e = embDf(Seq((1L, at(0)), (2L, at(25)), (3L, at(50))))
+    // one centroid at the middle direction: ends rank 1–2, middle rank 3
+    val cents = centDf(Seq((0L, at(25))))
+    val rows = SemDedup.semDedup(e, cents, tau = 0.9).collect()
+    val kept = rows.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"expected the chain ends, got $kept")
+  }
+
+  test("rank order keeps the farthest-from-centroid representative") {
+    // centroid at 0°, vectors at 0°/5°/10°, all mutually ≥ τ: ascending
+    // c_cos rank puts the 10° vector first (the paper keeps the LOW
+    // centroid-similarity outlier), and it blocks both others
+    def at(deg: Double) = planted(0, 1, math.toRadians(deg))
+    val e = embDf(Seq((1L, at(0)), (2L, at(5)), (3L, at(10))))
+    val cents = centDf(Seq((0L, at(0))))
+    val kept = SemDedup.semDedup(e, cents, tau = 0.9).collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+
+  test("trained (k-means) quantizer plugs into the same screen") {
+    // same planted corpus, but the quantizer is learned from the data —
+    // the oracle-inexpressible path: pruning must still collapse each
+    // planted group to one representative
+    val groups = for {
+      g <- 0 until 3
+      i <- 0 until 5
+    } yield ((g * 5 + i).toLong, planted(g, 3, i * 0.02))
+    val e = embDf(groups)
+    val cents = graft.similarity.Similarity.kmeansCentroids(
+      e.select(col("vec_id"), col("embedding")), nlist = 3, iters = 2)
+    val out = SemDedup.semDedup(e, cents, tau = 0.95).collect()
+    val kept = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    for (g <- 0 until 3)
+      assert(kept.count(id => id >= g * 5 && id < g * 5 + 5) == 1,
+        s"group $g should keep exactly one representative")
+  }
+}
