@@ -1684,6 +1684,137 @@ object OracleSql {
         |SELECT vec_id, centroid_id, rnk, kept
         |FROM res ORDER BY vec_id""".stripMargin,
 
+    // Matrix-free power iteration, exactly 8 rounds unrolled (the Spark
+    // side runs iters=8). Each round mirrors the engine verbatim:
+    // s_i = x_i·v (left fold), nv[pos] = Σ_i x_i[pos]·s_i, v ← nv/‖nv‖.
+    // Cross-row per-dimension sums differ between engines at ~1e-15
+    // relative (fp summation order), but power iteration CONTRACTS toward
+    // the dominant eigenvector, and the 4-dp projection rounding sits ≥4
+    // orders of magnitude above the residual drift (measured margin ≥1.4e-8
+    // to the nearest boundary at all three SFs). Sign pivot = first index
+    // of max |component|, same tie-break both sides.
+    "q67_pca_projection" -> {
+      def round(k: Int): String =
+        s"""|sc$k AS (SELECT vec_id, x,
+            |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            |    list_transform(range(1, len(x) + 1), i -> x[i] * v[i])),
+            |    (s, y) -> s + y) AS s
+            |  FROM xc, v$k),
+            |ag$k AS (SELECT pos, sum(x[pos] * s) AS nv
+            |  FROM sc$k, unnest(range(1, 65)) g(pos) GROUP BY pos),
+            |nv$k AS (SELECT list(nv ORDER BY pos) AS u FROM ag$k),
+            |v${k + 1} AS (SELECT list_transform(u, z -> z / sqrt(
+            |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            |      list_transform(u, y -> y * y)), (s, y) -> s + y))) AS v
+            |  FROM nv$k)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |mm AS (SELECT pos, avg(v[pos]) AS mu
+         |  FROM e, unnest(range(1, 65)) g(pos) GROUP BY pos),
+         |mv AS (SELECT list(mu ORDER BY pos) AS mu FROM mm),
+         |xc AS (SELECT vec_id,
+         |  list_transform(range(1, len(v) + 1), i -> v[i] - mu[i]) AS x
+         |  FROM e, mv),
+         |v1 AS (SELECT list_transform(u, z -> z / sqrt(
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(u, y -> y * y)), (s, y) -> s + y))) AS v
+         |  FROM (SELECT list_transform(range(0, 64),
+         |      j -> 1.0 + CAST(j AS DOUBLE) / 64) AS u)),
+         |${(1 to 8).map(round).mkString(",\n")},
+         |piv AS (SELECT j FROM v9, unnest(range(1, 65)) g(j)
+         |  ORDER BY abs(v[j]) DESC, j LIMIT 1),
+         |pc AS (SELECT CASE WHEN v[j] < 0
+         |    THEN list_transform(v, z -> -z) ELSE v END AS p
+         |  FROM v9, piv)
+         |SELECT vec_id,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, len(v) + 1), i -> v[i] * p[i])),
+         |    (s, y) -> s + y), 4) AS pc_score
+         |FROM e, pc
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    // BPE trainer, exactly 10 merges unrolled. Each round mirrors the
+    // engine verbatim: overlapping adjacent-pair counts over the weighted
+    // vocab, argmax with (freq desc, l, r) tie-break, then the SAME
+    // pipe-encoded left fold (list_reduce here, `aggregate` there) applying
+    // greedy non-overlapping replacement. Frequencies are integers — no fp
+    // anywhere — so the match is exact by construction.
+    "q107_bpe_merges" -> {
+      def round(k: Int): String =
+        s"""|p$k AS (SELECT t[i] AS l, t[i + 1] AS r, sum(w) AS f
+            |  FROM s${k - 1}, unnest(range(1, len(t))) g(i) GROUP BY 1, 2),
+            |m$k AS (SELECT CAST($k AS BIGINT) AS step, l AS ml, r AS mr,
+            |  CAST(f AS BIGINT) AS f
+            |  FROM p$k ORDER BY f DESC, l, r LIMIT 1),
+            |s$k AS (SELECT string_split(trim(
+            |    list_reduce(list_prepend('', t), (acc, x) -> CASE
+            |      WHEN ends_with(acc, '|' || ml) AND x = mr THEN acc || x
+            |      ELSE acc || '|' || x END), '|'), '|') AS t, w
+            |  FROM s${k - 1}, m$k)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT t AS word, CAST(count(*) AS BIGINT) AS w FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS t
+         |    FROM documents)
+         |  WHERE regexp_matches(t, '^[a-z]+$$')
+         |  GROUP BY 1),
+         |s0 AS (SELECT list_append(
+         |    list_transform(range(1, len(word) + 1), i -> word[i]),
+         |    '</w>') AS t, w
+         |  FROM toks),
+         |${(1 to 10).map(round).mkString(",\n")},
+         |ms AS (${(1 to 10).map(k => s"SELECT * FROM m$k")
+                    .mkString("\n  UNION ALL ")})
+         |SELECT step, ml AS lhs, mr AS rhs, f AS freq
+         |FROM ms ORDER BY step""".stripMargin
+    },
+
+    // Incremental admission screen: exact tier = EXISTS on text equality;
+    // containment tier = the q53 bipartite mirror with batch as the eval
+    // side, max per batch doc, LEFT-joined so screen-free docs report
+    // (false, 0.0, admitted).
+    "q108_incremental_screen" ->
+      """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |c AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |ex AS (
+        |  SELECT DISTINCT b.doc_id FROM b
+        |  WHERE EXISTS (SELECT 1 FROM c WHERE c.text = b.text)),
+        |tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |    AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(t, i + 1, i + 5), ' ') AS shingle
+        |  FROM tk, unnest(range(0, len(t) - 4)) AS g(i)
+        |  WHERE len(t) >= 5),
+        |shc AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle,
+        |      count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM sh0 WHERE doc_id % 5 <> 0)
+        |  WHERE df <= 100),
+        |she AS (SELECT doc_id, shingle FROM sh0 WHERE doc_id % 5 = 0),
+        |sz AS (SELECT doc_id AS b_id, count(*) AS n_b FROM she GROUP BY 1),
+        |cm AS (
+        |  SELECT e.doc_id AS b_id, count(*) AS n_common
+        |  FROM shc cc JOIN she e USING (shingle)
+        |  GROUP BY e.doc_id, cc.doc_id),
+        |mx AS (
+        |  SELECT b_id AS doc_id,
+        |    max(round(CAST(n_common AS DOUBLE) / n_b, 4)) AS mc
+        |  FROM cm JOIN sz USING (b_id) GROUP BY 1)
+        |SELECT b.doc_id,
+        |  ex.doc_id IS NOT NULL AS exact_dup,
+        |  coalesce(mx.mc, CAST(0.0 AS DOUBLE)) AS max_containment,
+        |  ex.doc_id IS NULL AND coalesce(mx.mc, CAST(0.0 AS DOUBLE)) < 0.5
+        |    AS admitted
+        |FROM b LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |LEFT JOIN mx ON b.doc_id = mx.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
     "q58_bfs_depths" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

@@ -331,8 +331,10 @@ object Similarity {
 
   /** q67: every vector's score along the corpus's top principal axis —
     * the projection feeding whitening / spectral filtering / outlier
-    * trimming. Iterative eigen-math isn't oracle-SQL territory → rows
-    * only; QualityFloorsSpec pins planted-direction recovery instead.
+    * trimming. Oracle-checked: the fixed 8 rounds unroll into DuckDB SQL
+    * (the q57 pattern) and power iteration's contraction keeps both
+    * engines ≥4 orders of magnitude inside the 4-dp projection rounding;
+    * QualityFloorsSpec additionally pins planted-direction recovery.
     */
   def pcaProjectQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
