@@ -1,0 +1,52 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** BPE trainer semantics on the classic Sennrich example vocabulary —
+  * merges hand-computed, including the lexicographic tie-breaks and the
+  * greedy non-overlapping merge application.
+  */
+class BpeSpec extends SparkSpec {
+
+  test("learned merges match the hand-computed Sennrich example") {
+    import spark.implicits._
+    val vocab = Seq(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)
+    ).toDF("word", "w")
+    val merges = Bpe.train(vocab, nMerges = 6)
+    // hand derivation: "es" appears in newest(6)+widest(3)=9; after (e,s)
+    // and (es,t), "est</w>" fuses at 9; then l/o at 7 (tie with (o,w),
+    // lex "l" < "o"); lo/w at 7; then the 6-way tie (e,w)/(n,e)/(w,est</w>)
+    // breaks to (e,w) by left symbol
+    assert(merges == Seq(
+      Bpe.Merge(1, "e", "s", 9),
+      Bpe.Merge(2, "es", "t", 9),
+      Bpe.Merge(3, "est", "</w>", 9),
+      Bpe.Merge(4, "l", "o", 7),
+      Bpe.Merge(5, "lo", "w", 7),
+      Bpe.Merge(6, "e", "w", 6)))
+  }
+
+  test("merge application is greedy non-overlapping ('aaa' + (a,a) → aa|a)") {
+    import spark.implicits._
+    // one word "aaaa" (weight 1): pair (a,a) counts 3 overlapping
+    // occurrences; applying it must produce [aa, aa, </w>] — greedy
+    // left-to-right, never [a, aa, a]. Round 2 ties (aa,aa) with
+    // (aa,</w>) at freq 1 and '<' sorts before 'a', picking (aa,</w>).
+    val vocab = Seq(("aaaa", 1L)).toDF("word", "w")
+    val merges = Bpe.train(vocab, nMerges = 3)
+    assert(merges.take(2) == Seq(
+      Bpe.Merge(1, "a", "a", 3),
+      Bpe.Merge(2, "aa", "</w>", 1)))
+  }
+
+  test("training stops when no pairs remain") {
+    import spark.implicits._
+    val vocab = Seq(("ab", 1L)).toDF("word", "w")
+    // symbols a, b, </w>: merges (a,b) [or tie-break order], then one more,
+    // then the word is a single token — no pairs left, trainer stops early
+    val merges = Bpe.train(vocab, nMerges = 10)
+    assert(merges.length == 2)
+    assert(merges.last.lhs + merges.last.rhs == "ab</w>")
+  }
+}
