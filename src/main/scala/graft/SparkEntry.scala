@@ -229,7 +229,11 @@ object SparkEntry {
     // RAG-prep composition: gate → exact dedup → overlapping chunks
     "q105_rag_prep"         -> (graft.pipeline.Curation.ragPrepQuery _),
     // SemDeDup: cluster-then-screen semantic (embedding-space) dedup
-    "q106_semantic_dedup"   -> (graft.dedup.SemDedup.semDedupQuery _)
+    "q106_semantic_dedup"   -> (graft.dedup.SemDedup.semDedupQuery _),
+    // BPE merge training (first 10 rules) over the weighted vocabulary
+    "q107_bpe_merges"       -> (graft.text.Bpe.bpeMergesQuery _),
+    // incremental ingest: batch-vs-corpus admission screen (exact + containment)
+    "q108_incremental_screen" -> (Dedup.incrementalScreenQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -329,6 +329,64 @@ object Dedup {
       k = 5, threshold = 0.5, maxDf = 100)
   }
 
+  /** Incremental batch-vs-corpus screening — the admission control step of
+    * a continuously-growing corpus: every NEW batch row is checked against
+    * the EXISTING corpus before it is appended, so dedup cost per ingest is
+    * O(batch × bucket), never a full-corpus re-dedup. Two tiers, cheapest
+    * first:
+    *
+    *  1. exact text (the [[exact]] shape made bipartite): equi-join on
+    *     `xxhash64(text)` — 8-byte exchange keys — verified on the real
+    *     text, so a hash collision can never flag a non-duplicate;
+    *  2. shingle containment (the [[containmentPairs]] bipartite inverted
+    *     index, batch = eval side): max containment of each batch doc in
+    *     any corpus doc, df cap on the corpus side.
+    *
+    * A batch row is `admitted` iff it is not an exact copy and its max
+    * containment stays below `threshold`. This is the batch twin of the
+    * streaming ingest path: the checkpointed file index
+    * ([[graft.stream.Ingest]]) makes re-delivered FILES no-ops, and this
+    * screen makes re-delivered CONTENT a no-op (IngestSpec proves both).
+    *
+    * Returns one row per batch doc:
+    * (doc_id, exact_dup, max_containment, admitted).
+    */
+  def screenBatch(corpus: DataFrame, batch: DataFrame, k: Int,
+      threshold: Double, maxDf: Int = 100): DataFrame = {
+    val exactHits = batch
+      .select(col("doc_id"), col("text"), xxhash64(col("text")).as("__h"))
+      .join(corpus.select(col("text").as("__ct"),
+          xxhash64(col("text")).as("__h")).distinct(),
+        Seq("__h"))
+      .filter(col("text") === col("__ct"))
+      .select(col("doc_id"))
+      .distinct()
+      .withColumn("exact_dup", lit(true))
+    val contMax = containmentPairs(corpus, batch, k, threshold = 0.0, maxDf)
+      .groupBy(col("eval_id").as("doc_id"))
+      .agg(max(col("containment")).as("max_containment"))
+    batch.select(col("doc_id"))
+      .join(exactHits, Seq("doc_id"), "left")
+      .join(contMax, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("max_containment"), lit(0.0)).as("max_containment"))
+      .withColumn("admitted",
+        !col("exact_dup") && col("max_containment") < threshold)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q108: every fifth document replayed as an incoming batch against the
+    * rest of the corpus — the incremental-ingest admission screen.
+    */
+  def incrementalScreenQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    screenBatch(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      k = 5, threshold = 0.5, maxDf = 100)
+  }
+
   /** Edit-distance (Levenshtein) near-dup pairs within blocking buckets —
     * the record-linkage flavor of near-dup mining: names/titles that differ
     * by a few character edits, where shingle/minhash methods (built for

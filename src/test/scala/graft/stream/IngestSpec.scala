@@ -41,4 +41,44 @@ class IngestSpec extends SparkSpec {
     // transform ran inside the stream: derived columns present
     assert(got.columns.contains("sentiment_score"))
   }
+
+  test("incremental screen in foreachBatch: re-delivered CONTENT adds zero rows") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-screen").toString
+    val in = s"$base/in"; val corpusDir = s"$base/corpus"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val textA = "the quick brown fox jumps over the lazy dog today"
+    val novel = "completely different words about distributed query engines and planning"
+
+    // seed corpus
+    import spark.implicits._
+    Seq(1L -> textA).toDF("doc_id", "text").write.parquet(corpusDir)
+
+    // the admission-controlled sink: screen each micro-batch against the
+    // CURRENT corpus (seed + everything admitted so far), append survivors
+    def drain(): Unit =
+      Ingest.drainForeachBatch(spark, schema, in, identity, ckpt) { (batch, _) =>
+        val corpus = spark.read.parquet(corpusDir)
+        val admitted = graft.dedup.Dedup
+          .screenBatch(corpus, batch, k = 5, threshold = 0.5)
+          .filter(col("admitted"))
+          .select(col("doc_id"))
+          .join(batch, "doc_id")
+        admitted.write.mode("append").parquet(corpusDir)
+      }
+
+    // batch 1: one verbatim copy of a corpus doc + one novel doc
+    writeJson(in, "batch_1.json", doc(10, textA), doc(11, novel))
+    drain()
+    assert(spark.read.parquet(corpusDir).count() == 2) // seed + novel only
+
+    // batch 2: the SAME content re-delivered under a new doc_id in a new
+    // file — the file index can't help (new file), the screen must:
+    // the novel doc from batch 1 is now corpus, so its copy is an exact dup
+    writeJson(in, "batch_2.json", doc(12, novel))
+    drain()
+    assert(spark.read.parquet(corpusDir).count() == 2) // zero rows added
+  }
 }
