@@ -233,7 +233,9 @@ object SparkEntry {
     // BPE merge training (first 10 rules) over the weighted vocabulary
     "q107_bpe_merges"       -> (graft.text.Bpe.bpeMergesQuery _),
     // incremental ingest: batch-vs-corpus admission screen (exact + containment)
-    "q108_incremental_screen" -> (Dedup.incrementalScreenQuery _)
+    "q108_incremental_screen" -> (Dedup.incrementalScreenQuery _),
+    // BPE tokenizer APPLICATION: per-doc subword stats under the learned merges
+    "q109_bpe_encode"       -> (graft.text.Bpe.bpeEncodeQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

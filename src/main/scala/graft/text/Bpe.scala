@@ -85,6 +85,53 @@ object Bpe {
     merges.result()
   }
 
+  /** Apply an ordered merge list to one word (as a Column): character
+    * symbols + `</w>`, then each merge as the same pipe-encoded greedy
+    * fold used in training — the ENCODE half of the tokenizer. The merge
+    * rules are driver-side literals baked into the expression tree, so
+    * application is a pure per-row expression chain: embarrassingly
+    * parallel, no joins, no state.
+    */
+  def applyMerges(word: org.apache.spark.sql.Column, merges: Seq[Merge]): org.apache.spark.sql.Column = {
+    var t = concat(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      array(lit("</w>")))
+    for (m <- merges) {
+      val folded = aggregate(t, lit(""),
+        (acc, x) => when(acc.endsWith(lit("|" + m.lhs)) && x === lit(m.rhs),
+            concat(acc, x))
+          .otherwise(concat(acc, lit("|"), x)))
+      t = split(trim(folded, "|"), "\\|")
+    }
+    t
+  }
+
+  /** q109: encode the corpus with the 10 learned merges — per-doc subword
+    * statistics (the token-counting step a training pipeline runs after
+    * tokenizer construction). Segmentation is computed once per DISTINCT
+    * word (the same vocabulary trick as training) and broadcast back onto
+    * the per-doc word stream, so the corpus-side cost is one explode +
+    * one broadcast join + one grouped sum.
+    */
+  def bpeEncodeQuery(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("w"))
+    val merges = train(vocab, nMerges = 10)
+    val seg = vocab.select(col("word"),
+      size(applyMerges(col("word"), merges)).cast("long").as("n_sub"),
+      (length(col("word")) + 1).cast("long").as("n_sym"))
+    words.join(broadcast(seg), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        sum(col("n_sym")).as("n_symbols"))
+      .withColumn("compression",
+        round(col("n_subwords").cast("double") / col("n_symbols"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** q107: the first 10 merges learned from the documents corpus
     * (whitespace tokens restricted to `^[a-z]+$`, weighted by count).
     */

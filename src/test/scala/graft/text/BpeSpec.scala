@@ -40,6 +40,24 @@ class BpeSpec extends SparkSpec {
       Bpe.Merge(2, "aa", "</w>", 1)))
   }
 
+  test("applyMerges encodes with the learned rules in order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val merges = Seq(
+      Bpe.Merge(1, "e", "s", 9),
+      Bpe.Merge(2, "es", "t", 9),
+      Bpe.Merge(3, "est", "</w>", 9))
+    val out = Seq("newest", "widest", "low")
+      .toDF("word")
+      .select(col("word"), Bpe.applyMerges(col("word"), merges).as("t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("newest") == Seq("n", "e", "w", "est</w>"))
+    assert(out("widest") == Seq("w", "i", "d", "est</w>"))
+    // no rule applies to "low" beyond symbol split
+    assert(out("low") == Seq("l", "o", "w", "</w>"))
+  }
+
   test("training stops when no pairs remain") {
     import spark.implicits._
     val vocab = Seq(("ab", 1L)).toDF("word", "w")
