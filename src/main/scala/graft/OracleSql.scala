@@ -1811,6 +1811,54 @@ object OracleSql {
          |ORDER BY wd.doc_id""".stripMargin
     },
 
+    // Repeated-span detection: corpus-wide gram counts (window, no pair
+    // join), then the same running-max interval union per doc. All-integer
+    // span arithmetic; only the final fraction is a rounded double.
+    "q110_repeated_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |    AS t
+        |  FROM documents),
+        |nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t
+        |  FROM tk WHERE len(t) >= 5),
+        |g AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ')
+        |      AS gram,
+        |    CAST(i AS BIGINT) AS s, CAST(i + 4 AS BIGINT) AS e
+        |  FROM nn, unnest(range(0, len(t) - 4)) AS u(i)),
+        |rep AS (
+        |  SELECT doc_id, s, e FROM (
+        |    SELECT doc_id, s, e, count(*) OVER (PARTITION BY gram) AS c
+        |    FROM g)
+        |  WHERE c >= 2),
+        |fl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM rep
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |il AS (
+        |  SELECT doc_id, s, e,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fl),
+        |sp AS (
+        |  SELECT doc_id, island, max(e) - min(s) + 1 AS cov
+        |  FROM il GROUP BY 1, 2),
+        |st AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(max(cov) AS BIGINT) AS longest_span,
+        |    CAST(sum(cov) AS BIGINT) AS covered
+        |  FROM sp GROUP BY 1)
+        |SELECT nn.doc_id, nn.n_tokens,
+        |  coalesce(st.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+        |  coalesce(st.longest_span, CAST(0 AS BIGINT)) AS longest_span,
+        |  round(CAST(coalesce(st.covered, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    / nn.n_tokens, 4) AS repeated_frac
+        |FROM nn LEFT JOIN st ON nn.doc_id = st.doc_id
+        |ORDER BY nn.doc_id""".stripMargin,
+
     // Incremental admission screen: exact tier = EXISTS on text equality;
     // containment tier = the q53 bipartite mirror with batch as the eval
     // side, max per batch doc, LEFT-joined so screen-free docs report

@@ -235,7 +235,9 @@ object SparkEntry {
     // incremental ingest: batch-vs-corpus admission screen (exact + containment)
     "q108_incremental_screen" -> (Dedup.incrementalScreenQuery _),
     // BPE tokenizer APPLICATION: per-doc subword stats under the learned merges
-    "q109_bpe_encode"       -> (graft.text.Bpe.bpeEncodeQuery _)
+    "q109_bpe_encode"       -> (graft.text.Bpe.bpeEncodeQuery _),
+    // sub-document dedup: corpus-wide verbatim k-gram repetition spans
+    "q110_repeated_spans"   -> (Dedup.repeatedSpansQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

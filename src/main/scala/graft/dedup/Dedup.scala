@@ -387,6 +387,78 @@ object Dedup {
       k = 5, threshold = 0.5, maxDf = 100)
   }
 
+  /** Verbatim repeated-substring span detection [Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022]
+    * — the sub-document tier of dedup: find the SPANS of each document
+    * whose k-gram content appears elsewhere in the corpus (boilerplate,
+    * quoted passages, templated sections), which document-level exact and
+    * near dedup both leave untouched.
+    *
+    * Semantics: a k-gram position is repeated iff its gram occurs ≥
+    * `minCount` times corpus-wide; per doc, the repeated positions'
+    * [i, i+k−1] token intervals are unioned (classic running-max interval
+    * merge — adjacent intervals coalesce), and each maximal merged
+    * interval is one repeated span. Reported per doc: span count, longest
+    * span, and the fraction of tokens covered.
+    *
+    * Scale shape: there is NO pair join anywhere — the gram table is
+    * counted (one shuffle keyed by gram; hot boilerplate grams make big
+    * COUNT buckets, never candidate-pair blow-ups), and everything after
+    * is windows/aggregates keyed by doc_id. This is why the span tier
+    * scales where a substring self-join could not. (At 100 TB the gram
+    * strings would ride as xxhash64 keys — the [[shingleHashes]]
+    * discipline; the oracle-checked query keeps strings so DuckDB can
+    * reproduce it.)
+    */
+  def repeatedSpans(docs: DataFrame, k: Int, minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col("text"))
+    val base = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("toks"))
+      .filter(col("n_tokens") >= k)
+    val grams = base.select(col("doc_id"), col("n_tokens"),
+      posexplode(shingleArray(col("toks"), k)).as(Seq("i", "gram")))
+    val dfw = Window.partitionBy(col("gram"))
+    val rep = grams
+      .withColumn("c", count(lit(1)).over(dfw))
+      .filter(col("c") >= minCount)
+      .select(col("doc_id"), col("n_tokens"),
+        col("i").cast("long").as("s"),
+        (col("i") + k - 1).cast("long").as("e"))
+    // interval union: a position starts a new span iff it begins after the
+    // running max end of everything before it (+1 keeps adjacency merged)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevMax = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = rep
+      .withColumn("ni",
+        when(prevMax.isNull || col("s") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = islands
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg((max(col("e")) - min(col("s")) + 1).as("cov"))
+    val stats = spans
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("cov")).as("longest_span"),
+        sum(col("cov")).as("covered"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"),
+        round(coalesce(col("covered"), lit(0L)).cast("double")
+          / col("n_tokens"), 4).as("repeated_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q110: corpus-wide verbatim 5-gram repetition spans per document. */
+  def repeatedSpansQuery(s: SparkSession, dir: String): DataFrame =
+    repeatedSpans(Tables.documents(s, dir), k = 5, minCount = 2)
+
   /** Edit-distance (Levenshtein) near-dup pairs within blocking buckets —
     * the record-linkage flavor of near-dup mining: names/titles that differ
     * by a few character edits, where shingle/minhash methods (built for
