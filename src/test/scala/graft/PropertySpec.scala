@@ -94,6 +94,98 @@ object GraftProperties extends Properties("graft") {
       (sx == 0.0 && g.isNaN) || math.abs(g - math.rint(ref * 1e6) / 1e6) < 2e-6
     }
 
+  // in-memory mirrors for the SemDeDup property: index-order double
+  // accumulation (the engine's fold order) and Spark's HALF_UP round(·, 6)
+  private def cosRef(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  private def r6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(4, Gen.chooseNum(-2, 2).map(_.toFloat))
+      .suchThat(_.exists(_ != 0f)).map(_.toArray)
+
+  property("semDedup equals the in-memory greedy screen") =
+    forAll(Gen.listOfN(12, vecGen), Gen.listOfN(3, vecGen),
+        Gen.oneOf(0.3, 0.6, 0.9)) { (vs, cs, tau) =>
+      import spark.implicits._
+      val vecs = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val cents = cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      val out = graft.dedup.SemDedup.semDedup(
+          vecs.toDF("vec_id", "embedding"),
+          cents.toDF("centroid_id", "centroid"), tau)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      // reference: argmax assignment → (c_cos asc, id) rank → greedy screen
+      val assigned = vecs.map { case (id, v) =>
+        val (cid, s) = cents.map { case (cid, c) => (cid, r6(cosRef(v, c))) }
+          .maxBy { case (cid, s) => (s, -cid) }
+        (id, v, cid, s)
+      }
+      val ranked = assigned.groupBy(_._3).toSeq.flatMap { case (_, ms) =>
+        ms.sortBy { case (id, _, _, s) => (s, id) }.zipWithIndex
+          .map { case ((id, v, c, s), idx) => (id, v, c, idx + 1L) }
+      }
+      val byCluster = ranked.groupBy(_._3)
+      val ref = ranked.map { case (id, v, c, rnk) =>
+        val dropped = byCluster(c).exists { case (_, jv, _, jrnk) =>
+          jrnk < rnk && r6(cosRef(v, jv)) >= tau
+        }
+        (id, c, rnk, !dropped)
+      }.toSet
+      out == ref
+    }
+
+  private val wordGen: Gen[String] = Gen.chooseNum(1, 4)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b"))).map(_.mkString)
+
+  property("BPE training equals the in-memory Sennrich reference") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(wordGen, Gen.chooseNum(1L, 3L)))) { ws =>
+      import spark.implicits._
+      val words = ws.toMap.toSeq // distinct words
+      val got = graft.text.Bpe.train(words.toDF("word", "w"), nMerges = 3)
+        .map(m => (m.step, m.lhs, m.rhs, m.freq))
+      // reference: pair counts + (−freq, l, r) argmin + greedy index walk
+      var vocab = words.map { case (w, c) =>
+        (w.map(_.toString).toVector :+ "</w>", c) }
+      val ref = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
+      var step = 1
+      var done = false
+      while (step <= 3 && !done) {
+        val pairs = scala.collection.mutable.Map[(String, String), Long]()
+        for ((seq, c) <- vocab; i <- 0 until seq.length - 1)
+          pairs((seq(i), seq(i + 1))) =
+            pairs.getOrElse((seq(i), seq(i + 1)), 0L) + c
+        if (pairs.isEmpty) done = true
+        else {
+          val ((l, r), f) = pairs.toSeq
+            .minBy { case ((l, r), f) => (-f, l, r) }
+          ref += ((step.toLong, l, r, f))
+          vocab = vocab.map { case (seq, c) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < seq.length) {
+              if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += seq(i); i += 1 }
+            }
+            (b.result(), c)
+          }
+          step += 1
+        }
+      }
+      got == ref.toSeq
+    }
+
   property("snapshot diff statuses match set-theoretic classification") =
     forAll(Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 25L), Gen.chooseNum(0, 3))),
         Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 25L), Gen.chooseNum(0, 3)))) {
