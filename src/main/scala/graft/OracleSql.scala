@@ -410,6 +410,56 @@ object OracleSql {
         |FROM walk GROUP BY id
         |ORDER BY doc_id""".stripMargin,
 
+    // q40's recursive-CTE clusters + singleton coalesce + the q44
+    // multiplicative-hash split applied to the CLUSTER id.
+    "q111_leakage_safe_split" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS shingle
+        |  FROM tk, unnest(range(0, len(t) - 4)) AS g(i)
+        |  WHERE len(t) >= 5),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM sh0)
+        |  WHERE df <= 100),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cm AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b
+        |  FROM cm
+        |  JOIN sz na ON na.doc_id = id_a
+        |  JOIN sz nb ON nb.doc_id = id_b
+        |  WHERE round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 4) >= 0.2),
+        |ed AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM p),
+        |walk(id, lbl) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT e.src, w.lbl FROM ed e JOIN walk w ON w.id = e.dst),
+        |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+        |  FROM walk GROUP BY id),
+        |wc AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |h AS (
+        |  SELECT doc_id, cluster_id,
+        |    (cluster_id % 1000003) * 2654435761 % 2147483648 AS hu
+        |  FROM wc)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN CAST(floor(hu * 10 / 2147483648.0) AS BIGINT) < 8 THEN 'train'
+        |       WHEN CAST(floor(hu * 10 / 2147483648.0) AS BIGINT) = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
+
     // Identical raw-string synthesis, identical RE2/Java-compatible
     // patterns; DuckDB needs the 'g' flag to match Spark's replace-all.
     "q41_pii_redact" ->

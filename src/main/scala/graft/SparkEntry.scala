@@ -237,7 +237,9 @@ object SparkEntry {
     // BPE tokenizer APPLICATION: per-doc subword stats under the learned merges
     "q109_bpe_encode"       -> (graft.text.Bpe.bpeEncodeQuery _),
     // sub-document dedup: corpus-wide verbatim k-gram repetition spans
-    "q110_repeated_spans"   -> (Dedup.repeatedSpansQuery _)
+    "q110_repeated_spans"   -> (Dedup.repeatedSpansQuery _),
+    // leakage-safe split: train/val/test assigned per near-dup CLUSTER
+    "q111_leakage_safe_split" -> (graft.operators.Sampling.leakageSafeSplitQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

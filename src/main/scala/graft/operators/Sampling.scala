@@ -62,6 +62,38 @@ object Sampling {
       .select(col("doc_id"), col("lang"), splitLabel(col("doc_id")).as("split"))
       .orderBy(col("doc_id"))
 
+  /** Leakage-safe train/val/test split: the split label is a function of
+    * the NEAR-DUP CLUSTER id, not the document id, so two near-duplicate
+    * documents can never land in different splits — the eval-contamination
+    * failure mode of per-row hashing (a val doc whose near-copy sits in
+    * train silently inflates eval scores). Docs outside any near-dup pair
+    * are their own singleton cluster (cluster_id = doc_id).
+    *
+    * Composition: the exact-Jaccard pair miner → star-contraction
+    * connected components (both existing operators, both bucketed — see
+    * [[graft.dedup.Dedup]]) → the same multiplicative-hash split as
+    * [[splitLabel]], applied to the cluster id. The cluster table is the
+    * only addition over q44's per-row split; facts join it on doc_id once.
+    */
+  def leakageSafeSplit(docs: DataFrame, k: Int, threshold: Double,
+      maxDf: Int = 100): DataFrame = {
+    val pairs = graft.dedup.Dedup.jaccardPairs(docs, k, threshold, maxDf)
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.dedup.Dedup.connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", splitLabel(col("cluster_id")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q111: cluster-aware split of the documents corpus (q40's mining
+    * parameters), so near-dups share a split by construction.
+    */
+  def leakageSafeSplitQuery(s: SparkSession, dir: String): DataFrame =
+    leakageSafeSplit(graft.Tables.documents(s, dir),
+      k = 5, threshold = 0.2, maxDf = 100)
+
   /** Deterministic weighted Bernoulli sample: row i kept iff
     * hashUnit(id)/2³¹ < targetFrac · wᵢ/mean(w), capped at 1 — the
     * corpus-temperature step (sample high-quality or long documents at a

@@ -30,6 +30,26 @@ class SamplingSpec extends SparkSpec {
     assert(echo < 300, s"$echo of 1000 echoed id mod 10")
   }
 
+  test("leakage-safe split: near-dups share a split; singletons keep per-id labels") {
+    // ids 1 and 4 hash to DIFFERENT per-row splits (train vs test) — that
+    // is the leakage scenario; make them near-identical documents and the
+    // cluster split must unify them under cluster_id = 1
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val solo = Sampling
+      .leakageSafeSplit(Seq((4L, text)).toDF("doc_id", "text"), k = 5,
+        threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(solo.toSeq == Seq((4L, 4L, "test"))) // per-id label pre-cluster
+    val out = Sampling.leakageSafeSplit(
+      Seq(1L -> text, 4L -> text,
+        2L -> "entirely different words with no shingle overlap at all here")
+        .toDF("doc_id", "text"), k = 5, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((1L, "train")))
+    assert(out(4L) == ((1L, "train"))) // pulled into doc 1's cluster+split
+    assert(out(2L) == ((2L, "train"))) // singleton: own id, own label
+  }
+
   test("weighted sample: keep rate tracks weight, deterministic, capped at 1") {
     // two weight classes, 9:1 — the heavy class must be kept at ~9× the
     // light class's rate (up to the p=1 cap), and re-runs are identical
