@@ -108,7 +108,17 @@ object PageRank {
     */
   def shortestPathsFrom(edges: DataFrame, sources: DataFrame,
       maxDepth: Int = 30): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).cache()
+    // Pre-partition the edge set by src ONCE and cache that layout: the
+    // per-round expand join then reuses the cached partitioning (an
+    // InMemoryTableScan reports its HashPartitioning), so each round
+    // shuffles only the FRONTIER — O(frontier) exchange per round instead
+    // of re-exchanging all |E| edges every round. The shuffle_hash hint
+    // keeps the per-partition join a hash build over the frontier rather
+    // than a sort-merge, which would re-sort the cached edge partitions
+    // each round. This is also the 100 TB shape: edges partitioned once,
+    // rounds touch them in place.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).cache()
     var frontier = sources.select(col("id"), lit(0L).as("dist"))
       .localCheckpoint()
     // visited = the lazy union of per-round frontiers, each checkpointed
@@ -119,9 +129,10 @@ object PageRank {
     while (frontier.limit(1).count() > 0 && depth < maxDepth) {
       depth += 1
       val visited = frontiers.map(_.select(col("id").as("seen"))).reduce(_ union _)
-      frontier = e.join(frontier.select(col("id")), e("src") === col("id"))
+      frontier = e.join(frontier.select(col("id")).hint("shuffle_hash"),
+          e("src") === col("id"))
         .select(col("dst").as("id")).distinct()
-        .join(visited, col("id") === col("seen"), "left_anti")
+        .join(visited.hint("shuffle_hash"), col("id") === col("seen"), "left_anti")
         .select(col("id"), lit(depth).as("dist"))
         .localCheckpoint()
       frontiers = frontier :: frontiers
