@@ -1966,6 +1966,150 @@ object OracleSql {
         |  WHERE w.dist < 10)
         |SELECT id, min(dist) AS dist
         |FROM walk GROUP BY id
-        |ORDER BY dist, id""".stripMargin
+        |ORDER BY dist, id""".stripMargin,
+
+    // Per-doc signals computed per row (list folds on the Spark side, a
+    // token unnest here); all ratio thresholds compare on round(·, 4) so
+    // every boundary decision matches. The top-token count is the per-doc
+    // mode frequency (max run of the sorted array on the Spark side).
+    "q112_quality_rules" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, u AS token, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS u FROM tk)
+        |  GROUP BY 1, 2),
+        |md AS (SELECT doc_id, max(c) AS mx FROM tf GROUP BY doc_id),
+        |sig AS (
+        |  SELECT tk.doc_id, source,
+        |    len(t) AS n_tokens,
+        |    round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |      / greatest(len(t), 1), 4) AS avg_token_len,
+        |    round(CAST(len(list_distinct(t)) AS DOUBLE)
+        |      / greatest(len(t), 1), 4) AS distinct_ratio,
+        |    round(CAST(md.mx AS DOUBLE) / greatest(len(t), 1), 4) AS top_token_ratio,
+        |    len(list_filter(t, x -> x IN
+        |      ('the','a','and','of','el','la','los','y','le','les','et','une',
+        |       'der','die','und','das'))) AS stop_hits
+        |  FROM tk JOIN md ON tk.doc_id = md.doc_id),
+        |f AS (
+        |  SELECT source,
+        |    (n_tokens < 20 OR n_tokens > 95) AS fail_len,
+        |    (avg_token_len < 3.0 OR avg_token_len > 8.0) AS fail_word_len,
+        |    (distinct_ratio < 0.4) AS fail_diversity,
+        |    (top_token_ratio > 0.2) AS fail_top_token,
+        |    (stop_hits < 1) AS fail_stop
+        |  FROM sig)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CAST(fail_len AS BIGINT)) AS BIGINT) AS n_fail_len,
+        |  CAST(sum(CAST(fail_word_len AS BIGINT)) AS BIGINT) AS n_fail_word_len,
+        |  CAST(sum(CAST(fail_diversity AS BIGINT)) AS BIGINT) AS n_fail_diversity,
+        |  CAST(sum(CAST(fail_top_token AS BIGINT)) AS BIGINT) AS n_fail_top_token,
+        |  CAST(sum(CAST(fail_stop AS BIGINT)) AS BIGINT) AS n_fail_stop,
+        |  CAST(sum(CAST(NOT (fail_len OR fail_word_len OR fail_diversity
+        |    OR fail_top_token OR fail_stop) AS BIGINT)) AS BIGINT) AS n_pass
+        |FROM f
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // Weight rounds to 6 decimals BEFORE the budget multiply, so the
+    // floor() boundary is computed from bit-identical doubles; target and
+    // epochs then derive from exact integers on both sides.
+    "q113_mixture_plan" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS w_total,
+        |             sum(n_tokens) AS corpus_tokens FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  round(pow(CAST(n_tokens AS DOUBLE), 0.7) / w_total, 6) AS weight,
+        |  CAST(floor(round(pow(CAST(n_tokens AS DOUBLE), 0.7) / w_total, 6)
+        |    * round(CAST(corpus_tokens AS DOUBLE) * 0.5)) AS BIGINT) AS target_tokens,
+        |  round(CAST(floor(round(pow(CAST(n_tokens AS DOUBLE), 0.7) / w_total, 6)
+        |    * round(CAST(corpus_tokens AS DOUBLE) * 0.5)) AS DOUBLE)
+        |    / n_tokens, 4) AS epochs
+        |FROM s CROSS JOIN t
+        |ORDER BY source""".stripMargin,
+
+    // Laplace-smoothed multinomial NB: train on even doc_ids, score odd.
+    // Scores round to 6 before the argmax; ties break lang-ascending on
+    // both sides (row_number here, min over (-score, lang) in the engine).
+    "q114_nb_lang" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+        |te AS (SELECT * FROM tk WHERE doc_id % 2 <> 0),
+        |trtok AS (SELECT doc_id, lang, unnest(t) AS token FROM tr),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(DISTINCT doc_id) AS df FROM trtok GROUP BY 1)
+        |  WHERE df >= 5),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |nt AS (SELECT count(*) AS n_train FROM tr),
+        |priors AS (
+        |  SELECT lang, ln(CAST(count(*) AS DOUBLE) / (SELECT n_train FROM nt))
+        |    AS log_prior
+        |  FROM tr GROUP BY lang),
+        |langs AS (SELECT lang FROM priors),
+        |cnt AS (
+        |  SELECT lang, token, count(*) AS c
+        |  FROM trtok JOIN vocab USING (token)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(c) AS tc FROM cnt GROUP BY lang),
+        |model AS (
+        |  SELECT l.lang, v.token,
+        |    ln((coalesce(c.c, 0) + 1.0) / (CAST(t.tc AS DOUBLE) + vs.v)) AS log_p
+        |  FROM langs l CROSS JOIN vocab v CROSS JOIN vs
+        |  LEFT JOIN cnt c ON c.lang = l.lang AND c.token = v.token
+        |  JOIN tot t ON t.lang = l.lang),
+        |tetok AS (SELECT doc_id, unnest(t) AS token FROM te),
+        |contrib AS (
+        |  SELECT x.doc_id, m.lang, sum(m.log_p) AS s
+        |  FROM tetok x JOIN model m USING (token)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang AS true_lang, l.lang,
+        |    round(p.log_prior + coalesce(c.s, 0.0), 6) AS score
+        |  FROM te d CROSS JOIN langs l
+        |  JOIN priors p ON p.lang = l.lang
+        |  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = l.lang),
+        |pred AS (
+        |  SELECT doc_id, true_lang, lang AS pred_lang
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        |        FROM scored)
+        |  WHERE rn = 1)
+        |SELECT true_lang AS lang, pred_lang, count(*) AS n
+        |FROM pred
+        |GROUP BY 1, 2
+        |ORDER BY lang, pred_lang""".stripMargin,
+
+    // Centroid components round to 6 BEFORE the cosine, so both engines
+    // fold bit-identical inputs; the dot/norm accumulation runs in dim
+    // order on the Spark side and the rounding absorbs DuckDB's group-order
+    // summation.
+    "q115_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, i - 1 AS dim, embedding[i] AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS g(i)),
+        |c AS (
+        |  SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) AS cv
+        |  FROM e GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    sum(a.cv * b.cv) AS dot,
+        |    sum(a.cv * a.cv) AS na, sum(b.cv * b.cv) AS nb
+        |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+        |FROM p
+        |ORDER BY label_a, label_b""".stripMargin
   )
 }

@@ -239,7 +239,15 @@ object SparkEntry {
     // sub-document dedup: corpus-wide verbatim k-gram repetition spans
     "q110_repeated_spans"   -> (Dedup.repeatedSpansQuery _),
     // leakage-safe split: train/val/test assigned per near-dup CLUSTER
-    "q111_leakage_safe_split" -> (graft.operators.Sampling.leakageSafeSplitQuery _)
+    "q111_leakage_safe_split" -> (graft.operators.Sampling.leakageSafeSplitQuery _),
+    // Gopher/C4-style per-doc quality-rule battery, rolled up per source
+    "q112_quality_rules"    -> (graft.text.QualityRules.qualitySummaryQuery _),
+    // temperature-weighted (c^α) data-mixture plan: weights/targets/epochs
+    "q113_mixture_plan"     -> (graft.pipeline.Mixture.mixturePlanQuery _),
+    // multinomial Naive Bayes lang classifier: train even ids, score odd
+    "q114_nb_lang"          -> (graft.text.NaiveBayes.langConfusionQuery _),
+    // per-label embedding centroids + inter-label cosine similarity matrix
+    "q115_label_centroids"  -> (graft.similarity.Centroids.labelCentroidMatrixQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
