@@ -2110,6 +2110,76 @@ object OracleSql {
         |SELECT label_a, label_b,
         |  round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
         |FROM p
-        |ORDER BY label_a, label_b""".stripMargin
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    // Nearest-rank selection; the rank arithmetic ceil(q·n) runs on the
+    // same IEEE doubles in both engines, so the selected index is exact —
+    // the full sort here is the oracle's privilege, not the engine's.
+    "q116_global_quantiles" ->
+      """WITH t AS (
+        |  SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q),
+        |o AS (
+        |  SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT q, v AS value
+        |FROM t JOIN o ON rn = CAST(ceil(q * n) AS BIGINT)
+        |ORDER BY q""".stripMargin,
+
+    // Distinct (source, shingle) bounds per-shingle fanout to |sources|;
+    // the containment ratio compares on round(·, 4) like every ratio gate.
+    "q117_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    array_to_string(list_slice(t, i + 1, i + 5), ' ') AS shingle
+        |  FROM tk, unnest(range(0, len(t) - 4)) AS g(i)
+        |  WHERE len(t) >= 5),
+        |sz AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+        |cm AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) / least(na.n_sh, nb.n_sh), 4)
+        |    AS containment
+        |FROM cm
+        |JOIN sz na ON na.source = sa
+        |JOIN sz nb ON nb.source = sb
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // Codes are bit-exact (min/max codebooks have no summation-order
+    // drift; round-half-up matches for positive args); the two error
+    // stats are the only rounded outputs, ppm-scaled so 6 dp keeps
+    // signal. Squares spelled as e*e, NOT pow(), for identical arithmetic.
+    "q118_scalar_quantization" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS g(i)),
+        |cb AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM e GROUP BY dim),
+        |q AS (
+        |  SELECT vec_id, label, v, lo, hi,
+        |    CASE WHEN hi = lo THEN 0.0
+        |         ELSE round((v - lo) * 255.0 / (hi - lo), 0) END AS code
+        |  FROM e JOIN cb ON e.dim = cb.dim),
+        |r AS (
+        |  SELECT vec_id, label,
+        |    sum((v - (lo + code * (hi - lo) / 255.0))
+        |      * (v - (lo + code * (hi - lo) / 255.0))) AS sq_err,
+        |    sum(CAST(code AS BIGINT)) AS code_sum,
+        |    count(*) AS d,
+        |    sum(CASE WHEN code = 0.0 OR code = 255.0 THEN 1 ELSE 0 END) AS n_sat
+        |  FROM q GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(n_sat) AS BIGINT) AS n_saturated,
+        |  round(CAST(sum(code_sum) AS DOUBLE) / CAST(sum(d) AS DOUBLE), 4)
+        |    AS avg_code,
+        |  round(avg(sq_err / d) * 1e6, 6) AS mse_ppm
+        |FROM r GROUP BY label
+        |ORDER BY label""".stripMargin
   )
 }

@@ -247,7 +247,13 @@ object SparkEntry {
     // multinomial Naive Bayes lang classifier: train even ids, score odd
     "q114_nb_lang"          -> (graft.text.NaiveBayes.langConfusionQuery _),
     // per-label embedding centroids + inter-label cosine similarity matrix
-    "q115_label_centroids"  -> (graft.similarity.Centroids.labelCentroidMatrixQuery _)
+    "q115_label_centroids"  -> (graft.similarity.Centroids.labelCentroidMatrixQuery _),
+    // exact global quantiles via bucket offsets (no global sort)
+    "q116_global_quantiles" -> (graft.analytics.Quantiles.priceQuantilesQuery _),
+    // cross-source shingle contamination matrix (shared k-grams + containment)
+    "q117_source_overlap"   -> (graft.dedup.SourceOverlap.sourceOverlapQuery _),
+    // int8 scalar quantization codebook + per-label reconstruction audit
+    "q118_scalar_quantization" -> (graft.similarity.Quantization.labelAuditQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,53 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nearest-rank quantiles match the brute-force sort") {
+    val vals = Seq.tabulate(1000)(i => ((i * 7919) % 1000).toDouble + 0.5)
+    val df = vals.toDF("x")
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val got = Quantiles.globalQuantiles(df, "x", qs, bucketWidth = 64.0)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val k = math.ceil(q * vals.size).toLong
+      assert(got(q) === sorted((k - 1).toInt),
+        s"q=$q: expected rank-$k value ${sorted((k - 1).toInt)}, got ${got(q)}")
+    }
+  }
+
+  test("duplicates and skewed buckets still select the exact rank") {
+    // 90% of the mass in one bucket, plus duplicate values at the cut
+    val vals = Seq.fill(90)(10.0) ++ Seq(1.0, 2.0, 3.0, 4.0, 5.0,
+      100.0, 200.0, 300.0, 400.0, 500.0)
+    val df = vals.toDF("x")
+    val got = Quantiles.globalQuantiles(df, "x", Seq(0.5, 0.99), bucketWidth = 8.0)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    assert(got(0.5) === sorted(math.ceil(0.5 * 100).toInt - 1))   // 10.0
+    assert(got(0.99) === sorted(math.ceil(0.99 * 100).toInt - 1)) // 400.0
+  }
+
+  test("the rank window is partitioned; only the histogram prefix sum is global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Seq.tabulate(5000)(i => i.toDouble).toDF("x")
+    val q = Quantiles.globalQuantiles(df, "x", Seq(0.5), bucketWidth = 100.0)
+    val plan = graft.operators.PlanWalk.executedPlanOf(q)
+    val windows = graft.operators.PlanWalk.collectPlan(plan) {
+      case w: WindowExec => w
+    }
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    // exactly one empty-keyed window — the dimension-sized histogram
+    // prefix sum — and it must not be the row_number rank window
+    assert(unpartitioned.size === 1, plan.toString)
+    assert(unpartitioned.head.windowExpression.mkString.contains("sum"),
+      s"the global window must be the prefix sum, got:\n${unpartitioned.head}")
+    assert(windows.exists(w => w.partitionSpec.nonEmpty &&
+      w.windowExpression.mkString.contains("row_number")),
+      s"rank window must be partitioned by q:\n$plan")
+  }
+}
