@@ -2180,6 +2180,52 @@ object OracleSql {
         |    AS avg_code,
         |  round(avg(sq_err / d) * 1e6, 6) AS mse_ppm
         |FROM r GROUP BY label
-        |ORDER BY label""".stripMargin
+        |ORDER BY label""".stripMargin,
+
+    // Week truncation is ISO-Monday in both engines; the offset is integer
+    // day-diff div 7 (activity weeks are exact multiples of the cohort
+    // week), so no float touches the matrix except the final ratio.
+    "q119_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id),
+        |c AS (
+        |  SELECT cohort_week,
+        |    date_diff('day', cohort_week, week) // 7 AS week_offset,
+        |    count(*) AS n_active
+        |  FROM a JOIN f USING (user_id)
+        |  GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, n_active AS n_cohort FROM c WHERE week_offset = 0)
+        |SELECT c.cohort_week AS cohort_week, week_offset, n_active, n_cohort,
+        |  round(CAST(n_active AS DOUBLE) / n_cohort, 4) AS retention
+        |FROM c JOIN s ON c.cohort_week = s.cohort_week
+        |ORDER BY c.cohort_week, week_offset""".stripMargin,
+
+    // The census threshold uses the ROUNDED avg ×10 on both sides so the
+    // heavy-key boundary is bit-identical; sums of CASE are cast out of
+    // HUGEINT per the q75/q100 discipline.
+    "q120_skew_report" ->
+      """WITH r AS (
+        |  SELECT 'orders.o_custkey' AS rel, o_custkey AS k FROM orders
+        |  UNION ALL SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'events.user_id', user_id FROM events),
+        |c AS (SELECT rel, k, count(*) AS cnt FROM r GROUP BY 1, 2),
+        |t AS (
+        |  SELECT rel, CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |    CAST(max(cnt) AS BIGINT) AS max_per_key
+        |  FROM c GROUP BY rel)
+        |SELECT t.rel, n_rows, n_keys,
+        |  round(CAST(n_rows AS DOUBLE) / n_keys, 4) AS avg_per_key,
+        |  max_per_key,
+        |  round(CAST(max_per_key AS DOUBLE)
+        |    / (CAST(n_rows AS DOUBLE) / n_keys), 4) AS skew_factor,
+        |  CAST(sum(CASE WHEN CAST(cnt AS DOUBLE)
+        |      > round(CAST(n_rows AS DOUBLE) / n_keys, 4) * 10.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_over_10x
+        |FROM c JOIN t ON c.rel = t.rel
+        |GROUP BY t.rel, n_rows, n_keys, max_per_key
+        |ORDER BY t.rel""".stripMargin
   )
 }

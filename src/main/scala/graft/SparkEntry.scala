@@ -253,7 +253,11 @@ object SparkEntry {
     // cross-source shingle contamination matrix (shared k-grams + containment)
     "q117_source_overlap"   -> (graft.dedup.SourceOverlap.sourceOverlapQuery _),
     // int8 scalar quantization codebook + per-label reconstruction audit
-    "q118_scalar_quantization" -> (graft.similarity.Quantization.labelAuditQuery _)
+    "q118_scalar_quantization" -> (graft.similarity.Quantization.labelAuditQuery _),
+    // cohort retention triangle (first-seen week x offset)
+    "q119_cohort_retention" -> (graft.analytics.Cohorts.retentionQuery _),
+    // join-key skew diagnostic (skew factor + heavy-key census per key column)
+    "q120_skew_report"      -> (graft.quality.SkewReport.joinKeysQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
