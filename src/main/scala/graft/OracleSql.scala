@@ -2226,6 +2226,51 @@ object OracleSql {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_over_10x
         |FROM c JOIN t ON c.rel = t.rel
         |GROUP BY t.rel, n_rows, n_keys, max_per_key
-        |ORDER BY t.rel""".stripMargin
+        |ORDER BY t.rel""".stripMargin,
+
+    // Three unrolled synchronous rounds (the q57/q94 pattern); votes are
+    // integer counts, ties break toward the smaller label — no rounding
+    // discipline needed anywhere.
+    "q121_label_propagation" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |l0 AS (
+        |  SELECT c_custkey * 2 AS id, n_regionkey AS label, 0 AS round
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_custkey % 10 = 0),
+        |v1 AS (SELECT e.dst AS id, l.label, count(*) AS c
+        |       FROM e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+        |w1 AS (SELECT id, label FROM (
+        |         SELECT id, label,
+        |           row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+        |         FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT * FROM l0 UNION ALL
+        |       SELECT w.id, w.label, 1 FROM w1 w
+        |       LEFT JOIN l0 ON l0.id = w.id WHERE l0.id IS NULL),
+        |v2 AS (SELECT e.dst AS id, l.label, count(*) AS c
+        |       FROM e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+        |w2 AS (SELECT id, label FROM (
+        |         SELECT id, label,
+        |           row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+        |         FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT * FROM l1 UNION ALL
+        |       SELECT w.id, w.label, 2 FROM w2 w
+        |       LEFT JOIN l1 ON l1.id = w.id WHERE l1.id IS NULL),
+        |v3 AS (SELECT e.dst AS id, l.label, count(*) AS c
+        |       FROM e JOIN l2 l ON l.id = e.src GROUP BY 1, 2),
+        |w3 AS (SELECT id, label FROM (
+        |         SELECT id, label,
+        |           row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+        |         FROM v3) WHERE rn = 1),
+        |l3 AS (SELECT * FROM l2 UNION ALL
+        |       SELECT w.id, w.label, 3 FROM w3 w
+        |       LEFT JOIN l2 ON l2.id = w.id WHERE l2.id IS NULL)
+        |SELECT CASE WHEN id % 2 = 0 THEN 'c:' || CAST(id // 2 AS VARCHAR)
+        |            ELSE 's:' || CAST(id // 2 AS VARCHAR) END AS id,
+        |  label, round
+        |FROM l3
+        |ORDER BY id""".stripMargin
   )
 }

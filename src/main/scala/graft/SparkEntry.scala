@@ -257,7 +257,9 @@ object SparkEntry {
     // cohort retention triangle (first-seen week x offset)
     "q119_cohort_retention" -> (graft.analytics.Cohorts.retentionQuery _),
     // join-key skew diagnostic (skew factor + heavy-key census per key column)
-    "q120_skew_report"      -> (graft.quality.SkewReport.joinKeysQuery _)
+    "q120_skew_report"      -> (graft.quality.SkewReport.joinKeysQuery _),
+    // frozen-seed label propagation (majority vote, 3 synchronous rounds)
+    "q121_label_propagation" -> (graft.graph.LabelProp.regionPropagationQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
