@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** Randomized invariants for the pure-logic operators, each checked
   * against an independent in-memory brute-force reference (not against
@@ -184,6 +184,53 @@ object GraftProperties extends Properties("graft") {
         }
       }
       got == ref.toSeq
+    }
+
+  property("bucket-offset quantiles equal the sorted nearest-rank values") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-500, 500)),
+        Gen.nonEmptyListOf(Gen.chooseNum(1, 99)),
+        Gen.oneOf(3.0, 17.0, 64.0, 1000.0)) { (xs, pcts, width) =>
+      import spark.implicits._
+      val df = xs.map(_.toDouble).toDF("x")
+      val qs = pcts.distinct.map(_ / 100.0)
+      val got = graft.analytics.Quantiles.globalQuantiles(df, "x", qs, width)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val sorted = xs.map(_.toDouble).sorted
+      qs.forall { q =>
+        val k = math.ceil(q * xs.size).toInt
+        got(q) == sorted(k - 1)
+      } && got.size == qs.size
+    }
+
+  property("label propagation equals a synchronous in-memory BFS vote") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L))),
+        Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(0, 2)))) {
+      (rawEdges, seedMap) =>
+        import spark.implicits._
+        val edges = rawEdges.filter { case (a, b) => a != b }
+        (edges.nonEmpty && seedMap.nonEmpty) ==> {
+          val e = edges.toDF("src", "dst")
+          val s = seedMap.toSeq.toDF("id", "label")
+          val got = graft.graph.LabelProp.propagate(e, s, rounds = 3)
+            .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+          // reference: synchronous frozen-seed majority vote in memory
+          val undirected = (edges ++ edges.map(_.swap)).distinct
+            .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+          var ref = seedMap.map { case (k, v) => k -> ((v, 0)) }
+          for (r <- 1 to 3) {
+            val fresh = undirected.keys.filterNot(ref.contains).flatMap { v =>
+              val votes = undirected(v).flatMap(n => ref.get(n).map(_._1))
+              if (votes.isEmpty) None
+              else {
+                val grouped = votes.groupBy(identity).view.mapValues(_.size)
+                val win = grouped.toSeq.map { case (l, c) => (-c, l) }.min._2
+                Some(v -> ((win, r)))
+              }
+            }.toMap
+            ref = ref ++ fresh
+          }
+          got == ref
+        }
     }
 
   property("snapshot diff statuses match set-theoretic classification") =
