@@ -2271,6 +2271,31 @@ object OracleSql {
         |            ELSE 's:' || CAST(id // 2 AS VARCHAR) END AS id,
         |  label, round
         |FROM l3
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    // The typed (flatMapGroups) sessionizer implements q45's EXACT
+    // semantics — same gap, same (t, event_id) order, same 1-based ids —
+    // so its oracle is the same gaps-and-islands SQL.
+    "q122_typed_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(new_sess) OVER (
+        |      PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(t) AS start_us, max(t) AS end_us,
+        |  round((max(t) - min(t)) / 1000000.0, 3) AS duration_sec
+        |FROM s
+        |GROUP BY 1, 2
+        |ORDER BY user_id, session_id""".stripMargin
   )
 }

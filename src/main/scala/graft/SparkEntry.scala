@@ -259,7 +259,9 @@ object SparkEntry {
     // join-key skew diagnostic (skew factor + heavy-key census per key column)
     "q120_skew_report"      -> (graft.quality.SkewReport.joinKeysQuery _),
     // frozen-seed label propagation (majority vote, 3 synchronous rounds)
-    "q121_label_propagation" -> (graft.graph.LabelProp.regionPropagationQuery _)
+    "q121_label_propagation" -> (graft.graph.LabelProp.regionPropagationQuery _),
+    // typed (flatMapGroups) sessionization - q45 semantics, streaming-capable core
+    "q122_typed_sessions"   -> (graft.stream.Sessionize.typedSessionsQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

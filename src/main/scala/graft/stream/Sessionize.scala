@@ -1,0 +1,131 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** Typed sessionization — the `KeyValueGroupedDataset` counterpart of
+  * q45's window-based gaps-and-islands, sharing ONE core session builder
+  * between the batch and streaming paths:
+  *
+  *   - batch: `groupByKey(user).flatMapGroups` sorts each user's events
+  *     and cuts on the 30-minute gap — byte-for-byte the q45 semantics
+  *     (same oracle SQL shape), exercised as q122;
+  *   - streaming: `flatMapGroupsWithState` with event-time timeout keeps
+  *     ONE open session per user in state, merges each micro-batch into
+  *     it (min/max bounds, so in-gap out-of-order arrivals are exact),
+  *     emits a session only when the watermark passes its gap horizon.
+  *
+  * Reference tie: the reference's review-stream design (SURVEY.md §2.9's
+  * event-time discussion) — sessions are the canonical "custom state"
+  * streaming aggregate that tumbling/sliding windows cannot express.
+  *
+  * 100 TB shape (batch): the ONLY exchange is the groupByKey on user_id;
+  * the per-group sort is in-memory per USER (bounded by per-user event
+  * cardinality — the same bound every sessionizer carries), never a
+  * window over the full table. Streaming state is O(1) per active user
+  * (three longs), not a buffer of events.
+  */
+object Sessionize {
+
+  val GapUs: Long = 30L * 60L * 1000000L
+
+  case class Ev(user_id: Long, event_id: Long, t: Long)
+  case class Sess(user_id: Long, session_id: Long, n_events: Long,
+                  start_us: Long, end_us: Long, duration_sec: Double)
+  /** Open-session state: bounds + count (no event buffer). */
+  case class Open(start_us: Long, end_us: Long, n_events: Long)
+
+  /** Spark's round() is HALF_UP on the exact double — math.rint (banker's)
+    * would diverge at .0005 boundaries, which micro-second durations hit.
+    */
+  private def round3(x: Double): Double =
+    BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Cut a (t, event_id)-sorted event sequence on the gap. */
+  private def cut(user: Long, sorted: Seq[Ev]): Seq[Sess] = {
+    if (sorted.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Sess]
+    var sid = 0L; var start = 0L; var end = 0L; var n = 0L
+    sorted.foreach { e =>
+      if (n == 0L || e.t - end > GapUs) {
+        if (n > 0L) out += Sess(user, sid, n, start, end,
+          round3((end - start) / 1000000.0))
+        sid += 1L; start = e.t; end = e.t; n = 1L
+      } else { end = math.max(end, e.t); n += 1L }
+    }
+    out += Sess(user, sid, n, start, end, round3((end - start) / 1000000.0))
+    out.toSeq
+  }
+
+  /** Batch path: q45 semantics through the typed API. */
+  def sessions(events: Dataset[Ev]): Dataset[Sess] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (u, it) =>
+      cut(u, it.toSeq.sortBy(e => (e.t, e.event_id))).iterator
+    }
+  }
+
+  def typedSessionsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .as[Ev]
+    sessions(evs)
+      .toDF()
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Streaming path: one open session per user in state; emits a session
+    * once the event-time watermark passes `end + gap`. Session ids are
+    * not assigned here (cross-restart numbering needs a sink-side
+    * ordinal); emitted rows carry session bounds and counts.
+    *
+    * Input must carry an event-time watermark on `ts`.
+    */
+  def streamingSessions(events: Dataset[(Long, Long, java.sql.Timestamp)])
+      : Dataset[Sess] = {
+    import events.sparkSession.implicits._
+    // NOTE: group the watermarked tuples directly — a .map() here would
+    // re-serialize and silently drop the event-time watermark attribute,
+    // and the event-time timeout below would refuse to run
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Open, Sess](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[Open]) =>
+          val it = rows.map { case (u, id, ts) => Ev(u, id, ts.getTime * 1000L) }
+          if (state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator.single(Sess(user, 0L, o.n_events, o.start_us, o.end_us,
+              round3((o.end_us - o.start_us) / 1000000.0)))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.t, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Sess]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(o) if e.t - o.end_us <= GapUs =>
+                  open = Some(Open(math.min(o.start_us, e.t),
+                    math.max(o.end_us, e.t), o.n_events + 1L))
+                case Some(o) =>
+                  closed += Sess(user, 0L, o.n_events, o.start_us, o.end_us,
+                    round3((o.end_us - o.start_us) / 1000000.0))
+                  open = Some(Open(e.t, e.t, 1L))
+                case None =>
+                  open = Some(Open(e.t, e.t, 1L))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp((o.end_us + GapUs) / 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.stream
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+  import Sessionize.{Ev, Sess}
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+  private def us(min: Long): Long = min * 60L * 1000000L
+
+  test("batch typed sessions cut on the 30-minute gap with 1-based ids") {
+    val evs = Seq(
+      Ev(1L, 1L, us(0)), Ev(1L, 2L, us(10)), Ev(1L, 3L, us(20)),
+      Ev(1L, 4L, us(51)),                   // 31-min gap -> new session
+      Ev(2L, 5L, us(5))).toDS()
+    val out = Sessionize.sessions(evs).collect().toSet
+    assert(out === Set(
+      Sess(1L, 1L, 3L, us(0), us(20), 1200.0),
+      Sess(1L, 2L, 1L, us(51), us(51), 0.0),
+      Sess(2L, 1L, 1L, us(5), us(5), 0.0)))
+  }
+
+  test("exactly-30-minute gaps stay in one session (strict > cut)") {
+    val evs = Seq(Ev(1L, 1L, us(0)), Ev(1L, 2L, us(30))).toDS()
+    val out = Sessionize.sessions(evs).collect()
+    assert(out.length === 1 && out.head.n_events === 2L)
+  }
+
+  test("streaming sessions emit only after the watermark passes the gap") {
+    val input = MemoryStream[(Long, Long, Timestamp)](spark)
+    val withWm = input.toDS()
+      .withColumnRenamed("_3", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, Timestamp)]
+    val q = Sessionize.streamingSessions(withWm)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+
+    def drain(): Unit = { q.processAllAvailable() }
+    // batch 1: two events 10 min apart -> one open session, nothing
+    // emitted (events start at minute 1: a t == initial-watermark row
+    // would be dropped as late)
+    input.addData((1L, 1L, ts(1)), (1L, 2L, ts(11)))
+    drain()
+    assert(spark.table("sess_out").count() === 0L,
+      "open session must not emit before its gap horizon")
+    // batch 2: an event 31 min past the open end closes session 1 for
+    // user 1 on the DATA path; a user-2 event opens its own session
+    input.addData((1L, 3L, ts(42)), (2L, 4L, ts(42)))
+    drain()
+    val afterClose = spark.table("sess_out").as[Sess].collect()
+    assert(afterClose.map(s => (s.user_id, s.n_events, s.start_us, s.end_us)).toSet
+      === Set((1L, 2L, us(1), us(11))))
+    // two flush batches: the first advances the watermark past every gap
+    // horizon, the second fires the event-time TIMEOUTS (timeouts run in
+    // the batch after the watermark move)
+    input.addData((3L, 5L, ts(1000)))
+    drain()
+    input.addData((3L, 6L, ts(1001)))
+    drain()
+    q.stop()
+    val finals = spark.table("sess_out").as[Sess].collect()
+      .map(s => (s.user_id, s.n_events, s.start_us, s.end_us)).toSet
+    assert(finals.contains((1L, 1L, us(42), us(42))))
+    assert(finals.contains((2L, 1L, us(42), us(42))))
+  }
+
+  test("streaming closed-session bounds agree with the batch cut") {
+    // same event set through both paths; compare the sessions the stream
+    // has CLOSED (all of them, thanks to the far-future flush event)
+    val events = Seq(
+      (1L, 1L, 1L), (1L, 2L, 10L), (1L, 3L, 45L), (2L, 4L, 7L),
+      (1L, 5L, 50L), (2L, 6L, 90L))
+    val input = MemoryStream[(Long, Long, Timestamp)](spark)
+    val withWm = input.toDS()
+      .withColumnRenamed("_3", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, Timestamp)]
+    val q = Sessionize.streamingSessions(withWm)
+      .writeStream.format("memory").queryName("sess_par")
+      .outputMode("append").start()
+    input.addData(events.map { case (u, id, m) => (u, id, ts(m)) }: _*)
+    q.processAllAvailable()
+    input.addData((99L, 99L, ts(100000)))
+    q.processAllAvailable()
+    input.addData((99L, 98L, ts(100001)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_par").as[Sess].collect()
+      .filter(_.user_id != 99L)
+      .map(s => (s.user_id, s.n_events, s.start_us, s.end_us)).toSet
+    val batch = Sessionize.sessions(
+        events.map { case (u, id, m) => Ev(u, id, us(m)) }.toDS())
+      .collect().map(s => (s.user_id, s.n_events, s.start_us, s.end_us)).toSet
+    assert(streamed === batch)
+  }
+}
