@@ -2296,6 +2296,62 @@ object OracleSql {
         |  round((max(t) - min(t)) / 1000000.0, 3) AS duration_sec
         |FROM s
         |GROUP BY 1, 2
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // Add-one bigram LM trained on even doc_ids, scored on odd; <unk>
+    // mapping before bigram formation on both splits; per-doc NLL rounds
+    // to 6 dp before the rollup AND the threshold compare.
+    "q123_perplexity_filter" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |trtok AS (
+        |  SELECT doc_id, i AS pos, t[i] AS token
+        |  FROM tk, unnest(range(1, len(t) + 1)) AS g(i)
+        |  WHERE doc_id % 2 = 0),
+        |vocab AS (
+        |  SELECT token FROM (SELECT token, count(*) AS c FROM trtok GROUP BY 1)
+        |  WHERE c >= 5),
+        |tru AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN v.token IS NULL THEN '<unk>' ELSE x.token END AS tok
+        |  FROM trtok x LEFT JOIN vocab v ON x.token = v.token),
+        |trbi AS (
+        |  SELECT doc_id, lag(tok) OVER w AS w1, tok AS w2
+        |  FROM tru WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY w1 IS NOT NULL),
+        |pc AS (SELECT w1, w2, count(*) AS c12 FROM trbi GROUP BY 1, 2),
+        |lt AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pc GROUP BY 1),
+        |vs AS (SELECT count(*) + 1 AS v FROM vocab),
+        |tetok AS (
+        |  SELECT doc_id, source, i AS pos, t[i] AS token
+        |  FROM tk, unnest(range(1, len(t) + 1)) AS g(i)
+        |  WHERE doc_id % 2 <> 0),
+        |teu AS (
+        |  SELECT doc_id, source, pos,
+        |    CASE WHEN v.token IS NULL THEN '<unk>' ELSE x.token END AS tok
+        |  FROM tetok x LEFT JOIN vocab v ON x.token = v.token),
+        |tebi AS (
+        |  SELECT doc_id, source, lag(tok) OVER w AS w1, tok AS w2
+        |  FROM teu WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY w1 IS NOT NULL),
+        |sc AS (
+        |  SELECT b.doc_id, b.source,
+        |    ln((coalesce(pc.c12, 0) + 1.0) / (coalesce(lt.c1, 0) + vs.v)) AS lp
+        |  FROM tebi b
+        |  LEFT JOIN pc ON pc.w1 = b.w1 AND pc.w2 = b.w2
+        |  LEFT JOIN lt ON lt.w1 = b.w1
+        |  CROSS JOIN vs),
+        |pd AS (
+        |  SELECT doc_id, source, round(-avg(lp), 6) AS nll
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(nll), 6) AS avg_nll,
+        |  CAST(sum(CASE WHEN nll > 4.2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high_ppl
+        |FROM pd
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
   )
 }

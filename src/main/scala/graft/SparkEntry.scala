@@ -261,7 +261,9 @@ object SparkEntry {
     // frozen-seed label propagation (majority vote, 3 synchronous rounds)
     "q121_label_propagation" -> (graft.graph.LabelProp.regionPropagationQuery _),
     // typed (flatMapGroups) sessionization - q45 semantics, streaming-capable core
-    "q122_typed_sessions"   -> (graft.stream.Sessionize.typedSessionsQuery _)
+    "q122_typed_sessions"   -> (graft.stream.Sessionize.typedSessionsQuery _),
+    // CCNet-style held-out bigram-LM perplexity filter, per-source rollup
+    "q123_perplexity_filter" -> (graft.text.Perplexity.sourceSummaryQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
