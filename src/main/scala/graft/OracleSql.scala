@@ -2352,6 +2352,92 @@ object OracleSql {
         |    AS n_high_ppl
         |FROM pd
         |GROUP BY source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    // One UNION ALL branch per check, CASE sums cast out of HUGEINT;
+    // "constraint" quoted (reserved word).
+    "q124_constraint_report" ->
+      """WITH checks AS (
+        |  SELECT 'not_null(o_custkey)' AS con,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'not_null(o_orderdate)',
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice)',
+        |    CAST(sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 450000.0
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'accepted_values(o_orderstatus)',
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    coalesce((SELECT CAST(sum(c - 1) AS BIGINT)
+        |              FROM (SELECT count(*) AS c FROM orders
+        |                    GROUP BY o_orderkey) WHERE c > 1), 0)
+        |  UNION ALL
+        |  SELECT 'ref(o_custkey->c_custkey)',
+        |    (SELECT count(*) FROM orders o
+        |     LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |     WHERE c.c_custkey IS NULL))
+        |SELECT con AS "constraint", n_violations,
+        |  n_violations = 0 AS pass
+        |FROM checks
+        |ORDER BY con""".stripMargin,
+
+    // Metrics round to 6 dp BEFORE the delta; TVD rides a full outer join
+    // of the category-sized distributions.
+    "q125_drift_report" ->
+      """WITH o AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |n AS (
+        |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |so AS (SELECT CAST(count(o_totalprice) AS DOUBLE) AS c,
+        |         round(avg(o_totalprice), 6) AS m,
+        |         round(stddev_pop(o_totalprice), 6) AS s FROM o),
+        |sn AS (SELECT CAST(count(o_totalprice) AS DOUBLE) AS c,
+        |         round(avg(o_totalprice), 6) AS m,
+        |         round(stddev_pop(o_totalprice), 6) AS s FROM n),
+        |num AS (
+        |  SELECT 'count(o_totalprice)' AS metric, so.c AS old_value,
+        |    sn.c AS new_value FROM so, sn
+        |  UNION ALL
+        |  SELECT 'mean(o_totalprice)', so.m, sn.m FROM so, sn
+        |  UNION ALL
+        |  SELECT 'stddev(o_totalprice)', so.s, sn.s FROM so, sn),
+        |pos1 AS (SELECT o_orderstatus AS v,
+        |    CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM o) AS p
+        |  FROM o GROUP BY 1),
+        |pns1 AS (SELECT o_orderstatus AS v,
+        |    CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM n) AS p
+        |  FROM n GROUP BY 1),
+        |tvd1 AS (
+        |  SELECT 'tvd(o_orderstatus)' AS metric,
+        |    CAST(NULL AS DOUBLE) AS old_value, CAST(NULL AS DOUBLE) AS new_value,
+        |    round(sum(abs(coalesce(pos1.p, 0) - coalesce(pns1.p, 0))) / 2, 6)
+        |      AS abs_delta
+        |  FROM pos1 FULL OUTER JOIN pns1 USING (v)),
+        |pos2 AS (SELECT o_orderpriority AS v,
+        |    CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM o) AS p
+        |  FROM o GROUP BY 1),
+        |pns2 AS (SELECT o_orderpriority AS v,
+        |    CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM n) AS p
+        |  FROM n GROUP BY 1),
+        |tvd2 AS (
+        |  SELECT 'tvd(o_orderpriority)' AS metric,
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    round(sum(abs(coalesce(pos2.p, 0) - coalesce(pns2.p, 0))) / 2, 6)
+        |  FROM pos2 FULL OUTER JOIN pns2 USING (v))
+        |SELECT metric, old_value, new_value,
+        |  round(abs(new_value - old_value), 6) AS abs_delta FROM num
+        |UNION ALL SELECT * FROM tvd1
+        |UNION ALL SELECT * FROM tvd2
+        |ORDER BY metric""".stripMargin
   )
 }

@@ -263,7 +263,11 @@ object SparkEntry {
     // typed (flatMapGroups) sessionization - q45 semantics, streaming-capable core
     "q122_typed_sessions"   -> (graft.stream.Sessionize.typedSessionsQuery _),
     // CCNet-style held-out bigram-LM perplexity filter, per-source rollup
-    "q123_perplexity_filter" -> (graft.text.Perplexity.sourceSummaryQuery _)
+    "q123_perplexity_filter" -> (graft.text.Perplexity.sourceSummaryQuery _),
+    // declarative constraint suite (Deequ shape): one verdict row per check
+    "q124_constraint_report" -> (graft.quality.Constraints.ordersContractQuery _),
+    // snapshot-over-snapshot statistical drift (means/stddev/TVD)
+    "q125_drift_report"     -> (graft.quality.DriftReport.ordersDriftQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
