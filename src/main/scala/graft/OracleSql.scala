@@ -2438,6 +2438,50 @@ object OracleSql {
         |  round(abs(new_value - old_value), 6) AS abs_delta FROM num
         |UNION ALL SELECT * FROM tvd1
         |UNION ALL SELECT * FROM tvd2
-        |ORDER BY metric""".stripMargin
+        |ORDER BY metric""".stripMargin,
+
+    // The sign matrix is the same Wang-hash bit both engines compute
+    // (xor/shift/multiply with sub-2^31 constants — no BIGINT overflow);
+    // squared distances and ratios round to 6 dp before the census.
+    "q126_jl_projection" ->
+      """WITH s AS (
+        |  SELECT i, j,
+        |    CASE WHEN xor(h2 >> 16, h2) % 2 = 1 THEN 1.0 ELSE -1.0 END AS sg
+        |  FROM (
+        |    SELECT i, j,
+        |      (xor(h1 >> 16, h1) * 73244475) % 4294967296 AS h2
+        |    FROM (
+        |      SELECT i, j,
+        |        (xor((i * 16 + j) >> 16, i * 16 + j) * 73244475)
+        |          % 4294967296 AS h1
+        |      FROM unnest(range(0, 64)) AS gi(i),
+        |           unnest(range(0, 16)) AS gj(j)) h1t) h2t),
+        |e AS (
+        |  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS gi(i)
+        |  WHERE vec_id < 40),
+        |proj AS (
+        |  SELECT e.vec_id, s.j, sum(e.v * s.sg) / sqrt(16.0) AS y
+        |  FROM e JOIN s ON s.i = e.i
+        |  GROUP BY 1, 2),
+        |dp AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(sum((a.y - b.y) * (a.y - b.y)), 6) AS dp
+        |  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |dx AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(sum((a.v - b.v) * (a.v - b.v)), 6) AS dx
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT round(dp.dp / dx.dx, 6) AS ratio
+        |  FROM dp JOIN dx ON dp.ia = dx.ia AND dp.ib = dx.ib
+        |  WHERE dx.dx > 0)
+        |SELECT count(*) AS n_pairs, round(avg(ratio), 6) AS avg_ratio,
+        |  min(ratio) AS min_ratio, max(ratio) AS max_ratio,
+        |  CAST(sum(CASE WHEN ratio >= 0.5 AND ratio <= 1.5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_in_band
+        |FROM r""".stripMargin
   )
 }

@@ -267,7 +267,9 @@ object SparkEntry {
     // declarative constraint suite (Deequ shape): one verdict row per check
     "q124_constraint_report" -> (graft.quality.Constraints.ordersContractQuery _),
     // snapshot-over-snapshot statistical drift (means/stddev/TVD)
-    "q125_drift_report"     -> (graft.quality.DriftReport.ordersDriftQuery _)
+    "q125_drift_report"     -> (graft.quality.DriftReport.ordersDriftQuery _),
+    // JL +-1 random projection (64->16) + pairwise distortion audit
+    "q126_jl_projection"    -> (graft.similarity.RandomProjection.jlAuditQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
