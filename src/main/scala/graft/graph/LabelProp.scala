@@ -33,26 +33,34 @@ object LabelProp {
     * round = 0 for seeds, r for vertices first labeled in round r.
     */
   def propagate(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    // pre-partition the symmetrized edge set by src ONCE and cache that
+    // layout (the BFS trick): each round's vote join reuses the cached
+    // HashPartitioning and shuffles only the vertex-sized labeled set;
+    // shuffle_hash keeps it a hash probe instead of re-sorting the edges
     val e = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .repartition(col("src")).cache()
     var labeled = seeds.select(col("id"), col("label"), lit(0).as("round"))
       .localCheckpoint()
     for (r <- 1 to rounds) {
+      // drop votes aimed at already-labeled vertices BEFORE the count —
+      // they are frozen, so their winners would be discarded anyway
       val votes = e
-        .join(labeled.select(col("id").as("src"), col("label")), Seq("src"))
+        .join(labeled.select(col("id").as("src"), col("label"))
+          .hint("shuffle_hash"), Seq("src"))
+        .join(labeled.select(col("id").as("dst")).hint("shuffle_hash"),
+          Seq("dst"), "left_anti")
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val winners = votes
+      val fresh = votes
         .groupBy(col("dst").as("id"))
         .agg(min(struct((-col("c")).as("neg"), col("label")))
           .getField("label").as("label"))
-      val fresh = winners
-        .join(labeled.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), col("label"), lit(r).as("round"))
       labeled = labeled.union(fresh).localCheckpoint()
     }
+    e.unpersist()
     labeled
   }
 
