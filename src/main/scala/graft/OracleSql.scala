@@ -2482,6 +2482,35 @@ object OracleSql {
         |  min(ratio) AS min_ratio, max(ratio) AS max_ratio,
         |  CAST(sum(CASE WHEN ratio >= 0.5 AND ratio <= 1.5 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_in_band
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // The MERGE contract as one FULL OUTER join; 'kept' payload comes
+    // from the base side, everything else from the change side.
+    "q127_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |tch AS (SELECT o_orderkey, o_totalprice FROM orders
+        |        WHERE o_orderkey % 5 = 0),
+        |chg AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice + 100.0, 2) AS p,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'delete' ELSE 'upsert' END
+        |      AS action
+        |  FROM tch
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS k, o_totalprice,
+        |    'upsert'
+        |  FROM tch),
+        |m AS (
+        |  SELECT b.k AS bk, b.p AS bp, c.k AS ck, c.p AS cp, c.action,
+        |    CASE WHEN b.k IS NOT NULL AND c.action IS NULL THEN 'kept'
+        |         WHEN b.k IS NOT NULL AND c.action = 'upsert' THEN 'updated'
+        |         WHEN b.k IS NULL AND c.action = 'upsert' THEN 'inserted'
+        |         ELSE 'deleted' END AS op
+        |  FROM base b FULL OUTER JOIN chg c ON b.k = c.k)
+        |SELECT coalesce(bk, ck) AS o_orderkey,
+        |  CASE WHEN op = 'kept' THEN bp ELSE cp END AS o_totalprice,
+        |  op
+        |FROM m
+        |WHERE op <> 'deleted'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -269,7 +269,9 @@ object SparkEntry {
     // snapshot-over-snapshot statistical drift (means/stddev/TVD)
     "q125_drift_report"     -> (graft.quality.DriftReport.ordersDriftQuery _),
     // JL +-1 random projection (64->16) + pairwise distortion audit
-    "q126_jl_projection"    -> (graft.similarity.RandomProjection.jlAuditQuery _)
+    "q126_jl_projection"    -> (graft.similarity.RandomProjection.jlAuditQuery _),
+    // general MERGE INTO (upsert/delete/insert) as one full-outer join
+    "q127_merge_upsert"     -> (graft.operators.MergeInto.ordersMergeQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
