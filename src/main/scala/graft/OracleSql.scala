@@ -2511,6 +2511,32 @@ object OracleSql {
         |  op
         |FROM m
         |WHERE op <> 'deleted'
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Same left-to-right arithmetic ((N·c12)/(c1·c2)) and the same
+    // (pmi desc, bigram) total order for the top-k cut.
+    "q128_collocations" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT u AS w, count(*) AS cw
+        |  FROM (SELECT unnest(t) AS u FROM tk) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uni),
+        |bi AS (
+        |  SELECT b, count(*) AS c12
+        |  FROM (SELECT array_to_string(list_slice(t, i + 1, i + 2), ' ') AS b
+        |        FROM tk, unnest(range(0, len(t) - 1)) AS g(i)
+        |        WHERE len(t) >= 2)
+        |  GROUP BY 1
+        |  HAVING count(*) >= 20)
+        |SELECT b AS bigram, c12,
+        |  round(ln(tot.n * c12 / (u1.cw * u2.cw)), 6) AS pmi
+        |FROM bi
+        |JOIN uni u1 ON u1.w = string_split(b, ' ')[1]
+        |JOIN uni u2 ON u2.w = string_split(b, ' ')[2]
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, bigram
+        |LIMIT 50""".stripMargin
   )
 }

@@ -271,7 +271,9 @@ object SparkEntry {
     // JL +-1 random projection (64->16) + pairwise distortion audit
     "q126_jl_projection"    -> (graft.similarity.RandomProjection.jlAuditQuery _),
     // general MERGE INTO (upsert/delete/insert) as one full-outer join
-    "q127_merge_upsert"     -> (graft.operators.MergeInto.ordersMergeQuery _)
+    "q127_merge_upsert"     -> (graft.operators.MergeInto.ordersMergeQuery _),
+    // PMI collocations (min-count floored, popularity-normalized bigrams)
+    "q128_collocations"     -> (graft.text.Collocations.collocationsQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
