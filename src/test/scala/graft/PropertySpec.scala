@@ -233,6 +233,33 @@ object GraftProperties extends Properties("graft") {
         }
     }
 
+  property("MERGE INTO equals the set-theoretic outcome table") =
+    forAll(Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 20L), Gen.chooseNum(0, 99))),
+        Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 25L),
+          Gen.zip(Gen.chooseNum(0, 99), Gen.oneOf("upsert", "delete"))))) {
+      (baseM, chgM) =>
+        import spark.implicits._
+        (baseM.nonEmpty && chgM.nonEmpty) ==> {
+          val b = baseM.toSeq.map { case (k, p) => (k, p.toDouble) }.toDF("k", "p")
+          val c = chgM.toSeq.map { case (k, (p, a)) => (k, p.toDouble, a) }
+            .toDF("k", "p", "action")
+          val got = graft.operators.MergeInto.merge(b, c, "k", Seq("p"))
+            .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2))))
+            .toMap
+          val ref = (baseM.keySet ++ chgM.keySet).flatMap { k =>
+            (baseM.get(k), chgM.get(k)) match {
+              case (Some(_), Some((_, "delete")))  => None
+              case (Some(_), Some((p, "upsert")))  => Some(k -> ((p.toDouble, "updated")))
+              case (None, Some((p, "upsert")))     => Some(k -> ((p.toDouble, "inserted")))
+              case (None, Some((_, "delete")))     => None
+              case (Some(p), None)                 => Some(k -> ((p.toDouble, "kept")))
+              case _                               => None
+            }
+          }.toMap
+          got == ref
+        }
+    }
+
   property("snapshot diff statuses match set-theoretic classification") =
     forAll(Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 25L), Gen.chooseNum(0, 3))),
         Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 25L), Gen.chooseNum(0, 3)))) {
