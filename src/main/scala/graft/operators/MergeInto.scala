@@ -32,7 +32,10 @@ object MergeInto {
 
   /** @param base    (key, payload...) current table
     * @param changes (key, payload..., action) with action ∈ {upsert, delete}
-    * @param key     join column name
+    * @param key     join column name — assumed UNIQUE on both sides, the
+    *                same precondition transactional MERGE enforces (Delta
+    *                throws on multiple matches; here duplicate keys would
+    *                fan out through the join instead)
     * @param payload payload column names (changed side wins on upsert)
     */
   def merge(base: DataFrame, changes: DataFrame, key: String,
