@@ -2537,6 +2537,58 @@ object OracleSql {
         |JOIN uni u2 ON u2.w = string_split(b, ' ')[2]
         |CROSS JOIN tot
         |ORDER BY pmi DESC, bigram
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    // The quality-pass rate reuses q112's exact rule battery (same
+    // thresholds, same round(·,4) comparisons).
+    "q129_corpus_card" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |basic AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(len(t)) AS DOUBLE) AS n_tokens,
+        |    CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+        |    CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs
+        |  FROM tk),
+        |dt AS (
+        |  SELECT CAST(count(DISTINCT text) AS DOUBLE) AS n_distinct
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, u AS token, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS u FROM tk)
+        |  GROUP BY 1, 2),
+        |md AS (SELECT doc_id, max(c) AS mx FROM tf GROUP BY doc_id),
+        |sig AS (
+        |  SELECT tk.doc_id,
+        |    len(t) AS n,
+        |    round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |      / greatest(len(t), 1), 4) AS awl,
+        |    round(CAST(len(list_distinct(t)) AS DOUBLE)
+        |      / greatest(len(t), 1), 4) AS dr,
+        |    round(CAST(md.mx AS DOUBLE) / greatest(len(t), 1), 4) AS ttr,
+        |    len(list_filter(t, x -> x IN
+        |      ('the','a','and','of','el','la','los','y','le','les','et','une',
+        |       'der','die','und','das'))) AS sh
+        |  FROM tk JOIN md ON tk.doc_id = md.doc_id),
+        |p AS (
+        |  SELECT CAST(sum(CASE WHEN NOT (n < 20 OR n > 95)
+        |      AND NOT (awl < 3.0 OR awl > 8.0) AND dr >= 0.4
+        |      AND ttr <= 0.2 AND sh >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    AS n_pass
+        |  FROM sig)
+        |SELECT stat, value FROM (
+        |  SELECT 'n_docs' AS stat, n_docs AS value FROM basic
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM basic
+        |  UNION ALL SELECT 'n_sources', n_sources FROM basic
+        |  UNION ALL SELECT 'n_langs', n_langs FROM basic
+        |  UNION ALL SELECT 'mean_doc_tokens', round(n_tokens / n_docs, 6)
+        |    FROM basic
+        |  UNION ALL SELECT 'exact_dup_rate',
+        |    round(1.0 - dt.n_distinct / basic.n_docs, 6) FROM basic, dt
+        |  UNION ALL SELECT 'quality_pass_rate',
+        |    round(p.n_pass / basic.n_docs, 6) FROM basic, p)
+        |ORDER BY stat""".stripMargin
   )
 }

@@ -273,7 +273,9 @@ object SparkEntry {
     // general MERGE INTO (upsert/delete/insert) as one full-outer join
     "q127_merge_upsert"     -> (graft.operators.MergeInto.ordersMergeQuery _),
     // PMI collocations (min-count floored, popularity-normalized bigrams)
-    "q128_collocations"     -> (graft.text.Collocations.collocationsQuery _)
+    "q128_collocations"     -> (graft.text.Collocations.collocationsQuery _),
+    // dataset-card stats: size/composition/duplication/quality in one call
+    "q129_corpus_card"      -> (graft.pipeline.CorpusCard.cardQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
