@@ -233,6 +233,32 @@ object GraftProperties extends Properties("graft") {
         }
     }
 
+  property("typed sessionization equals the in-memory gap cut") =
+    forAll(Gen.listOfN(30,
+        Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 200L)))) { raw =>
+      import spark.implicits._
+      val gapUs = graft.stream.Sessionize.GapUs
+      // minutes -> micros; duplicate (user, t) pairs allowed, distinct ids
+      val evs = raw.zipWithIndex.map { case ((u, min), i) =>
+        graft.stream.Sessionize.Ev(u, i.toLong, min * 60000000L)
+      }
+      val got = graft.stream.Sessionize.sessions(evs.toDS()).collect()
+        .map(s => (s.user_id, s.session_id, s.n_events, s.start_us, s.end_us))
+        .toSet
+      val ref = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.t, e.event_id))
+        val sessions = sorted.foldLeft(List.empty[List[Long]]) {
+          case (cur :: rest, e) if e.t - cur.max <= gapUs =>
+            (e.t :: cur) :: rest
+          case (acc, e) => List(e.t) :: acc
+        }.reverse
+        sessions.zipWithIndex.map { case (ts, i) =>
+          (u, (i + 1).toLong, ts.size.toLong, ts.min, ts.max)
+        }
+      }.toSet
+      got == ref
+    }
+
   property("MERGE INTO equals the set-theoretic outcome table") =
     forAll(Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 20L), Gen.chooseNum(0, 99))),
         Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 25L),
