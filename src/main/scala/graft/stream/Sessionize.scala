@@ -35,8 +35,9 @@ object Sessionize {
   case class Ev(user_id: Long, event_id: Long, t: Long)
   case class Sess(user_id: Long, session_id: Long, n_events: Long,
                   start_us: Long, end_us: Long, duration_sec: Double)
-  /** Open-session state: bounds + count (no event buffer). */
-  case class Open(start_us: Long, end_us: Long, n_events: Long)
+  /** Open-session state: bounds + count + the next session ordinal for
+    * this user (no event buffer). */
+  case class Open(start_us: Long, end_us: Long, n_events: Long, next_sid: Long)
 
   /** Spark's round() is HALF_UP on the exact double — math.rint (banker's)
     * would diverge at .0005 boundaries, which micro-second durations hit.
@@ -78,12 +79,32 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Exact event-time microseconds: `getTime` truncates sub-millisecond
+    * precision, so add back the micros-within-millisecond from the nanos
+    * field — the batch path reads `unix_micros`, and parity demands the
+    * same resolution on both sides.
+    */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + ts.getNanos / 1000 % 1000
+
   /** Streaming path: one open session per user in state; emits a session
-    * once the event-time watermark passes `end + gap`. Session ids are
-    * not assigned here (cross-restart numbering needs a sink-side
-    * ordinal); emitted rows carry session bounds and counts.
+    * once the event-time watermark passes `end + gap`. Emitted sessions
+    * carry the same 1-based per-user ordinal as the batch cut: the next
+    * ordinal rides the state (one long), assigned at close time in
+    * chronological order.
     *
-    * Input must carry an event-time watermark on `ts`.
+    * Each micro-batch merges into the open session by INTERVAL arithmetic:
+    * the previous open session ([start, end], count) and the batch's
+    * sorted events are merged chronologically with the strict->gap cut —
+    * so an out-of-order arrival inside the open gap lands exactly, and a
+    * straggler older than `start − gap` forms its OWN earlier session
+    * instead of silently stretching the open one backwards.
+    *
+    * Input must carry an event-time watermark on `ts`, and the watermark
+    * delay must not exceed the session gap: a straggler predating an
+    * ALREADY-EMITTED session would need that session re-opened, which
+    * append-mode streaming cannot do (with delay ≤ gap, such an event is
+    * later than the watermark that emitted it and is filtered as late).
     */
   def streamingSessions(events: Dataset[(Long, Long, java.sql.Timestamp)])
       : Dataset[Sess] = {
@@ -97,34 +118,42 @@ object Sessionize {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[Open]) =>
-          val it = rows.map { case (u, id, ts) => Ev(u, id, ts.getTime * 1000L) }
+          val it = rows.map { case (u, id, ts) => Ev(u, id, micros(ts)) }
           if (state.hasTimedOut) {
             val o = state.get
             state.remove()
-            Iterator.single(Sess(user, 0L, o.n_events, o.start_us, o.end_us,
-              round3((o.end_us - o.start_us) / 1000000.0)))
+            Iterator.single(Sess(user, o.next_sid, o.n_events, o.start_us,
+              o.end_us, round3((o.end_us - o.start_us) / 1000000.0)))
           } else {
             val sorted = it.toSeq.sortBy(e => (e.t, e.event_id))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Sess]
-            var open = state.getOption
-            sorted.foreach { e =>
-              open match {
-                case Some(o) if e.t - o.end_us <= GapUs =>
-                  open = Some(Open(math.min(o.start_us, e.t),
-                    math.max(o.end_us, e.t), o.n_events + 1L))
-                case Some(o) =>
-                  closed += Sess(user, 0L, o.n_events, o.start_us, o.end_us,
-                    round3((o.end_us - o.start_us) / 1000000.0))
-                  open = Some(Open(e.t, e.t, 1L))
-                case None =>
-                  open = Some(Open(e.t, e.t, 1L))
+            var nextSid = state.getOption.map(_.next_sid).getOrElse(1L)
+            // chronological interval merge: previous open session + events
+            val intervals =
+              (state.getOption.map(o => Open(o.start_us, o.end_us, o.n_events, 0L)).toSeq
+                ++ sorted.map(e => Open(e.t, e.t, 1L, 0L)))
+                .sortBy(iv => (iv.start_us, iv.end_us))
+            if (intervals.isEmpty) Iterator.empty
+            else {
+              val merged = scala.collection.mutable.ArrayBuffer.empty[Open]
+              intervals.foreach { iv =>
+                if (merged.nonEmpty && iv.start_us - merged.last.end_us <= GapUs) {
+                  val c = merged.last
+                  merged(merged.length - 1) = Open(c.start_us,
+                    math.max(c.end_us, iv.end_us), c.n_events + iv.n_events, 0L)
+                } else merged += iv
               }
+              // all but the last (chronologically open) interval close now
+              val closed = merged.init.map { o =>
+                val s = Sess(user, nextSid, o.n_events, o.start_us, o.end_us,
+                  round3((o.end_us - o.start_us) / 1000000.0))
+                nextSid += 1L
+                s
+              }
+              val last = merged.last
+              state.update(Open(last.start_us, last.end_us, last.n_events, nextSid))
+              state.setTimeoutTimestamp((last.end_us + GapUs) / 1000L)
+              closed.iterator
             }
-            open.foreach { o =>
-              state.update(o)
-              state.setTimeoutTimestamp((o.end_us + GapUs) / 1000L)
-            }
-            closed.iterator
           }
       }
   }

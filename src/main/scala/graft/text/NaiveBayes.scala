@@ -22,10 +22,13 @@ import graft.Tables
   *
   * 100 TB shape: training is one explode + two partial-aggregated shuffles
   * keyed on (token[, lang]) — the classic word-count shape. The MODEL
-  * (vocab × |langs| log-likelihoods + priors) is dimension-sized by
-  * construction (the df floor caps the vocabulary), so scoring is a
-  * BROADCAST join against the exploded test tokens followed by one
-  * per-(doc, lang) partial aggregation — no shuffle ever carries the model.
+  * (vocab × |langs| log-likelihoods) is VOCABULARY-sized, not
+  * dimension-sized: a df floor on a web corpus still leaves 10⁷+ tokens, so
+  * the model must never be broadcast. Scoring joins the exploded test
+  * tokens to the model on the `token` key — a keyed shuffle, the same call
+  * q123 makes for its bigram table ([[Perplexity]]) — followed by one
+  * per-(doc, lang) partial aggregation. Only the genuinely tiny sides ride
+  * broadcasts: `priors`/`langs` (|langs| rows) and `vocabSize` (1 row).
   * Scores round to 6 decimals before the argmax so the DuckDB oracle
   * reproduces every tie and boundary; ties break toward the
   * lexicographically smallest language on both sides.
@@ -80,12 +83,14 @@ object NaiveBayes {
         log((coalesce(col("c"), lit(0L)) + 1.0)
           / (col("tc") + col("v"))).as("log_p"))
 
-    // score: broadcast the dimension-sized model onto exploded test tokens;
-    // docs whose tokens are ALL out-of-vocabulary still score (prior only)
+    // score: join exploded test tokens to the vocabulary-sized model on the
+    // token key — a keyed shuffle, never a broadcast (the model outgrows
+    // broadcast on any real corpus; same reasoning as q123's bigram join).
+    // Docs whose tokens are ALL out-of-vocabulary still score (prior only)
     // via the left join against the dense doc × lang frame
     val testTok = test.select(col("doc_id"), explode(col("toks")).as("token"))
     val contrib = testTok
-      .join(broadcast(model), Seq("token"))
+      .join(model, Seq("token"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("log_p")).as("s"))
     val scored = test.select(col("doc_id"), col("lang").as("true_lang"))

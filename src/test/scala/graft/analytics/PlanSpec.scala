@@ -355,6 +355,39 @@ class PlanSpec extends SparkSpec {
     assert(topk.size == 3, df.queryExecution.executedPlan.toString)
   }
 
+  test("q114: the NB likelihood join shuffles on token — the model is never broadcast") {
+    // The model (vocab × |langs| log-likelihoods) is vocabulary-sized: on a
+    // web corpus a df floor still leaves 10⁷+ tokens, so broadcasting it
+    // OOMs at scale. Pin: no broadcast side anywhere in the plan may carry
+    // the model's log_p column; the likelihood join must be a keyed
+    // shuffle join (the q123 bigram-table pattern). priors/langs/vocabSize
+    // (|langs|-row / 1-row) remain legitimately broadcast.
+    // Auto-broadcast off for the planning window: at test scale Catalyst
+    // legitimately broadcasts whichever side its stats call small, which
+    // would mask the property under pin — that no EXPLICIT hint forces the
+    // model side. With the threshold at -1, any BroadcastExchange left in
+    // the plan can only come from a broadcast() hint.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val plan = try {
+      spark.conf.set(key, "-1")
+      graft.text.NaiveBayes.langConfusionQuery(spark, dir)
+        .queryExecution.executedPlan
+    } finally spark.conf.set(key, prev)
+    val broadcastModel = PlanWalk.collectPlan(plan) {
+      case b: BroadcastExchangeLike if b.output.exists(_.name == "log_p") => b
+    }
+    assert(broadcastModel.isEmpty,
+      s"model broadcast: ${broadcastModel.map(_.nodeName)}\n$plan")
+    val shuffleJoins = PlanWalk.collectPlan(plan) {
+      case j: SortMergeJoinExec if j.output.exists(_.name == "log_p") => j
+      case j: ShuffledHashJoinExec if j.output.exists(_.name == "log_p") => j
+    }
+    assert(shuffleJoins.nonEmpty, plan.toString)
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate

@@ -49,9 +49,31 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("embedding near-dup pairs: parallel vectors found at high threshold") {
-    val out = Similarity.embeddingNearDupPairs(vecs, threshold = 0.95, bits = 4)
+    val out = Similarity.embeddingNearDupPairs(vecs, threshold = 0.95, bandBits = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.contains((0L, 1L)))
     assert(!out.exists { case (a, b) => Set(a, b).contains(2L) && Set(a, b).contains(0L) })
+  }
+
+  test("banded near-dup: multi-table recall dominates single-table; no dup pairs") {
+    // On real embeddings (sf0.001), the OR-construction must find at least
+    // every pair a single band finds, and each pair reports exactly once
+    // even when it collides in several bands.
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val one = Similarity.embeddingNearDupPairs(e, threshold = 0.3,
+      bandBits = 6, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.embeddingNearDupPairs(e, threshold = 0.3,
+      bandBits = 6, tables = 8).collect()
+    val bandedPairs = banded.map(r => (r.getLong(0), r.getLong(1)))
+    assert(bandedPairs.length == bandedPairs.toSet.size) // distinct collapsed
+    assert(one.subsetOf(bandedPairs.toSet)) // band 0 is table 0's bucket
+    assert(bandedPairs.toSet.size >= one.size)
+  }
+
+  test("q30 driver row is non-vacuous: the banded join returns rows at sf0.001") {
+    val out = Similarity.nearDupQuery(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(2) >= 0.4))
   }
 }

@@ -89,12 +89,63 @@ class SessionizeSpec extends SparkSpec {
     input.addData((99L, 98L, ts(100001)))
     q.processAllAvailable()
     q.stop()
+    // FULL-ROW parity including the 1-based session ordinal: the streaming
+    // twin's output schema matches the batch q122 exactly
     val streamed = spark.table("sess_par").as[Sess].collect()
-      .filter(_.user_id != 99L)
-      .map(s => (s.user_id, s.n_events, s.start_us, s.end_us)).toSet
+      .filter(_.user_id != 99L).toSet
     val batch = Sessionize.sessions(
         events.map { case (u, id, m) => Ev(u, id, us(m)) }.toDS())
-      .collect().map(s => (s.user_id, s.n_events, s.start_us, s.end_us)).toSet
+      .collect().toSet
     assert(streamed === batch)
+  }
+
+  test("a straggler older than start-gap forms its own earlier session, ids chronological") {
+    // watermark delay (2h) exceeds the distance so the straggler is
+    // admitted; it must NOT stretch the open session backwards
+    val input = MemoryStream[(Long, Long, Timestamp)](spark)
+    val withWm = input.toDS()
+      .withColumnRenamed("_3", "ts")
+      .withWatermark("ts", "2 hours")
+      .as[(Long, Long, Timestamp)]
+    val q = Sessionize.streamingSessions(withWm)
+      .writeStream.format("memory").queryName("sess_straggle")
+      .outputMode("append").start()
+    input.addData((1L, 1L, ts(100)))
+    q.processAllAvailable()
+    input.addData((1L, 2L, ts(20))) // 80 min before the open start
+    q.processAllAvailable()
+    input.addData((9L, 9L, ts(100000)))
+    q.processAllAvailable()
+    input.addData((9L, 8L, ts(100001)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_straggle").as[Sess].collect()
+      .filter(_.user_id == 1L).map(s => (s.session_id, s.n_events, s.start_us)).toSet
+    assert(out === Set((1L, 1L, us(20)), (2L, 1L, us(100))))
+  }
+
+  test("streaming event time keeps microsecond precision (gap + 1us cuts)") {
+    // start at minute 10: a t == initial-watermark(0) row would drop as late
+    val a = ts(10)
+    val b = ts(40); b.setNanos(1000) // exactly 30 min + 1 microsecond later
+    val input = MemoryStream[(Long, Long, Timestamp)](spark)
+    val withWm = input.toDS()
+      .withColumnRenamed("_3", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, Timestamp)]
+    val q = Sessionize.streamingSessions(withWm)
+      .writeStream.format("memory").queryName("sess_us")
+      .outputMode("append").start()
+    input.addData((1L, 1L, a), (1L, 2L, b))
+    q.processAllAvailable()
+    input.addData((9L, 9L, ts(100000)))
+    q.processAllAvailable()
+    input.addData((9L, 8L, ts(100001)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_us").as[Sess].collect().filter(_.user_id == 1L)
+    // ms truncation would read b as exactly gap -> ONE merged session
+    assert(out.length === 2, out.mkString(";"))
+    assert(out.map(_.end_us).max === us(40) + 1L)
   }
 }
