@@ -1698,8 +1698,10 @@ object OracleSql {
         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm
         |  FROM e),
+        |-- nlist scales with the corpus: max(8, n/64) — same knob as Spark
         |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
-        |  FROM n WHERE vec_id < 8),
+        |  FROM n WHERE vec_id <
+        |    (SELECT greatest(8, count(*) // 64) FROM embeddings)),
         |sc AS (
         |  SELECT n.vec_id, c.centroid_id,
         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1982,18 +1984,21 @@ object OracleSql {
         |  FROM (SELECT doc_id, unnest(t) AS u FROM tk)
         |  GROUP BY 1, 2),
         |md AS (SELECT doc_id, max(c) AS mx FROM tf GROUP BY doc_id),
+        |-- LEFT join: a zero-token doc has no tf rows but still counts in
+        |-- n_docs and the fail columns (the engine keeps it; mx reads 0)
         |sig AS (
         |  SELECT tk.doc_id, source,
         |    len(t) AS n_tokens,
-        |    round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-        |      / greatest(len(t), 1), 4) AS avg_token_len,
+        |    round(CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+        |      AS DOUBLE) / greatest(len(t), 1), 4) AS avg_token_len,
         |    round(CAST(len(list_distinct(t)) AS DOUBLE)
         |      / greatest(len(t), 1), 4) AS distinct_ratio,
-        |    round(CAST(md.mx AS DOUBLE) / greatest(len(t), 1), 4) AS top_token_ratio,
+        |    round(CAST(coalesce(md.mx, 0) AS DOUBLE)
+        |      / greatest(len(t), 1), 4) AS top_token_ratio,
         |    len(list_filter(t, x -> x IN
         |      ('the','a','and','of','el','la','los','y','le','les','et','une',
         |       'der','die','und','das'))) AS stop_hits
-        |  FROM tk JOIN md ON tk.doc_id = md.doc_id),
+        |  FROM tk LEFT JOIN md ON tk.doc_id = md.doc_id),
         |f AS (
         |  SELECT source,
         |    (n_tokens < 20 OR n_tokens > 95) AS fail_len,
@@ -2115,6 +2120,23 @@ object OracleSql {
     // Nearest-rank selection; the rank arithmetic ceil(q·n) runs on the
     // same IEEE doubles in both engines, so the selected index is exact —
     // the full sort here is the oracle's privilege, not the engine's.
+    // Nearest-rank per group: the value at rank ceil(q*n_g) is unique even
+    // under ties, so the full-sort formulation here and the bucket-offset
+    // selection on the Spark side agree exactly.
+    "q130_grouped_quantiles" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders),
+        |qv AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q),
+        |o AS (
+        |  SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM t)
+        |SELECT g AS o_orderpriority, q, v AS value
+        |FROM qv JOIN o ON rn = CAST(ceil(q * n) AS BIGINT)
+        |ORDER BY o_orderpriority, q""".stripMargin,
+
     "q116_global_quantiles" ->
       """WITH t AS (
         |  SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q),
@@ -2560,18 +2582,20 @@ object OracleSql {
         |  FROM (SELECT doc_id, unnest(t) AS u FROM tk)
         |  GROUP BY 1, 2),
         |md AS (SELECT doc_id, max(c) AS mx FROM tf GROUP BY doc_id),
+        |-- LEFT join: zero-token docs still count in the pass-rate base
         |sig AS (
         |  SELECT tk.doc_id,
         |    len(t) AS n,
-        |    round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-        |      / greatest(len(t), 1), 4) AS awl,
+        |    round(CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+        |      AS DOUBLE) / greatest(len(t), 1), 4) AS awl,
         |    round(CAST(len(list_distinct(t)) AS DOUBLE)
         |      / greatest(len(t), 1), 4) AS dr,
-        |    round(CAST(md.mx AS DOUBLE) / greatest(len(t), 1), 4) AS ttr,
+        |    round(CAST(coalesce(md.mx, 0) AS DOUBLE)
+        |      / greatest(len(t), 1), 4) AS ttr,
         |    len(list_filter(t, x -> x IN
         |      ('the','a','and','of','el','la','los','y','le','les','et','une',
         |       'der','die','und','das'))) AS sh
-        |  FROM tk JOIN md ON tk.doc_id = md.doc_id),
+        |  FROM tk LEFT JOIN md ON tk.doc_id = md.doc_id),
         |p AS (
         |  SELECT CAST(sum(CASE WHEN NOT (n < 20 OR n > 95)
         |      AND NOT (awl < 3.0 OR awl > 8.0) AND dr >= 0.4

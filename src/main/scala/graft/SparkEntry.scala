@@ -275,7 +275,9 @@ object SparkEntry {
     // PMI collocations (min-count floored, popularity-normalized bigrams)
     "q128_collocations"     -> (graft.text.Collocations.collocationsQuery _),
     // dataset-card stats: size/composition/duplication/quality in one call
-    "q129_corpus_card"      -> (graft.pipeline.CorpusCard.cardQuery _)
+    "q129_corpus_card"      -> (graft.pipeline.CorpusCard.cardQuery _),
+    // exact PER-GROUP quantiles via group-partitioned bucket offsets
+    "q130_grouped_quantiles" -> (graft.analytics.Quantiles.priorityQuantilesQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -65,4 +65,47 @@ object Quantiles {
   def priceQuantilesQuery(s: SparkSession, dir: String): DataFrame =
     globalQuantiles(Tables.lineitem(s, dir), "l_extendedprice",
       Seq(0.25, 0.5, 0.75, 0.9, 0.99), bucketWidth = 1024.0)
+
+  /** Per-group nearest-rank quantiles — the grouped form dashboards ask
+    * for ("p50/p90 spend per priority"), same two-pass bucket-offset shape
+    * as [[globalQuantiles]]: the histogram carries one row per
+    * (group, occupied bucket); its prefix window partitions by GROUP (so
+    * no global sort even on the tiny table); pass 2 ranks only the
+    * (group, bucket) slices that hold a target rank. No per-group full
+    * sort ever happens — the q35 `percentile` semantics at corpus scale.
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       qs: Seq[Double], bucketWidth: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketed = df.select(
+      col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"),
+      floor(col(valueCol) / bucketWidth).cast("long").as("b"))
+    val hist = bucketed.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+    val pref = hist.withColumn("cum_before",
+      coalesce(sum(col("c")).over(
+        Window.partitionBy(col("g")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val totals = hist.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val targets = totals.crossJoin(broadcast(qs.toDF("q")))
+      .withColumn("k", ceil(col("q") * col("n")))
+    val sel = targets.as("t").join(pref.as("p"),
+        col("t.g") === col("p.g") &&
+          col("k") > col("cum_before") && col("k") <= col("cum_before") + col("c"))
+      .select(col("t.g").as("g"), col("q"), col("k"), col("b"), col("cum_before"))
+    bucketed
+      .join(broadcast(sel), Seq("g", "b"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("g"), col("q")).orderBy(col("v"))))
+      .filter(col("rn") === col("k") - col("cum_before"))
+      .select(col("g").as(groupCol), col("q"), col("v").as("value"))
+      .orderBy(col(groupCol), col("q"))
+  }
+
+  /** q130: spend quantiles per order priority. */
+  def priorityQuantilesQuery(s: SparkSession, dir: String): DataFrame =
+    groupedQuantiles(Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
+      Seq(0.25, 0.5, 0.75, 0.9), bucketWidth = 1024.0)
 }

@@ -88,17 +88,28 @@ object SemDedup {
       .orderBy(col("vec_id"))
   }
 
-  /** q106: semantic dedup of the embeddings table. The quantizer here is the
-    * FIXED first-8-vectors codebook (centroid c = embedding of vec_id c) —
-    * deliberately oracle-expressible; the trained path
+  /** q106: semantic dedup of the embeddings table. The quantizer here is
+    * the FIXED first-`nlist`-vectors codebook (centroid c = embedding of
+    * vec_id c) — deliberately oracle-expressible; the trained path
     * ([[graft.similarity.Similarity.kmeansCentroids]]) plugs into the same
     * screen and is floor-tested in SemDedupSpec instead (iterative fp
     * training is not oracle-SQL territory). τ = 0.4 sits in this synthetic
     * corpus's near-dup band (max pairwise cosine ≈ 0.5–0.6 across SFs).
+    *
+    * nlist SCALES WITH THE CORPUS: max(8, n/64) keeps the expected cluster
+    * at ~64 vectors, so the within-cluster O(|cluster|²) screen stays
+    * bounded by the knob (the paper's 50k-cluster regime at 5B items is
+    * this same ratio discipline), not by n — a fixed nlist would make the
+    * benched plan quadratic in corpus size. The count rides a broadcast
+    * 1-row aggregate; no driver action.
     */
   def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val centroids = e.filter(col("vec_id") < 8)
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    val centroids = e
+      .crossJoin(broadcast(n))
+      .filter(col("vec_id") <
+        greatest(lit(8L), floor(col("n_vecs") / 64.0).cast("long")))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
     semDedup(e, centroids, tau = 0.4)
   }

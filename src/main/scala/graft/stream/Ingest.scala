@@ -54,6 +54,57 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** MERGE-upsert drain: each micro-batch is applied to a versioned parquet
+    * snapshot through [[graft.operators.MergeInto.merge]] — the reference's
+    * append/overwrite split (`README.md:217-223`) upgraded to the lakehouse
+    * write path the engine already implements. A batch row with an `action`
+    * column drives UPDATE/DELETE; without one every row is an upsert, so
+    * re-delivered CONTENT (same key, same payload, new file) converges to
+    * the same state instead of appending a duplicate.
+    *
+    * Snapshot versioning stands in for the table-format transaction log
+    * (out of scope, `operators/MergeInto.scala:20-29`): batch N reads
+    * `v{N-1}`, merges, writes `v{N}` — never overwriting its own input,
+    * the read-your-own-write trap a naive overwrite sink hits. Exact
+    * duplicates WITHIN a batch collapse first; MERGE's unique-key
+    * precondition covers conflicting same-key rows in one batch.
+    *
+    * Returns the path of the latest snapshot version.
+    */
+  def drainMergeToParquet(
+      spark: SparkSession,
+      schema: StructType,
+      inputDir: String,
+      transform: DataFrame => DataFrame,
+      key: String,
+      payload: Seq[String],
+      tablePath: String,
+      checkpoint: String): String = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def versions: Seq[Long] =
+      Option(new java.io.File(tablePath).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName.stripPrefix("v").toLong)
+    drainForeachBatch(spark, schema, inputDir, transform, checkpoint) { (batch, _) =>
+      val cols = key +: payload
+      val vs = versions
+      val base =
+        if (vs.isEmpty) batch.select(cols.map(col): _*).limit(0)
+        else spark.read.parquet(f"$tablePath/v${vs.max}%06d")
+      val changes0 =
+        if (batch.columns.contains("action")) batch
+        else batch.withColumn("action", lit("upsert"))
+      // collapse exact re-deliveries inside one micro-batch; conflicting
+      // payloads for one key remain the caller's precondition (as in MERGE)
+      val changes = changes0.select((cols :+ "action").map(col): _*).distinct()
+      graft.operators.MergeInto.merge(base, changes, key, payload)
+        .drop("op")
+        .write.mode("overwrite")
+        .parquet(f"$tablePath/v${vs.maxOption.getOrElse(-1L) + 1L}%06d")
+    }
+    versions.maxOption.map(v => f"$tablePath/v$v%06d").getOrElse(tablePath)
+  }
+
   /** foreachBatch variant for sinks that need batch-side logic (e.g. the
     * unified-join recompute after each micro-batch, `README.md:217-223`).
     */

@@ -32,6 +32,36 @@ class QuantilesSpec extends SparkSpec {
     assert(got(0.99) === sorted(math.ceil(0.99 * 100).toInt - 1)) // 400.0
   }
 
+  test("grouped quantiles match per-group brute force (uneven group sizes)") {
+    val rows =
+      Seq.tabulate(700)(i => ("a", ((i * 7919) % 700).toDouble + 0.25)) ++
+      Seq.tabulate(40)(i => ("b", (i * 13).toDouble)) ++
+      Seq(("c", 5.0)) // single-element group: every q selects that element
+    val df = rows.toDF("g", "x")
+    val qs = Seq(0.25, 0.5, 0.9)
+    val got = Quantiles.groupedQuantiles(df, "g", "x", qs, bucketWidth = 32.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 9)
+    for ((g, vals) <- rows.groupBy(_._1); q <- qs) {
+      val sorted = vals.map(_._2).sorted
+      val k = math.ceil(q * sorted.size).toInt
+      assert(got((g, q)) === sorted(k - 1),
+        s"group $g q=$q: expected ${sorted(k - 1)}, got ${got((g, q))}")
+    }
+  }
+
+  test("grouped: NO empty-keyed window anywhere (prefix sum rides the group key)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Seq.tabulate(5000)(i => (s"g${i % 3}", i.toDouble)).toDF("g", "x")
+    val q = Quantiles.groupedQuantiles(df, "g", "x", Seq(0.5), bucketWidth = 100.0)
+    val plan = graft.operators.PlanWalk.executedPlanOf(q)
+    val windows = graft.operators.PlanWalk.collectPlan(plan) {
+      case w: WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty), plan.toString)
+  }
+
   test("the rank window is partitioned; only the histogram prefix sum is global") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = Seq.tabulate(5000)(i => i.toDouble).toDF("x")

@@ -78,6 +78,25 @@ class SemDedupSpec extends SparkSpec {
     assert(kept == Set(3L))
   }
 
+  test("nlist bounds the quadratic: max cluster size shrinks as nlist grows") {
+    // the scaling knob the q106 demo now carries (nlist = max(8, n/64)):
+    // growing the codebook must shrink the biggest cluster, because the
+    // within-cluster screen is O(|cluster|²) and |cluster| — not n — is
+    // what the knob controls
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    def maxCluster(nlist: Int): Long = {
+      val cents = graft.similarity.Similarity.kmeansCentroids(e, nlist, iters = 2)
+      graft.similarity.Similarity.ivfAssign(e, cents, nprobe = 1)
+        .groupBy(col("centroid_id")).count()
+        .agg(max(col("count"))).head().getLong(0)
+    }
+    val coarse = maxCluster(4)
+    val fine = maxCluster(32)
+    assert(coarse >= 500 / 4, s"pigeonhole: coarse=$coarse") // 500 vectors
+    assert(fine < coarse, s"nlist=32 max cluster $fine !< nlist=4 max $coarse")
+  }
+
   test("trained (k-means) quantizer plugs into the same screen") {
     // same planted corpus, but the quantizer is learned from the data —
     // the oracle-inexpressible path: pruning must still collapse each

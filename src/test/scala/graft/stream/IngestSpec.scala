@@ -42,6 +42,47 @@ class IngestSpec extends SparkSpec {
     assert(got.columns.contains("sentiment_score"))
   }
 
+  test("MERGE drain: re-delivered + changed rows converge to the merged state, exactly once") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-merge").toString
+    val in = s"$base/in"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("p", DoubleType),
+      StructField("action", StringType)))
+    def row(k: Long, p: Double, action: String = "upsert") =
+      s"""{"k":$k,"p":$p,"action":"$action"}"""
+    def drain(): String = Ingest.drainMergeToParquet(
+      spark, schema, in, identity, "k", Seq("p"), table, ckpt)
+    def state(path: String): Map[Long, Double] =
+      spark.read.parquet(path).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // batch 1: two inserts (plus an exact in-batch re-delivery of k=1)
+    writeJson(in, "b1.json", row(1, 10.0), row(2, 20.0), row(1, 10.0))
+    val v1 = drain()
+    assert(state(v1) === Map(1L -> 10.0, 2L -> 20.0))
+
+    // batch 2, new file: k=1 re-delivered IDENTICALLY, k=2 changed,
+    // k=3 new, and a delete for a key that never existed (no-op)
+    writeJson(in, "b2.json", row(1, 10.0), row(2, 25.0), row(3, 30.0),
+      row(99, 0.0, action = "delete"))
+    val v2 = drain()
+    assert(state(v2) === Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+
+    // batch 3: delete k=1; batch 4: re-deliver batch-2 CONTENT in a new
+    // file — the merge must converge (k=2/k=3 rewritten identically,
+    // k=1 re-inserted deterministically)
+    writeJson(in, "b3.json", row(1, 0.0, action = "delete"))
+    val v3 = drain()
+    assert(state(v3) === Map(2L -> 25.0, 3L -> 30.0))
+
+    // exactly-once at the FILE level: draining with no new files writes no
+    // new version and the latest snapshot is unchanged
+    val v3again = drain()
+    assert(v3again === v3)
+    assert(state(v3again) === Map(2L -> 25.0, 3L -> 30.0))
+  }
+
   test("incremental screen in foreachBatch: re-delivered CONTENT adds zero rows") {
     import org.apache.spark.sql.types._
     val base = Files.createTempDirectory("graft-screen").toString

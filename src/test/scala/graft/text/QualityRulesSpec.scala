@@ -46,6 +46,22 @@ class QualityRulesSpec extends SparkSpec {
     assert(r.getDouble(0) === 0.5) // 'a' appears 3/6
   }
 
+  test("zero-token docs count in n_docs and fail (never dropped)") {
+    // the oracle's md join is LEFT for exactly this row shape: a document
+    // with no tokens has no per-token counts but must still be gated
+    val d = docs((1L, "s", goodDoc), (2L, "s", ""), (3L, "s", "   "))
+    val f = QualityRules.qualityFlags(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f.size === 3)
+    Seq(2L, 3L).foreach { id =>
+      assert(f(id).getAs[Long]("n_tokens") === 0L)
+      assert(f(id).getAs[Double]("top_token_ratio") === 0.0)
+      assert(f(id).getAs[Boolean]("fail_len") && !f(id).getAs[Boolean]("pass"))
+    }
+    val sm = QualityRules.qualitySummary(d).collect().head
+    assert(sm.getAs[Long]("n_docs") === 3L)
+  }
+
   test("summary counts partition the corpus per source") {
     val d = docs(
       (1L, "s1", goodDoc),
