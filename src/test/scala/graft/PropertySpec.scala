@@ -202,6 +202,26 @@ object GraftProperties extends Properties("graft") {
       } && got.size == qs.size
     }
 
+  property("grouped bucket-offset quantiles equal per-group nearest-rank values") =
+    forAll(Gen.nonEmptyListOf(
+          Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-500, 500))),
+        Gen.nonEmptyListOf(Gen.chooseNum(1, 99)),
+        Gen.oneOf(3.0, 17.0, 64.0, 1000.0)) { (rows, pcts, width) =>
+      import spark.implicits._
+      val df = rows.map { case (g, x) => (g, x.toDouble) }.toDF("g", "x")
+      val qs = pcts.distinct.map(_ / 100.0)
+      val got = graft.analytics.Quantiles.groupedQuantiles(df, "g", "x", qs, width)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val byGroup = rows.groupBy(_._1)
+      byGroup.forall { case (g, vs) =>
+        val sorted = vs.map(_._2.toDouble).sorted
+        qs.forall { q =>
+          val k = math.ceil(q * vs.size).toInt
+          got((g, q)) == sorted(k - 1)
+        }
+      } && got.size == byGroup.size * qs.size
+    }
+
   property("label propagation equals a synchronous in-memory BFS vote") =
     forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L))),
         Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(0, 2)))) {
