@@ -2120,6 +2120,88 @@ object OracleSql {
     // Nearest-rank selection; the rank arithmetic ceil(q·n) runs on the
     // same IEEE doubles in both engines, so the selected index is exact —
     // the full sort here is the oracle's privilege, not the engine's.
+    // Same smoothing/rounding discipline as q131: densified (source x
+    // vocab) pairs, Laplace-smoothed distributions, round(., 6) after
+    // the divergence sums.
+    "q132_source_divergence" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source, unnest(t) AS token FROM tk),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+        |  WHERE df >= 5),
+        |ps AS (
+        |  SELECT source, token, count(*) AS c
+        |  FROM tok JOIN vocab USING (token) GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM ps GROUP BY 1),
+        |cg AS (SELECT token, sum(c) AS cg FROM ps GROUP BY 1),
+        |ng AS (SELECT sum(cg) AS ng FROM cg),
+        |v AS (SELECT count(*) AS nv FROM vocab),
+        |dense AS (
+        |  SELECT st.source, st.n_tokens,
+        |    (coalesce(ps.c, 0) + 1.0) / (st.n_tokens + nv) AS p,
+        |    (cg.cg + 1.0) / (ng.ng + nv) AS q
+        |  FROM vocab
+        |  CROSS JOIN st
+        |  LEFT JOIN ps ON ps.source = st.source AND ps.token = vocab.token
+        |  JOIN cg ON cg.token = vocab.token, ng, v)
+        |SELECT source, any_value(n_tokens) AS n_tokens,
+        |  round(sum(p * ln(p / q)), 6) AS kl,
+        |  round(sum(abs(p - q)) * 0.5, 6) AS tvd
+        |FROM dense
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // Laplace-smoothed unigram LLR over the shared df-floored vocabulary;
+    // per-doc weight rounds to 6 AFTER the sum (the q114 fp discipline),
+    // and the selection threshold is the nearest-rank 0.8 quantile of the
+    // rounded weights — a full sort here mirrors the engine's
+    // bucket-offset selection exactly.
+    "q131_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, is_target, unnest(t) AS token FROM tk),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+        |  WHERE df >= 5),
+        |cnt AS (
+        |  SELECT token,
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+        |    sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS cr
+        |  FROM tok JOIN vocab USING (token) GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt),
+        |v AS (SELECT count(*) AS nv FROM vocab),
+        |model AS (
+        |  SELECT token,
+        |    ln(((ct + 1.0) / (nt + nv)) / ((cr + 1.0) / (nr + nv))) AS llr
+        |  FROM cnt, tot, v),
+        |raw AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+        |  FROM tk WHERE NOT is_target),
+        |sc AS (
+        |  SELECT doc_id, round(sum(llr), 6) AS w
+        |  FROM tok JOIN model USING (token)
+        |  WHERE NOT is_target GROUP BY 1),
+        |wts AS (
+        |  SELECT raw.doc_id, raw.n_tokens, coalesce(sc.w, 0.0) AS weight
+        |  FROM raw LEFT JOIN sc ON raw.doc_id = sc.doc_id),
+        |thr AS (
+        |  SELECT weight AS thr FROM (
+        |    SELECT weight, row_number() OVER (ORDER BY weight) AS rn,
+        |      count(*) OVER () AS n
+        |    FROM wts)
+        |  WHERE rn = CAST(ceil(0.8 * n) AS BIGINT))
+        |SELECT doc_id, n_tokens, weight, weight >= thr AS selected
+        |FROM wts, thr
+        |ORDER BY doc_id""".stripMargin,
+
     // Nearest-rank per group: the value at rank ceil(q*n_g) is unique even
     // under ties, so the full-sort formulation here and the bucket-offset
     // selection on the Spark side agree exactly.

@@ -277,7 +277,11 @@ object SparkEntry {
     // dataset-card stats: size/composition/duplication/quality in one call
     "q129_corpus_card"      -> (graft.pipeline.CorpusCard.cardQuery _),
     // exact PER-GROUP quantiles via group-partitioned bucket offsets
-    "q130_grouped_quantiles" -> (graft.analytics.Quantiles.priorityQuantilesQuery _)
+    "q130_grouped_quantiles" -> (graft.analytics.Quantiles.priorityQuantilesQuery _),
+    // DSIR importance weights: target-vs-raw unigram LLR + top-quantile cut
+    "q131_dsir_weights"     -> (graft.text.Dsir.dsirWeightsQuery _),
+    // per-source KL/TVD from the corpus unigram blend (mixture diagnostics)
+    "q132_source_divergence" -> (graft.text.Divergence.sourceDivergenceQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
