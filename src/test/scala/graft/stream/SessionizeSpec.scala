@@ -124,6 +124,54 @@ class SessionizeSpec extends SparkSpec {
     assert(out === Set((1L, 1L, us(20)), (2L, 1L, us(100))))
   }
 
+  test("session ordinals survive a query RESTART from the checkpoint") {
+    // run 1 leaves an open session in state; run 2 is a NEW query instance
+    // on the same checkpoint whose emitted sessions must continue the
+    // per-user ordinal sequence — the cross-restart numbering the state
+    // carries (next_sid rides the checkpointed state store)
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-sess-restart").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", TimestampType)))
+    def iso(min: Long) = java.time.Instant.ofEpochMilli(min * 60000L).toString
+    def ev(u: Long, id: Long, min: Long) =
+      s"""{"user_id":$u,"event_id":$id,"ts":"${iso(min)}"}"""
+    def writeFile(name: String, lines: String*): Unit =
+      Files.writeString(Paths.get(in, name), lines.mkString("\n"))
+    def runOnce(): Unit = {
+      val ds = spark.readStream.schema(schema).json(in)
+        .selectExpr("user_id as _1", "event_id as _2", "ts as _3")
+        .withWatermark("_3", "0 seconds")
+        .as[(Long, Long, Timestamp)]
+      val q = Sessionize.streamingSessions(ds)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    writeFile("b1.json", ev(1L, 1L, 1), ev(1L, 2L, 11)) // open session
+    runOnce() // query instance 1 stops with the session still open
+
+    writeFile("b2.json", ev(1L, 3L, 50)) // 39-min gap: closes session 1
+    runOnce() // NEW query instance, same checkpoint
+    writeFile("b3.json", ev(9L, 9L, 100000)) // advance the watermark
+    runOnce()
+    writeFile("b4.json", ev(9L, 8L, 100001)) // fire the event-time timeouts
+    runOnce()
+
+    val sessions = spark.read.parquet(out).as[Sess].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_id)
+    assert(sessions.map(s => (s.session_id, s.n_events, s.start_us, s.end_us))
+      .toSeq === Seq((1L, 2L, us(1), us(11)), (2L, 1L, us(50), us(50))),
+      sessions.mkString("; "))
+  }
+
   test("streaming event time keeps microsecond precision (gap + 1us cuts)") {
     // start at minute 10: a t == initial-watermark(0) row would drop as late
     val a = ts(10)
