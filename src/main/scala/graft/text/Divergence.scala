@@ -19,12 +19,14 @@ import graft.Tables
   * analytics layer (README.md dashboard queries), upgraded from row counts
   * to distribution distances.
   *
-  * 100 TB shape: counts partial-aggregate on (source, token) and (token) —
-  * word-count shuffles; the densified (vocab × sources) frame joins the
-  * per-source counts on the (source, token) key and the corpus counts on
-  * the token key (vocabulary-sized, never broadcast); only the |sources|
-  * totals, corpus total, and |V| ride broadcasts. The divergence itself is
-  * one partial-aggregated rollup to |sources| rows.
+  * 100 TB shape: the corpus is exploded and shuffled ONCE — a single
+  * (source, token)-keyed partial aggregation; the df floor and corpus
+  * counts roll up from that (source × vocab)-sized table, never from a
+  * second corpus scan. The densified (vocab × sources) frame joins the
+  * per-source counts on the (source, token) key (vocabulary-sized, never
+  * broadcast); only the |sources| totals, corpus total, and |V| ride
+  * broadcasts. The divergence itself is one partial-aggregated rollup to
+  * |sources| rows.
   */
 object Divergence {
 
@@ -37,27 +39,29 @@ object Divergence {
   def sourceDivergence(docs: DataFrame, minDf: Int): DataFrame = {
     val tok = docs.select(col("doc_id"), col("source"),
       explode(TextOps.tokens(col("text"))).as("token"))
-    val vocab = tok.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // ONE exploded-corpus aggregation; the corpus-wide df floor then rolls
+    // up from the (source, token) table — a doc belongs to exactly one
+    // source, so corpus df = Σ per-source distinct-doc counts (no second
+    // corpus scan, no vocab join)
+    val perSourceAll = tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("sdf"))
+    val corpus = perSourceAll.groupBy(col("token"))
+      .agg(sum(col("c")).as("cg"), sum(col("sdf")).as("df"))
       .filter(col("df") >= minDf)
-      .select("token")
-    val vt = tok.join(vocab, Seq("token"))
-
-    val perSource = vt.groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("token"), col("cg")) // vocabulary-sized
+    val perSource = perSourceAll
+      .join(corpus.select("token"), Seq("token"))
+      .select(col("source"), col("token"), col("c"))
     val sourceTotals = perSource.groupBy(col("source"))
       .agg(sum(col("c")).as("n_tokens")) // |sources| rows
-    val corpus = perSource.groupBy(col("token"))
-      .agg(sum(col("c")).as("cg")) // vocabulary-sized
     val corpusTotal = corpus.agg(sum(col("cg")).as("ng"))
-    val vocabSize = vocab.agg(count(lit(1)).as("v"))
+    val vocabSize = corpus.agg(count(lit(1)).as("v"))
 
     // densify to EVERY (source, vocab token) pair so smoothing covers the
     // words a source never uses — the same q114 model-build shape
-    val dense = vocab
+    val dense = corpus
       .crossJoin(broadcast(sourceTotals))
       .join(perSource, Seq("source", "token"), "left")
-      .join(corpus, Seq("token"))
       .crossJoin(broadcast(corpusTotal))
       .crossJoin(broadcast(vocabSize))
       .select(col("source"), col("n_tokens"),

@@ -51,21 +51,18 @@ object Dsir {
     val tok = tk.select(col("doc_id"), col("is_target"),
       explode(col("toks")).as("token"))
 
-    // shared vocabulary over the WHOLE corpus; one token-keyed shuffle
-    val vocab = tok.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDf)
-      .select("token")
-
-    // per-token counts in each pool, densified by the vocab join; totals
-    // and |V| are 1-row aggregates (legitimately broadcast)
-    val counts = tok.join(vocab, Seq("token"))
-      .groupBy(col("token"))
+    // ONE aggregation over the exploded corpus carries BOTH the df floor
+    // and the per-pool counts (fused — a separate vocab pass would scan
+    // and shuffle the corpus twice and pay a join to reunite them);
+    // totals and |V| are 1-row aggregates (legitimately broadcast)
+    val counts = tok.groupBy(col("token"))
       .agg(
+        countDistinct(col("doc_id")).as("df"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
         sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
+      .filter(col("df") >= minDf)
     val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-    val vocabSize = vocab.agg(count(lit(1)).as("v"))
+    val vocabSize = counts.agg(count(lit(1)).as("v"))
     val model = counts
       .crossJoin(broadcast(totals))
       .crossJoin(broadcast(vocabSize))

@@ -388,6 +388,31 @@ class PlanSpec extends SparkSpec {
     assert(shuffleJoins.nonEmpty, plan.toString)
   }
 
+  test("q131/q132: vocabulary-sized model/count tables are never hint-broadcast") {
+    // Same discipline as the q114 pin: with auto-broadcast off, any
+    // BroadcastExchange left in the plan comes from an explicit hint, and
+    // none may carry the vocabulary-sized columns (llr — the DSIR model;
+    // cg — the corpus unigram counts). The 1-row totals/|V| and the
+    // |sources| table remain legitimately broadcast.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val plans = try {
+      spark.conf.set(key, "-1")
+      Seq(
+        "q131/llr" -> "llr" ->
+          graft.text.Dsir.dsirWeightsQuery(spark, dir).queryExecution.executedPlan,
+        "q132/cg" -> "cg" ->
+          graft.text.Divergence.sourceDivergenceQuery(spark, dir).queryExecution.executedPlan)
+    } finally spark.conf.set(key, prev)
+    plans.foreach { case ((name, colName), plan) =>
+      val bad = PlanWalk.collectPlan(plan) {
+        case b: BroadcastExchangeLike if b.output.exists(_.name == colName) => b
+      }
+      assert(bad.isEmpty, s"$name broadcast: ${bad.map(_.nodeName)}\n$plan")
+    }
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
