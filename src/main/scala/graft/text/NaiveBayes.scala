@@ -20,8 +20,10 @@ import graft.Tables
   * surface (/root/reference/README.md:321-336), re-expressed as a
   * first-class distributed operator instead of a Databricks ML handoff.
   *
-  * 100 TB shape: training is one explode + two partial-aggregated shuffles
-  * keyed on (token[, lang]) — the classic word-count shape. The MODEL
+  * 100 TB shape: training explodes and shuffles the corpus ONCE — a
+  * single (lang, token)-keyed partial aggregation; the df floor rolls up
+  * from that (langs × vocab)-sized table (a doc has exactly one lang, so
+  * corpus df = Σ per-lang distinct-doc counts). The MODEL
   * (vocab × |langs| log-likelihoods) is VOCABULARY-sized, not
   * dimension-sized: a df floor on a web corpus still leaves 10⁷+ tokens, so
   * the model must never be broadcast. Scoring joins the exploded test
@@ -51,9 +53,14 @@ object NaiveBayes {
     val trainTok = train.select(
       col("doc_id"), col("lang"), explode(col("toks")).as("token"))
 
-    // df-capped vocabulary; one shuffle keyed on token
-    val vocab = trainTok.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // ONE aggregation over the exploded training corpus carries both the
+    // per-(lang, token) counts and the df floor: a doc has exactly one
+    // lang, so corpus df = Σ per-lang distinct-doc counts — no second
+    // corpus scan, no vocab join back onto the token stream
+    val perLang = trainTok.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("ldf"))
+    val vocab = perLang.groupBy(col("token"))
+      .agg(sum(col("ldf")).as("df"))
       .filter(col("df") >= minDf)
       .select("token")
 
@@ -67,12 +74,12 @@ object NaiveBayes {
         log(col("nd").cast("double") / col("n_train")).as("log_prior"))
     val langs = priors.select(col("lang"))
 
-    // per-(lang, token) counts over the vocabulary, then densified to EVERY
-    // (lang, vocab token) pair so Laplace smoothing covers unseen pairs
-    val cnt = trainTok
+    // per-(lang, token) counts restricted to the vocabulary (a join on the
+    // (lang × vocab)-sized table, not the token stream), then densified to
+    // EVERY (lang, vocab token) pair so Laplace smoothing covers unseen pairs
+    val cnt = perLang
       .join(vocab, Seq("token"))
-      .groupBy(col("lang"), col("token"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("token"), col("c"))
     val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("tc"))
     val vocabSize = vocab.agg(count(lit(1)).as("v"))
     val model = vocab.crossJoin(broadcast(langs))
