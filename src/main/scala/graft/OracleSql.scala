@@ -1827,6 +1827,45 @@ object OracleSql {
     // through (so the final sequences double as the word→segmentation
     // lookup), then the per-doc rollup over the eligible-word stream.
     // Integer counts only — exact by construction.
+    // q109's training/segmentation CTEs with lang carried through and the
+    // rollup keyed on language instead of document.
+    "q133_bpe_fertility" -> {
+      def round(k: Int): String =
+        s"""|p$k AS (SELECT t[i] AS l, t[i + 1] AS r, sum(w) AS f
+            |  FROM s${k - 1}, unnest(range(1, len(t))) g(i) GROUP BY 1, 2),
+            |m$k AS (SELECT l AS ml, r AS mr
+            |  FROM p$k ORDER BY f DESC, l, r LIMIT 1),
+            |s$k AS (SELECT word, string_split(trim(
+            |    list_reduce(list_prepend('', t), (acc, x) -> CASE
+            |      WHEN ends_with(acc, '|' || ml) AND x = mr THEN acc || x
+            |      ELSE acc || '|' || x END), '|'), '|') AS t, w
+            |  FROM s${k - 1}, m$k)""".stripMargin
+      s"""WITH wd AS (
+         |  SELECT doc_id, lang, t AS word FROM (
+         |    SELECT doc_id, lang,
+         |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+         |    FROM documents)
+         |  WHERE regexp_matches(t, '^[a-z]+$$')),
+         |toks AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS w FROM wd GROUP BY 1),
+         |s0 AS (SELECT word, list_append(
+         |    list_transform(range(1, len(word) + 1), i -> word[i]),
+         |    '</w>') AS t, w
+         |  FROM toks),
+         |${(1 to 10).map(round).mkString(",\n")},
+         |seg AS (SELECT word, CAST(len(t) AS BIGINT) AS n_sub,
+         |    CAST(len(word) + 1 AS BIGINT) AS n_sym
+         |  FROM s10)
+         |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+         |  round(CAST(sum(n_sub) AS DOUBLE) / count(*), 4) AS fertility,
+         |  round(CAST(sum(n_sub) AS DOUBLE) / sum(n_sym), 4) AS compression
+         |FROM wd JOIN seg USING (word)
+         |GROUP BY 1
+         |ORDER BY lang""".stripMargin
+    },
+
     "q109_bpe_encode" -> {
       def round(k: Int): String =
         s"""|p$k AS (SELECT t[i] AS l, t[i + 1] AS r, sum(w) AS f

@@ -281,7 +281,9 @@ object SparkEntry {
     // DSIR importance weights: target-vs-raw unigram LLR + top-quantile cut
     "q131_dsir_weights"     -> (graft.text.Dsir.dsirWeightsQuery _),
     // per-source KL/TVD from the corpus unigram blend (mixture diagnostics)
-    "q132_source_divergence" -> (graft.text.Divergence.sourceDivergenceQuery _)
+    "q132_source_divergence" -> (graft.text.Divergence.sourceDivergenceQuery _),
+    // per-language BPE fertility under the corpus-trained merges
+    "q133_bpe_fertility"    -> (graft.text.Bpe.bpeFertilityQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -105,6 +105,27 @@ object Ingest {
     versions.maxOption.map(v => f"$tablePath/v$v%06d").getOrElse(tablePath)
   }
 
+  /** Drop all but the newest `keep` snapshot versions under a
+    * [[drainMergeToParquet]] table — the VACUUM that bounds snapshot
+    * storage at O(keep × table) instead of O(batches × table). Local-FS
+    * only (like the drain's version listing); a table format's log-based
+    * retention replaces this on object storage. Returns the removed
+    * version names.
+    */
+  def vacuumSnapshots(tablePath: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+      f.delete(): Unit
+    }
+    val versions = Option(new java.io.File(tablePath).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .sortBy(_.getName.stripPrefix("v").toLong)
+    val doomed = versions.dropRight(keep)
+    doomed.foreach(deleteRec)
+    doomed.map(_.getName)
+  }
+
   /** foreachBatch variant for sinks that need batch-side logic (e.g. the
     * unified-join recompute after each micro-batch, `README.md:217-223`).
     */

@@ -132,6 +132,45 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** q133: per-language tokenizer fertility — subwords per word under the
+    * corpus-trained merges. THE multilingual tokenizer-fairness
+    * diagnostic (languages the tokenizer fragments pay more context per
+    * sentence [Sennrich ACL'16 §5 discusses exactly this lengthening]);
+    * run after q107-training to decide whether the merge budget serves
+    * every language in the blend.
+    *
+    * Same vocabulary trick as q109, but the segmentation table joins the
+    * word stream HINT-FREE on the word key: the distinct-word table grows
+    * with the corpus (Heaps' law), so whether it broadcasts is the
+    * optimizer's size-based call, never a hint the 100 TB plan inherits.
+    */
+  def fertility(docs: DataFrame, nMerges: Int): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("w"))
+    val merges = train(vocab, nMerges)
+    val seg = vocab.select(col("word"),
+      size(applyMerges(col("word"), merges)).cast("long").as("n_sub"),
+      (length(col("word")) + 1).cast("long").as("n_sym"))
+    words.join(seg, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        sum(col("n_sym")).as("n_symbols"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words"), 4))
+      .withColumn("compression",
+        round(col("n_subwords").cast("double") / col("n_symbols"), 4))
+      .orderBy(col("lang"))
+  }
+
+  def bpeFertilityQuery(s: SparkSession, dir: String): DataFrame =
+    fertility(Tables.documents(s, dir), nMerges = 10)
+
   /** q107: the first 10 merges learned from the documents corpus
     * (whitespace tokens restricted to `^[a-z]+$`, weighted by count).
     */

@@ -81,6 +81,11 @@ class IngestSpec extends SparkSpec {
     val v3again = drain()
     assert(v3again === v3)
     assert(state(v3again) === Map(2L -> 25.0, 3L -> 30.0))
+
+    // vacuum keeps only the newest snapshots; the survivor still reads
+    val removed = Ingest.vacuumSnapshots(table, keep = 1)
+    assert(removed === Seq("v000000", "v000001"))
+    assert(state(drain()) === Map(2L -> 25.0, 3L -> 30.0))
   }
 
   test("incremental screen in foreachBatch: re-delivered CONTENT adds zero rows") {

@@ -58,6 +58,29 @@ class BpeSpec extends SparkSpec {
     assert(out("low") == Seq("l", "o", "w", "</w>"))
   }
 
+  test("fertility: the language the merges serve segments into fewer subwords") {
+    import spark.implicits._
+    // "en" repeats one word 8x -> the merge budget collapses it to a
+    // single token; "xx" words are unique strings the learned rules miss
+    // (fertility = their symbol count). Census columns must add up.
+    val d = Seq(
+      (1L, "en", "look look look look"), (2L, "en", "look look look look"),
+      (3L, "xx", "zqv wmf kjx"), (4L, "xx", "pbd rgh tnc")
+    ).toDF("doc_id", "lang", "text")
+    val out = Bpe.fertility(d, nMerges = 4).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Long]("n_docs") === 2L)
+    assert(out("en").getAs[Long]("n_words") === 8L)
+    // 4 merges fuse l-o-o-k-</w> fully: 8 words x 1 subword
+    assert(out("en").getAs[Long]("n_subwords") === 8L)
+    assert(out("en").getAs[Double]("fertility") === 1.0)
+    // xx words are 3 letters + </w> with no applicable rule -> 4 subwords
+    assert(out("xx").getAs[Double]("fertility") === 4.0)
+    assert(out("xx").getAs[Long]("n_symbols") === 24L)
+    assert(out("en").getAs[Double]("fertility")
+      < out("xx").getAs[Double]("fertility"))
+  }
+
   test("training stops when no pairs remain") {
     import spark.implicits._
     val vocab = Seq(("ab", 1L)).toDF("word", "w")
