@@ -91,7 +91,9 @@ object Sessionize {
     * once the event-time watermark passes `end + gap`. Emitted sessions
     * carry the same 1-based per-user ordinal as the batch cut: the next
     * ordinal rides the state (one long), assigned at close time in
-    * chronological order.
+    * chronological order. After a timeout-close the state degrades to a
+    * counter tombstone (never removed), so a user who returns days later
+    * continues their sequence instead of reusing an emitted id.
     *
     * Each micro-batch merges into the open session by INTERVAL arithmetic:
     * the previous open session ([start, end], count) and the batch's
@@ -121,15 +123,27 @@ object Sessionize {
           val it = rows.map { case (u, id, ts) => Ev(u, id, micros(ts)) }
           if (state.hasTimedOut) {
             val o = state.get
-            state.remove()
-            Iterator.single(Sess(user, o.next_sid, o.n_events, o.start_us,
-              o.end_us, round3((o.end_us - o.start_us) / 1000000.0)))
+            // keep a COUNTER TOMBSTONE instead of removing the state: a
+            // returning user's next session must continue the ordinal
+            // sequence, not reuse an emitted id. One state row per
+            // ever-seen user is the price of exact numbering. The
+            // far-future re-arm matters: the fired timestamp stays in the
+            // state store, and without it the tombstone would "time out"
+            // again every batch.
+            state.update(Open(0L, 0L, 0L, o.next_sid + (if (o.n_events > 0L) 1L else 0L)))
+            state.setTimeoutTimestamp(Long.MaxValue / 2)
+            if (o.n_events > 0L)
+              Iterator.single(Sess(user, o.next_sid, o.n_events, o.start_us,
+                o.end_us, round3((o.end_us - o.start_us) / 1000000.0)))
+            else Iterator.empty
           } else {
             val sorted = it.toSeq.sortBy(e => (e.t, e.event_id))
             var nextSid = state.getOption.map(_.next_sid).getOrElse(1L)
             // chronological interval merge: previous open session + events
+            // (a counter tombstone contributes no interval)
             val intervals =
-              (state.getOption.map(o => Open(o.start_us, o.end_us, o.n_events, 0L)).toSeq
+              (state.getOption.filter(_.n_events > 0L)
+                  .map(o => Open(o.start_us, o.end_us, o.n_events, 0L)).toSeq
                 ++ sorted.map(e => Open(e.t, e.t, 1L, 0L)))
                 .sortBy(iv => (iv.start_us, iv.end_us))
             if (intervals.isEmpty) Iterator.empty

@@ -165,10 +165,20 @@ class SessionizeSpec extends SparkSpec {
     writeFile("b4.json", ev(9L, 8L, 100001)) // fire the event-time timeouts
     runOnce()
 
+    // user 1 RETURNS after their previous session closed via TIMEOUT: the
+    // counter tombstone must hand out ordinal 3, not restart at 1
+    writeFile("b5.json", ev(1L, 4L, 100100))
+    runOnce()
+    writeFile("b6.json", ev(9L, 7L, 300000))
+    runOnce()
+    writeFile("b7.json", ev(9L, 6L, 300001))
+    runOnce()
+
     val sessions = spark.read.parquet(out).as[Sess].collect()
       .filter(_.user_id == 1L).sortBy(_.session_id)
     assert(sessions.map(s => (s.session_id, s.n_events, s.start_us, s.end_us))
-      .toSeq === Seq((1L, 2L, us(1), us(11)), (2L, 1L, us(50), us(50))),
+      .toSeq === Seq((1L, 2L, us(1), us(11)), (2L, 1L, us(50), us(50)),
+        (3L, 1L, us(100100), us(100100))),
       sessions.mkString("; "))
   }
 
