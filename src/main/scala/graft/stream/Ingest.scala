@@ -81,9 +81,13 @@ object Ingest {
       tablePath: String,
       checkpoint: String): String = {
     import org.apache.spark.sql.functions.{col, lit}
+    // only COMMITTED versions count (parquet's _SUCCESS marker): a torn
+    // write from a crashed batch is invisible as a base and its version
+    // number is simply re-used — the overwrite self-heals it
     def versions: Seq[Long] =
       Option(new java.io.File(tablePath).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+")
+          && new java.io.File(f, "_SUCCESS").isFile)
         .map(_.getName.stripPrefix("v").toLong)
     drainForeachBatch(spark, schema, inputDir, transform, checkpoint) { (batch, _) =>
       val cols = key +: payload
@@ -118,12 +122,16 @@ object Ingest {
       Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
       f.delete(): Unit
     }
-    val versions = Option(new java.io.File(tablePath).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .sortBy(_.getName.stripPrefix("v").toLong)
-    val doomed = versions.dropRight(keep)
+    val (committed, torn) =
+      Option(new java.io.File(tablePath).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .sortBy(_.getName.stripPrefix("v").toLong)
+        .partition(f => new java.io.File(f, "_SUCCESS").isFile)
+    // torn versions are crash debris (single-writer assumption, as in the
+    // drain): vacuum removes them along with the superseded snapshots
+    val doomed = committed.dropRight(keep) ++ torn
     doomed.foreach(deleteRec)
-    doomed.map(_.getName)
+    doomed.map(_.getName).sorted
   }
 
   /** foreachBatch variant for sinks that need batch-side logic (e.g. the

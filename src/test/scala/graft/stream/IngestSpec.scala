@@ -86,6 +86,19 @@ class IngestSpec extends SparkSpec {
     val removed = Ingest.vacuumSnapshots(table, keep = 1)
     assert(removed === Seq("v000000", "v000001"))
     assert(state(drain()) === Map(2L -> 25.0, 3L -> 30.0))
+
+    // a torn version (no _SUCCESS) from a crashed writer is invisible:
+    // the next drain merges from the committed state, numbering is not
+    // advanced by the junk, and vacuum clears the debris
+    val torn = Paths.get(table, "v000099")
+    Files.createDirectories(torn)
+    Files.writeString(torn.resolve("junk.parquet"), "not parquet")
+    writeJson(in, "b5.json", row(4, 40.0))
+    val v4 = drain()
+    assert(v4.endsWith("v000003"), v4)
+    assert(state(v4) === Map(2L -> 25.0, 3L -> 30.0, 4L -> 40.0))
+    assert(Ingest.vacuumSnapshots(table, keep = 1)
+      === Seq("v000002", "v000099"))
   }
 
   test("incremental screen in foreachBatch: re-delivered CONTENT adds zero rows") {
