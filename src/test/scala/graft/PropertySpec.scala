@@ -222,6 +222,48 @@ object GraftProperties extends Properties("graft") {
       } && got.size == byGroup.size * qs.size
     }
 
+  property("streaming sessionization equals batch under chronological batch splits") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(1L, 200L))),
+        Gen.chooseNum(1, 4)) { (raw, nChunks) =>
+      import java.sql.Timestamp
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.stream.Sessionize
+      import spark.implicits._
+      // unique, strictly-increasing-capable timestamps: minute*100 + index
+      // (equal-to-watermark rows would drop as late at chunk boundaries)
+      val events = raw.take(12).zipWithIndex.map { case ((u, min), i) =>
+        (u, (i + 1).toLong, min * 100L + i) }
+      // chronological chunks: each later chunk is not older than any
+      // earlier one (the delay<=gap contract); order WITHIN a chunk is
+      // reversed to exercise the out-of-order interval merge
+      val sorted = events.sortBy(_._3)
+      val size = math.max(1, math.ceil(sorted.size.toDouble / nChunks).toInt)
+      val chunks = sorted.grouped(size).toSeq
+      val input = MemoryStream[(Long, Long, Timestamp)](spark)
+      val name = s"sess_prop_${System.nanoTime()}"
+      val q = Sessionize.streamingSessions(
+          input.toDS().withColumnRenamed("_3", "ts")
+            .withWatermark("ts", "0 seconds")
+            .as[(Long, Long, Timestamp)])
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        def ts(m: Long) = new Timestamp(m * 60000L)
+        chunks.foreach { c =>
+          input.addData(c.reverse.map { case (u, id, m) => (u, id, ts(m)) }: _*)
+          q.processAllAvailable()
+        }
+        input.addData((99L, 99L, ts(10000000L))); q.processAllAvailable()
+        input.addData((99L, 98L, ts(10000001L))); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name).as[Sessionize.Sess].collect()
+        .filter(_.user_id != 99L).toSet
+      val batch = Sessionize.sessions(
+          events.map { case (u, id, m) => Sessionize.Ev(u, id, m * 60L * 1000000L) }.toDS())
+        .collect().toSet
+      streamed == batch
+    }
+
   property("label propagation equals a synchronous in-memory BFS vote") =
     forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L))),
         Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(0, 2)))) {
