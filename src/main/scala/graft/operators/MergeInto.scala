@@ -32,6 +32,11 @@ object MergeInto {
 
   /** @param base    (key, payload...) current table
     * @param changes (key, payload..., action) with action ∈ {upsert, delete}
+    *                — any other value (including null) RAISES at execution
+    *                time: the CASE used to fall through to delete, which
+    *                turned a typo'd "update" into silent row loss on a
+    *                durable write path (transactional MERGE engines reject
+    *                an unmatched WHEN clause the same way)
     * @param key     join column name — assumed UNIQUE on both sides, the
     *                same precondition transactional MERGE enforces (Delta
     *                throws on multiple matches; here duplicate keys would
@@ -45,7 +50,12 @@ object MergeInto {
       (((key +: payload).map(cn => col(cn).as(s"c_$cn"))) :+ col("action")): _*)
     b.join(c, col(s"b_$key") === col(s"c_$key"), "full_outer")
       .withColumn("op",
-        when(col(s"b_$key").isNotNull && col("action").isNull, "kept")
+        when(col(s"c_$key").isNotNull &&
+            (col("action").isNull || !col("action").isin("upsert", "delete")),
+          raise_error(format_string(
+            "MergeInto: unrecognized action '%s' for key '%s' (expected upsert|delete)",
+            col("action"), col(s"c_$key").cast("string"))))
+          .when(col(s"b_$key").isNotNull && col("action").isNull, "kept")
           .when(col(s"b_$key").isNotNull && col("action") === "upsert", "updated")
           .when(col(s"b_$key").isNull && col("action") === "upsert", "inserted")
           .otherwise("deleted"))

@@ -1,6 +1,8 @@
 package graft.stream
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -54,22 +56,129 @@ object Ingest {
     q.awaitTermination()
   }
 
+  // ---------------------------------------------------------------------
+  // Versioned-snapshot MERGE table: commit protocol
+  //
+  // Layout: tablePath/v000000, v000001, ... (parquet dirs) plus a tiny
+  // `_latest` manifest holding the committed version number. The manifest
+  // is written LAST and is the commit point: a snapshot directory without
+  // a manifest pointing at (or past) it is invisible as a base and its
+  // number is simply re-used — the overwrite self-heals torn writes.
+  //
+  // Everything goes through org.apache.hadoop.fs.FileSystem, so the chain
+  // is correct on object stores where rename is non-atomic and listing
+  // lags: the reader never trusts a directory listing for commit state,
+  // only the single-object manifest PUT (atomic on S3/GCS/ABFS). The
+  // parquet `_SUCCESS` marker is kept as a secondary sanity check — a
+  // manifest pointing at a version with no `_SUCCESS` is ignored.
+  // ---------------------------------------------------------------------
+
+  private val ManifestName = "_latest"
+  private val VersionRe = "v\\d+"
+
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def versionPath(table: Path, v: Long): Path =
+    new Path(table, f"v$v%06d")
+
+  private def isCommittedDir(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, "_SUCCESS"))
+
+  /** All snapshot versions whose parquet write completed (`_SUCCESS`),
+    * regardless of manifest state — the legacy/fallback view.
+    */
+  private[stream] def committedVersions(fs: FileSystem, table: Path): Seq[Long] =
+    if (!fs.exists(table)) Nil
+    else fs.listStatus(table).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches(VersionRe)
+        && isCommittedDir(fs, st.getPath))
+      .map(_.getPath.getName.stripPrefix("v").toLong)
+
+  /** The latest COMMITTED version: manifest-first (the manifest is the
+    * commit point — a fully-written snapshot the manifest does not point
+    * at is an uncommitted batch that streaming will replay), falling back
+    * to the `_SUCCESS` listing only for manifest-less legacy tables. A
+    * stale manifest next to a torn `v{N}` resolves to the manifest's
+    * `v{N-1}`; a manifest pointing at a missing/torn version is ignored.
+    */
+  private[stream] def latestVersion(fs: FileSystem, table: Path): Option[Long] = {
+    val manifest = new Path(table, ManifestName)
+    val fromManifest =
+      if (!fs.exists(manifest)) None
+      else {
+        val in = fs.open(manifest)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        txt.toLongOption.filter(v => isCommittedDir(fs, versionPath(table, v)))
+      }
+    fromManifest.orElse(committedVersions(fs, table).maxOption)
+  }
+
+  private def writeManifest(fs: FileSystem, table: Path, v: Long): Unit = {
+    val out = fs.create(new Path(table, ManifestName), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Apply one MERGE batch to the snapshot chain: read the latest
+    * committed snapshot, merge, write the next version, then commit it by
+    * writing the manifest last. Single-writer (as documented on
+    * [[drainMergeToParquet]]); a crash at any point leaves the previous
+    * commit intact and the replayed batch re-uses the torn version number.
+    */
+  private def applyMergeBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      key: String,
+      payload: Seq[String],
+      tablePath: String): Unit = {
+    val (fs, table) = fsFor(spark, tablePath)
+    val cols = key +: payload
+    val cur = latestVersion(fs, table)
+    val base = cur match {
+      case Some(v) => spark.read.parquet(versionPath(table, v).toString)
+      case None    => batch.select(cols.map(col): _*).limit(0)
+    }
+    // a null action is an upsert (the append-only producer case); any
+    // OTHER unrecognized action makes MergeInto.merge raise — a typo'd
+    // "update" must fail the batch, not silently delete the row
+    val changes0 =
+      if (batch.columns.contains("action"))
+        batch.withColumn("action", coalesce(col("action"), lit("upsert")))
+      else batch.withColumn("action", lit("upsert"))
+    // collapse exact re-deliveries inside one micro-batch; conflicting
+    // payloads for one key remain the caller's precondition (as in MERGE)
+    val changes = changes0.select((cols :+ "action").map(col): _*).distinct()
+    val next = cur.getOrElse(-1L) + 1L
+    graft.operators.MergeInto.merge(base, changes, key, payload)
+      .drop("op")
+      .write.mode("overwrite")
+      .parquet(versionPath(table, next).toString)
+    writeManifest(fs, table, next)
+  }
+
   /** MERGE-upsert drain: each micro-batch is applied to a versioned parquet
     * snapshot through [[graft.operators.MergeInto.merge]] — the reference's
     * append/overwrite split (`README.md:217-223`) upgraded to the lakehouse
     * write path the engine already implements. A batch row with an `action`
-    * column drives UPDATE/DELETE; without one every row is an upsert, so
-    * re-delivered CONTENT (same key, same payload, new file) converges to
-    * the same state instead of appending a duplicate.
+    * column drives UPDATE/DELETE (null action = upsert; any other value
+    * fails the batch); without one every row is an upsert, so re-delivered
+    * CONTENT (same key, same payload, new file) converges to the same state
+    * instead of appending a duplicate.
     *
     * Snapshot versioning stands in for the table-format transaction log
-    * (out of scope, `operators/MergeInto.scala:20-29`): batch N reads
-    * `v{N-1}`, merges, writes `v{N}` — never overwriting its own input,
-    * the read-your-own-write trap a naive overwrite sink hits. Exact
-    * duplicates WITHIN a batch collapse first; MERGE's unique-key
-    * precondition covers conflicting same-key rows in one batch.
+    * (out of scope, `operators/MergeInto.scala:20-29`): batch N reads the
+    * manifest's version, merges, writes the next version, and commits by
+    * rewriting the manifest LAST — never overwriting its own input, and
+    * never trusting a directory listing for commit state (object-store
+    * safe; see the commit-protocol note above).
     *
-    * Returns the path of the latest snapshot version.
+    * Returns the path of the latest committed snapshot, or None when no
+    * batch ever committed (empty input and an empty/absent table) — the
+    * caller must not read the bare tablePath.
     */
   def drainMergeToParquet(
       spark: SparkSession,
@@ -79,59 +188,71 @@ object Ingest {
       key: String,
       payload: Seq[String],
       tablePath: String,
-      checkpoint: String): String = {
-    import org.apache.spark.sql.functions.{col, lit}
-    // only COMMITTED versions count (parquet's _SUCCESS marker): a torn
-    // write from a crashed batch is invisible as a base and its version
-    // number is simply re-used — the overwrite self-heals it
-    def versions: Seq[Long] =
-      Option(new java.io.File(tablePath).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.matches("v\\d+")
-          && new java.io.File(f, "_SUCCESS").isFile)
-        .map(_.getName.stripPrefix("v").toLong)
+      checkpoint: String): Option[String] = {
     drainForeachBatch(spark, schema, inputDir, transform, checkpoint) { (batch, _) =>
-      val cols = key +: payload
-      val vs = versions
-      val base =
-        if (vs.isEmpty) batch.select(cols.map(col): _*).limit(0)
-        else spark.read.parquet(f"$tablePath/v${vs.max}%06d")
-      val changes0 =
-        if (batch.columns.contains("action")) batch
-        else batch.withColumn("action", lit("upsert"))
-      // collapse exact re-deliveries inside one micro-batch; conflicting
-      // payloads for one key remain the caller's precondition (as in MERGE)
-      val changes = changes0.select((cols :+ "action").map(col): _*).distinct()
-      graft.operators.MergeInto.merge(base, changes, key, payload)
-        .drop("op")
-        .write.mode("overwrite")
-        .parquet(f"$tablePath/v${vs.maxOption.getOrElse(-1L) + 1L}%06d")
+      applyMergeBatch(spark, batch, key, payload, tablePath)
     }
-    versions.maxOption.map(v => f"$tablePath/v$v%06d").getOrElse(tablePath)
+    val (fs, table) = fsFor(spark, tablePath)
+    latestVersion(fs, table).map(v => versionPath(table, v).toString)
   }
 
-  /** Drop all but the newest `keep` snapshot versions under a
-    * [[drainMergeToParquet]] table — the VACUUM that bounds snapshot
-    * storage at O(keep × table) instead of O(batches × table). Local-FS
-    * only (like the drain's version listing); a table format's log-based
-    * retention replaces this on object storage. Returns the removed
-    * version names.
+  /** Drain ANY streaming DataFrame into a versioned MERGE table — the
+    * [[drainMergeToParquet]] sink detached from the JSON file source, so
+    * stateful pipelines (e.g. [[Sessionize.streamingSessions]]) can land
+    * their output with upsert-convergence semantics: an at-least-once
+    * re-emission of the same key converges to one row instead of
+    * appending a duplicate. Same single-writer commit protocol.
     */
-  def vacuumSnapshots(tablePath: String, keep: Int): Seq[String] = {
+  def drainStreamMerge(
+      stream: DataFrame,
+      key: String,
+      payload: Seq[String],
+      tablePath: String,
+      checkpoint: String): Option[String] = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyMergeBatch(spark, batch.toDF(), key, payload, tablePath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (fs, table) = fsFor(spark, tablePath)
+    latestVersion(fs, table).map(v => versionPath(table, v).toString)
+  }
+
+  /** Drop all but the newest `keep` committed snapshot versions under a
+    * [[drainMergeToParquet]] table — the VACUUM that bounds snapshot
+    * storage at O(keep × table) instead of O(batches × table). Runs
+    * through the Hadoop FileSystem like the drain; the manifest-pointed
+    * version is always among the survivors (keep ≥ 1 and the manifest
+    * points at the newest commit). Returns the removed version names.
+    */
+  def vacuumSnapshots(spark: SparkSession, tablePath: String, keep: Int): Seq[String] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
-    def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
-      f.delete(): Unit
+    val (fs, table) = fsFor(spark, tablePath)
+    val dirs =
+      if (!fs.exists(table)) Nil
+      else fs.listStatus(table).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.matches(VersionRe))
+        .sortBy(_.getPath.getName.stripPrefix("v").toLong)
+    val latest = latestVersion(fs, table)
+    // committed = fully written AND at-or-below the manifest pointer: a
+    // completed parquet dir AHEAD of the manifest is an uncommitted batch
+    // (its writer died before the manifest update; streaming replays it)
+    val (committed, torn) = dirs.partition { st =>
+      val v = st.getPath.getName.stripPrefix("v").toLong
+      isCommittedDir(fs, st.getPath) && latest.exists(v <= _)
     }
-    val (committed, torn) =
-      Option(new java.io.File(tablePath).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-        .sortBy(_.getName.stripPrefix("v").toLong)
-        .partition(f => new java.io.File(f, "_SUCCESS").isFile)
+    // never vacuum the manifest's version even if _SUCCESS listing lags
+    val pinned = latest.map(v => versionPath(table, v).getName).toSet
     // torn versions are crash debris (single-writer assumption, as in the
     // drain): vacuum removes them along with the superseded snapshots
-    val doomed = committed.dropRight(keep) ++ torn
-    doomed.foreach(deleteRec)
-    doomed.map(_.getName).sorted
+    val doomed = (committed.dropRight(keep) ++ torn)
+      .filterNot(st => pinned.contains(st.getPath.getName))
+    doomed.foreach(st => fs.delete(st.getPath, true))
+    doomed.map(_.getPath.getName).sorted
   }
 
   /** foreachBatch variant for sinks that need batch-side logic (e.g. the

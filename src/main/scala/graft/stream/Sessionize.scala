@@ -107,8 +107,17 @@ object Sessionize {
     * ALREADY-EMITTED session would need that session re-opened, which
     * append-mode streaming cannot do (with delay ≤ gap, such an event is
     * later than the watermark that emitted it and is filtered as late).
+    *
+    * @param tombstoneTtlUs optional bound on counter-tombstone lifetime:
+    *   None (default) keeps one tombstone per ever-seen user forever —
+    *   exact ordinals at O(users) state; Some(ttl) expires a tombstone
+    *   `ttl` microseconds of EVENT time after the session it closed, so
+    *   state is bounded by the active-user set at the cost that a user
+    *   returning after expiry restarts their ordinal sequence at 1 (the
+    *   100 TB state-compaction escape hatch).
     */
-  def streamingSessions(events: Dataset[(Long, Long, java.sql.Timestamp)])
+  def streamingSessions(events: Dataset[(Long, Long, java.sql.Timestamp)],
+                        tombstoneTtlUs: Option[Long] = None)
       : Dataset[Sess] = {
     import events.sparkSession.implicits._
     // NOTE: group the watermarked tuples directly — a .map() here would
@@ -123,19 +132,31 @@ object Sessionize {
           val it = rows.map { case (u, id, ts) => Ev(u, id, micros(ts)) }
           if (state.hasTimedOut) {
             val o = state.get
-            // keep a COUNTER TOMBSTONE instead of removing the state: a
-            // returning user's next session must continue the ordinal
-            // sequence, not reuse an emitted id. One state row per
-            // ever-seen user is the price of exact numbering. The
-            // far-future re-arm matters: the fired timestamp stays in the
-            // state store, and without it the tombstone would "time out"
-            // again every batch.
-            state.update(Open(0L, 0L, 0L, o.next_sid + (if (o.n_events > 0L) 1L else 0L)))
-            state.setTimeoutTimestamp(Long.MaxValue / 2)
-            if (o.n_events > 0L)
+            if (o.n_events == 0L) {
+              // an expired tombstone (TTL path only — with no TTL the
+              // re-arm below is effectively never): drop the counter;
+              // the ordinal restarts at 1 if this user ever returns
+              state.remove()
+              Iterator.empty
+            } else {
+              // keep a COUNTER TOMBSTONE instead of removing the state: a
+              // returning user's next session must continue the ordinal
+              // sequence, not reuse an emitted id. One state row per
+              // ever-seen user is the price of exact numbering (bounded by
+              // tombstoneTtlUs when set). The re-arm timestamp matters:
+              // the fired timestamp stays in the state store, and without
+              // a new one the tombstone would "time out" again every batch.
+              state.update(Open(0L, 0L, 0L, o.next_sid + 1L))
+              state.setTimeoutTimestamp(tombstoneTtlUs
+                // clamp above the watermark: a flush event may already
+                // have pushed it past end+gap+ttl, and an in-the-past
+                // timeout timestamp is rejected by the state store
+                .map(ttl => math.max((o.end_us + GapUs + ttl) / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+                .getOrElse(Long.MaxValue / 2))
               Iterator.single(Sess(user, o.next_sid, o.n_events, o.start_us,
                 o.end_us, round3((o.end_us - o.start_us) / 1000000.0)))
-            else Iterator.empty
+            }
           } else {
             val sorted = it.toSeq.sortBy(e => (e.t, e.event_id))
             var nextSid = state.getOption.map(_.next_sid).getOrElse(1L)
@@ -170,5 +191,31 @@ object Sessionize {
             }
           }
       }
+  }
+
+  /** End-to-end composition: closed streaming sessions upserted into a
+    * versioned MERGE snapshot table ([[Ingest.drainStreamMerge]]) keyed on
+    * (user_id, session_id). The MERGE key makes the sink convergent under
+    * at-least-once delivery: a session row re-emitted after a restart (or
+    * re-drained from a stale checkpoint) rewrites its one row instead of
+    * appending a duplicate, so the table always equals the batch cut of
+    * the events seen so far — the lakehouse landing a session pipeline
+    * actually needs, vs the raw append sink whose output is only
+    * exactly-once per query instance.
+    *
+    * Returns the latest committed snapshot path (None if nothing closed).
+    */
+  def drainSessionsMerge(
+      events: Dataset[(Long, Long, java.sql.Timestamp)],
+      tablePath: String,
+      checkpoint: String,
+      tombstoneTtlUs: Option[Long] = None): Option[String] = {
+    val sess = streamingSessions(events, tombstoneTtlUs).toDF()
+      .withColumn("sess_key",
+        concat_ws("#", col("user_id"), col("session_id")))
+    Ingest.drainStreamMerge(sess, "sess_key",
+      Seq("user_id", "session_id", "n_events", "start_us", "end_us",
+        "duration_sec"),
+      tablePath, checkpoint)
   }
 }

@@ -34,6 +34,26 @@ class MergeIntoSpec extends SparkSpec {
     assert(once.collect().toSeq === twice.collect().toSeq)
   }
 
+  test("unrecognized and null actions RAISE instead of silently deleting") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString)
+        .mkString(" | ")
+    // a typo'd action ("update") on a matched row used to fall through the
+    // CASE to delete — silent row loss on a durable write path
+    val typo = intercept[Throwable] {
+      MergeInto.merge(base((1L, 10.0)), changes((1L, 11.0, "update")),
+        "k", Seq("p")).collect()
+    }
+    assert(chain(typo).contains("unrecognized action"), chain(typo))
+    // a null action on an UNMATCHED row used to silently drop the insert
+    val nul = intercept[Throwable] {
+      MergeInto.merge(base((1L, 10.0)),
+        Seq((2L, 20.0, null.asInstanceOf[String])).toDF("k", "p", "action"),
+        "k", Seq("p")).collect()
+    }
+    assert(chain(nul).contains("unrecognized action"), chain(nul))
+  }
+
   test("multi-column payload: the change side wins every payload column") {
     val b = Seq((1L, 10.0, "x")).toDF("k", "p", "tag")
     val c = Seq((1L, 11.0, "y", "upsert")).toDF("k", "p", "tag", "action")

@@ -53,39 +53,42 @@ class IngestSpec extends SparkSpec {
       s"""{"k":$k,"p":$p,"action":"$action"}"""
     def drain(): String = Ingest.drainMergeToParquet(
       spark, schema, in, identity, "k", Seq("p"), table, ckpt)
+      .getOrElse(fail("no committed snapshot after drain"))
     def state(path: String): Map[Long, Double] =
       spark.read.parquet(path).collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
-    // batch 1: two inserts (plus an exact in-batch re-delivery of k=1)
-    writeJson(in, "b1.json", row(1, 10.0), row(2, 20.0), row(1, 10.0))
+    // batch 1: two inserts (plus an exact in-batch re-delivery of k=1 and
+    // a JSON-null action, which the drain must read as an upsert)
+    writeJson(in, "b1.json", row(1, 10.0), row(2, 20.0), row(1, 10.0),
+      """{"k":7,"p":70.0,"action":null}""")
     val v1 = drain()
-    assert(state(v1) === Map(1L -> 10.0, 2L -> 20.0))
+    assert(state(v1) === Map(1L -> 10.0, 2L -> 20.0, 7L -> 70.0))
 
     // batch 2, new file: k=1 re-delivered IDENTICALLY, k=2 changed,
     // k=3 new, and a delete for a key that never existed (no-op)
     writeJson(in, "b2.json", row(1, 10.0), row(2, 25.0), row(3, 30.0),
       row(99, 0.0, action = "delete"))
     val v2 = drain()
-    assert(state(v2) === Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+    assert(state(v2) === Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0, 7L -> 70.0))
 
     // batch 3: delete k=1; batch 4: re-deliver batch-2 CONTENT in a new
     // file — the merge must converge (k=2/k=3 rewritten identically,
     // k=1 re-inserted deterministically)
     writeJson(in, "b3.json", row(1, 0.0, action = "delete"))
     val v3 = drain()
-    assert(state(v3) === Map(2L -> 25.0, 3L -> 30.0))
+    assert(state(v3) === Map(2L -> 25.0, 3L -> 30.0, 7L -> 70.0))
 
     // exactly-once at the FILE level: draining with no new files writes no
     // new version and the latest snapshot is unchanged
     val v3again = drain()
     assert(v3again === v3)
-    assert(state(v3again) === Map(2L -> 25.0, 3L -> 30.0))
+    assert(state(v3again) === Map(2L -> 25.0, 3L -> 30.0, 7L -> 70.0))
 
     // vacuum keeps only the newest snapshots; the survivor still reads
-    val removed = Ingest.vacuumSnapshots(table, keep = 1)
+    val removed = Ingest.vacuumSnapshots(spark, table, keep = 1)
     assert(removed === Seq("v000000", "v000001"))
-    assert(state(drain()) === Map(2L -> 25.0, 3L -> 30.0))
+    assert(state(drain()) === Map(2L -> 25.0, 3L -> 30.0, 7L -> 70.0))
 
     // a torn version (no _SUCCESS) from a crashed writer is invisible:
     // the next drain merges from the committed state, numbering is not
@@ -96,9 +99,56 @@ class IngestSpec extends SparkSpec {
     writeJson(in, "b5.json", row(4, 40.0))
     val v4 = drain()
     assert(v4.endsWith("v000003"), v4)
-    assert(state(v4) === Map(2L -> 25.0, 3L -> 30.0, 4L -> 40.0))
-    assert(Ingest.vacuumSnapshots(table, keep = 1)
+    assert(state(v4) === Map(2L -> 25.0, 3L -> 30.0, 4L -> 40.0, 7L -> 70.0))
+    assert(Ingest.vacuumSnapshots(spark, table, keep = 1)
       === Seq("v000002", "v000099"))
+  }
+
+  test("manifest is the commit point: torn AND committed-looking versions ahead of a stale manifest resolve to the manifest version") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-manifest").toString
+    val in = s"$base/in"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("p", DoubleType)))
+    def drain(): String = Ingest.drainMergeToParquet(
+      spark, schema, in, identity, "k", Seq("p"), table, ckpt)
+      .getOrElse(fail("no committed snapshot after drain"))
+    def state(path: String): Map[Long, Double] =
+      spark.read.parquet(path).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    writeJson(in, "b1.json", """{"k":1,"p":10.0}""")
+    assert(drain().endsWith("v000000"))
+
+    // crash case A: a torn write of v{N} (no _SUCCESS) with the manifest
+    // still at v{N-1} — resolution must be v{N-1}
+    val tornV1 = Paths.get(table, "v000001")
+    Files.createDirectories(tornV1)
+    Files.writeString(tornV1.resolve("part-junk.parquet"), "not parquet")
+    val afterTorn = drain() // no new files: resolves, writes nothing
+    assert(afterTorn.endsWith("v000000"), afterTorn)
+
+    // crash case B: the parquet write of v{N+1} COMPLETED (has _SUCCESS)
+    // but the writer died before the manifest update — the snapshot is
+    // uncommitted (its batch will be replayed) and must stay invisible,
+    // which a _SUCCESS-listing protocol gets wrong
+    val aheadV2 = Paths.get(table, "v000002")
+    Files.createDirectories(aheadV2)
+    Files.writeString(aheadV2.resolve("_SUCCESS"), "")
+    Files.writeString(aheadV2.resolve("part-junk.parquet"), "not parquet")
+    assert(drain().endsWith("v000000"))
+
+    // the next real batch re-uses the torn number and commits past it
+    writeJson(in, "b2.json", """{"k":2,"p":20.0}""")
+    val v1 = drain()
+    assert(v1.endsWith("v000001"), v1)
+    assert(state(v1) === Map(1L -> 10.0, 2L -> 20.0))
+
+    // vacuum treats the never-committed v000002 as debris (it is AHEAD of
+    // the manifest) and never touches the manifest's own version
+    assert(Ingest.vacuumSnapshots(spark, table, keep = 1)
+      === Seq("v000000", "v000002"))
+    assert(state(drain()) === Map(1L -> 10.0, 2L -> 20.0))
   }
 
   test("incremental screen in foreachBatch: re-delivered CONTENT adds zero rows") {

@@ -182,6 +182,137 @@ class SessionizeSpec extends SparkSpec {
       sessions.mkString("; "))
   }
 
+  test("tombstone TTL expires the counter: state drops and ordinals restart") {
+    // ttl = 60 min of event time past the close horizon; user 1 returns
+    // AFTER expiry, so their ordinal restarts at 1 (the documented trade
+    // for bounding state by active users instead of ever-seen users)
+    val input = MemoryStream[(Long, Long, Timestamp)](spark)
+    val withWm = input.toDS()
+      .withColumnRenamed("_3", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, Timestamp)]
+    val q = Sessionize.streamingSessions(withWm,
+        tombstoneTtlUs = Some(60L * 60L * 1000000L))
+      .writeStream.format("memory").queryName("sess_ttl")
+      .outputMode("append").start()
+    input.addData((1L, 1L, ts(1)))
+    q.processAllAvailable()
+    // advance watermark past the gap horizon, then fire the close timeout
+    input.addData((9L, 9L, ts(200)))
+    q.processAllAvailable()
+    input.addData((9L, 8L, ts(201)))
+    q.processAllAvailable()
+    // advance past close + ttl (1+30+60 min), then fire the tombstone
+    // expiry; the user-9 noise keeps its own session alive
+    input.addData((9L, 7L, ts(500)))
+    q.processAllAvailable()
+    input.addData((9L, 6L, ts(501)))
+    q.processAllAvailable()
+    // user 1 returns AFTER tombstone expiry: new session numbered 1 again
+    input.addData((1L, 2L, ts(600)))
+    q.processAllAvailable()
+    input.addData((9L, 5L, ts(1000)))
+    q.processAllAvailable()
+    input.addData((9L, 4L, ts(1001)))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sess_ttl").as[Sess].collect()
+      .filter(_.user_id == 1L).sortBy(_.start_us)
+    assert(u1.map(s => (s.session_id, s.start_us)).toSeq
+      === Seq((1L, us(1)), (1L, us(600))), u1.mkString("; "))
+  }
+
+  test("no TTL: the counter tombstone still continues ordinals (default unchanged)") {
+    val input = MemoryStream[(Long, Long, Timestamp)](spark)
+    val withWm = input.toDS()
+      .withColumnRenamed("_3", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, Timestamp)]
+    val q = Sessionize.streamingSessions(withWm)
+      .writeStream.format("memory").queryName("sess_nottl")
+      .outputMode("append").start()
+    input.addData((1L, 1L, ts(1)))
+    q.processAllAvailable()
+    input.addData((9L, 9L, ts(200)))
+    q.processAllAvailable()
+    input.addData((9L, 8L, ts(201)))
+    q.processAllAvailable()
+    input.addData((1L, 2L, ts(600))) // returns long after the close
+    q.processAllAvailable()
+    input.addData((9L, 7L, ts(1000)))
+    q.processAllAvailable()
+    input.addData((9L, 6L, ts(1001)))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sess_nottl").as[Sess].collect()
+      .filter(_.user_id == 1L).sortBy(_.start_us)
+    assert(u1.map(s => (s.session_id, s.start_us)).toSeq
+      === Seq((1L, us(1)), (2L, us(600))), u1.mkString("; "))
+  }
+
+  test("sessions MERGE-drain: restart + late data converge to the batch cut, one row per session") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-sess-merge").toString
+    val in = s"$base/in"; val table = s"$base/table"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", TimestampType)))
+    def iso(min: Long) = java.time.Instant.ofEpochMilli(min * 60000L).toString
+    def ev(u: Long, id: Long, min: Long) =
+      s"""{"user_id":$u,"event_id":$id,"ts":"${iso(min)}"}"""
+    def writeFile(name: String, lines: String*): Unit =
+      Files.writeString(Paths.get(in, name), lines.mkString("\n"))
+    def runOnce(ckpt: String): Option[String] = {
+      val ds = spark.readStream.schema(schema).json(in)
+        .selectExpr("user_id as _1", "event_id as _2", "ts as _3")
+        .withWatermark("_3", "0 seconds")
+        .as[(Long, Long, Timestamp)]
+      Sessionize.drainSessionsMerge(ds, table, s"$base/$ckpt")
+    }
+    def u1Rows(path: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .selectExpr("user_id", "session_id", "n_events", "end_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 == 1L).sortBy(_._2).toSeq
+
+    // run 1 (checkpoint A, restarted per file like the ordinal spec):
+    // session 1 closes on the data path, session 2 via TIMEOUT with only
+    // the minute-50 event — that row lands in the MERGE table
+    writeFile("b1.json", ev(1L, 1L, 1), ev(1L, 2L, 11))
+    runOnce("ckptA")
+    writeFile("b2.json", ev(1L, 3L, 50))
+    runOnce("ckptA")
+    writeFile("b3.json", ev(9L, 9L, 100000))
+    runOnce("ckptA")
+    writeFile("b4.json", ev(9L, 8L, 100001))
+    val afterA = runOnce("ckptA")
+    assert(u1Rows(afterA.get) === Seq((1L, 1L, 2L, us(11)), (1L, 2L, 1L, us(50))))
+
+    // late event inside session 2 arrives after checkpoint A's watermark
+    // has passed it — a fresh query instance (checkpoint B) replays the
+    // full input and RE-EMITS session 2 with the late event merged in;
+    // the MERGE key (user, session) must converge to ONE corrected row,
+    // where the append sink would now hold two conflicting session-2 rows
+    writeFile("b5.json", ev(1L, 4L, 60))
+    runOnce("ckptB")
+    writeFile("b6.json", ev(9L, 7L, 300000))
+    runOnce("ckptB")
+    writeFile("b7.json", ev(9L, 6L, 300001))
+    val afterB = runOnce("ckptB")
+    assert(afterB.isDefined)
+    val got = u1Rows(afterB.get)
+    // batch-cut ground truth over ALL user-1 events (1, 11, 50, 60)
+    val expected = Sessionize.sessions(
+        Seq(Ev(1L, 1L, us(1)), Ev(1L, 2L, us(11)), Ev(1L, 3L, us(50)),
+          Ev(1L, 4L, us(60))).toDS())
+      .collect().sortBy(_.session_id)
+      .map(s => (s.user_id, s.session_id, s.n_events, s.end_us)).toSeq
+    assert(got === expected, s"got $got expected $expected")
+    assert(got === Seq((1L, 1L, 2L, us(11)), (1L, 2L, 2L, us(60))))
+  }
+
   test("streaming event time keeps microsecond precision (gap + 1us cuts)") {
     // start at minute 10: a t == initial-watermark(0) row would drop as late
     val a = ts(10)
