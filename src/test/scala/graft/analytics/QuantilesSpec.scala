@@ -72,12 +72,68 @@ class QuantilesSpec extends SparkSpec {
     }
     val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
     // exactly one empty-keyed window — the dimension-sized histogram
-    // prefix sum — and it must not be the row_number rank window
+    // prefix sum — and it must not be the pass-2 rank window
     assert(unpartitioned.size === 1, plan.toString)
     assert(unpartitioned.head.windowExpression.mkString.contains("sum"),
       s"the global window must be the prefix sum, got:\n${unpartitioned.head}")
     assert(windows.exists(w => w.partitionSpec.nonEmpty &&
-      w.windowExpression.mkString.contains("row_number")),
-      s"rank window must be partitioned by q:\n$plan")
+      w.windowExpression.mkString.contains("sum")),
+      s"the rank (cumulative-count) window must be partitioned by q:\n$plan")
+  }
+
+  test("adversarial: 99% of the mass in ONE bucket refines to slices under the bound") {
+    // 4950 values spread inside bucket [0, 64) + 50 stragglers elsewhere;
+    // cap = 100 forces a 50-way split of the heavy bucket
+    val vals = Seq.tabulate(4950)(i => i * 64.0 / 4950.0) ++
+      Seq.tabulate(50)(i => 1000.0 + i)
+    val df = vals.toDF("x")
+    // the bound, asserted on the PRODUCTION refinement path: no
+    // (bucket, sub-bucket) slice — the unit a pass-2 partition holds —
+    // exceeds maxBucketRows
+    val slices = Quantiles.refinedBuckets(df, "x", 64.0, 100L)
+      .groupBy("b", "s").count().collect().map(_.getLong(2))
+    assert(slices.max <= 100L, s"max slice ${slices.max} > 100")
+    assert(slices.length >= 50, "the heavy bucket must actually split")
+    // and the refined path still selects the exact ranks
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val got = Quantiles.globalQuantiles(df, "x", qs, 64.0, maxBucketRows = 100L)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val k = math.ceil(q * vals.size).toInt
+      assert(got(q) === sorted(k - 1), s"q=$q")
+    }
+  }
+
+  test("adversarial: a single value repeated past any split collapses before the rank window") {
+    // value-range splitting cannot separate identical values; the pass-2
+    // value collapse must keep the result exact anyway
+    val vals = Seq.fill(5000)(10.0) ++ Seq(1.0, 2.0, 3.0, 500.0, 501.0)
+    val df = vals.toDF("x")
+    val qs = Seq(0.01, 0.5, 0.999, 1.0)
+    val got = Quantiles.globalQuantiles(df, "x", qs, 64.0, maxBucketRows = 50L)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val k = math.ceil(q * vals.size).toInt
+      assert(got(q) === sorted(k - 1), s"q=$q")
+    }
+  }
+
+  test("adversarial grouped: heavy skewed group with a tiny cap stays exact") {
+    val rows =
+      Seq.tabulate(3000)(i => ("heavy", 32.0 + i * 32.0 / 3000.0)) ++ // one bucket
+      Seq.fill(500)(("heavy", 10.0)) ++                               // repeated value
+      Seq.tabulate(30)(i => ("light", (i * 7).toDouble))
+    val df = rows.toDF("g", "x")
+    val qs = Seq(0.25, 0.5, 0.9)
+    val got = Quantiles.groupedQuantiles(df, "g", "x", qs, bucketWidth = 64.0,
+        maxBucketRows = 100L)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for ((g, vs) <- rows.groupBy(_._1); q <- qs) {
+      val sorted = vs.map(_._2).sorted
+      val k = math.ceil(q * sorted.size).toInt
+      assert(got((g, q)) === sorted(k - 1), s"group $g q=$q")
+    }
   }
 }
