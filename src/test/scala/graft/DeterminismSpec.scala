@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Double-run determinism gate for the rows-only queries (q27–q32, q36,
+  * q37, q82): they have no DuckDB oracle (xxhash64-seeded LSH/SimHash,
+  * engine lexicon, HLL internals, media bytes), so nondeterminism —
+  * hash-seed drift between runs, AQE/shuffle-partition-count sensitivity,
+  * unstable tie ordering — would be invisible to the correctness gate.
+  *
+  * Each query runs TWICE, in two fresh session states with deliberately
+  * different (and from-the-default different) shuffle-partition counts,
+  * and the canonicalized outputs (columns sorted by name, rows rendered
+  * then sorted) must be identical. Partition-count sensitivity is the
+  * classic leak: any per-partition seed, partition-local ordering, or
+  * merge-order-dependent float accumulation in these pipelines shows up
+  * as a diff here.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val rowsOnly = Seq(
+    "q27_minhash_lsh",
+    "q28_simhash_pairs",
+    "q29_lsh_ann_topk",
+    "q30_embedding_near_dup",
+    "q31_approx_distinct",
+    "q32_sentiment_by_lang",
+    "q36_media_features",
+    "q37_ivf_ann_topk",
+    "q82_hll_sketches")
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Deterministic, type-aware row rendering: binary → hex (Array.toString
+    * is an identity hash), nested rows/arrays recursively, everything
+    * else via toString.
+    */
+  private def render(v: Any): String = v match {
+    case null => "<null>"
+    case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+    case s: scala.collection.Seq[_] => s.map(render).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => s"${render(k)}->${render(x)}" }
+        .sorted.mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i => render(r.get(i))).mkString("(", ",", ")")
+    case x => x.toString
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().toSeq
+      .map(r => (0 until r.length).map(i => render(r.get(i))).mkString("|"))
+      .sorted
+  }
+
+  test("rows-only queries are bit-stable across sessions and shuffle-partition counts") {
+    for (name <- rowsOnly) {
+      val fn = SparkEntry.queries(name)
+      val s1 = spark.newSession()
+      s1.conf.set("spark.sql.shuffle.partitions", "5")
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "29")
+      val a = canon(fn(s1, dir))
+      val b = canon(fn(s2, dir))
+      assert(a.nonEmpty, s"$name returned zero rows")
+      assert(a === b,
+        s"$name output differs between shuffle.partitions=5 and =29")
+    }
+  }
+}
