@@ -283,7 +283,11 @@ object SparkEntry {
     // per-source KL/TVD from the corpus unigram blend (mixture diagnostics)
     "q132_source_divergence" -> (graft.text.Divergence.sourceDivergenceQuery _),
     // per-language BPE fertility under the corpus-trained merges
-    "q133_bpe_fertility"    -> (graft.text.Bpe.bpeFertilityQuery _)
+    "q133_bpe_fertility"    -> (graft.text.Bpe.bpeFertilityQuery _),
+    // SemDeDup with the TRAINED (k-means) quantizer — q106's twin on the
+    // oracle-inexpressible codebook path (rows-only; floor-tested in
+    // SemDedupSpec against the fixed codebook's planted dup-recall)
+    "q134_semdedup_trained" -> (graft.dedup.SemDedup.semDedupTrainedQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -113,4 +113,25 @@ object SemDedup {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
     semDedup(e, centroids, tau = 0.4)
   }
+
+  /** q134: the TRAINED-quantizer twin of q106 (rows-only by design —
+    * Lloyd refinement is iterative fp training, not oracle-SQL territory;
+    * SemDedupSpec floors its planted dup-recall against the fixed
+    * codebook's instead). Same corpus, same τ, same n/64 nlist
+    * discipline, but the codebook is k-means-refined
+    * ([[graft.similarity.Similarity.kmeansCentroids]]) — the paper's
+    * actual quantizer, which concentrates semantic neighbors into the
+    * same cluster so the within-cluster screen sees more true pairs.
+    *
+    * The corpus count is a driver-side SCALAR aggregate (the legitimate
+    * 1-row pattern): `ivfCentroids`' hash-ordered `limit` needs a
+    * literal, so the knob cannot ride a broadcast column here.
+    */
+  def semDedupTrainedQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val nlist = math.max(8, (e.count() / 64L).toInt)
+    val centroids = graft.similarity.Similarity.kmeansCentroids(
+      e.select(col("vec_id"), col("embedding")), nlist, iters = 2)
+    semDedup(e, centroids, tau = 0.4)
+  }
 }

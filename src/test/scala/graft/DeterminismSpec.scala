@@ -27,7 +27,8 @@ class DeterminismSpec extends SparkSpec {
     "q32_sentiment_by_lang",
     "q36_media_features",
     "q37_ivf_ann_topk",
-    "q82_hll_sketches")
+    "q82_hll_sketches",
+    "q134_semdedup_trained")
 
   private val dir = "/root/testdata/sf0.001"
 

@@ -97,6 +97,56 @@ class SemDedupSpec extends SparkSpec {
     assert(fine < coarse, s"nlist=32 max cluster $fine !< nlist=4 max $coarse")
   }
 
+  test("q134 floor: trained codebook dup-recall >= fixed codebook dup-recall on a planted corpus") {
+    // 4 planted groups of 6 near-copies (24 vectors, 20 true duplicates)
+    // plus 8 spread singletons. The q106 fixed codebook is the first
+    // nlist vectors by id — here ids 0..7, i.e. SIX of the eight
+    // centroids land inside groups 0 and 1, so groups 2 and 3 risk being
+    // split across far-away centroids; the k-means codebook re-centers
+    // on the actual clusters. Recall = dropped true duplicates / 20.
+    val groups = for {
+      g <- 0 until 4
+      i <- 0 until 6
+    } yield ((g * 6 + i).toLong, planted(g, 7, i * 0.02))
+    val singles = (0 until 8).map(i =>
+      ((100 + i).toLong, planted(4 + (i % 3), 7, 0.3 + 0.05 * i)))
+    val e = embDf(groups ++ singles)
+    val nlist = 8
+    def dupRecall(cents: DataFrame): Double = {
+      val kept = SemDedup.semDedup(e, cents, tau = 0.95).collect()
+        .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+      val droppedInGroups = (0 until 24).count(id => !kept.contains(id.toLong))
+      droppedInGroups / 20.0
+    }
+    // the q106-style fixed codebook: centroid c = embedding of vec_id c
+    val fixed = centDf(groups.take(nlist).map { case (id, v) => (id, v) })
+    val trained = graft.similarity.Similarity.kmeansCentroids(
+      e.select(col("vec_id"), col("embedding")), nlist, iters = 2)
+    val (rFixed, rTrained) = (dupRecall(fixed), dupRecall(trained))
+    assert(rTrained >= rFixed,
+      s"trained recall $rTrained < fixed recall $rFixed")
+    // absolute floor, not exactly 1.0: a Lloyd cluster boundary may cut
+    // one planted group (the screen is cluster-local by design)
+    assert(rTrained >= 0.9, s"trained recall floor broken: $rTrained")
+  }
+
+  test("q134 runs on the real embeddings table and screens like q106") {
+    // the driver-visible entry: same verdict-per-vector shape as q106,
+    // and the trained screen must drop at least SOMETHING q106-comparable
+    val dir = "/root/testdata/sf0.001"
+    val trained = SemDedup.semDedupTrainedQuery(spark, dir).collect()
+    val fixedKept = SemDedup.semDedupQuery(spark, dir).collect()
+      .count(_.getBoolean(3))
+    assert(trained.length == graft.Tables.embeddings(spark, dir).count().toInt)
+    val trainedKept = trained.count(_.getBoolean(3))
+    assert(trainedKept > 0 && trainedKept <= trained.length)
+    // floor vs q106's kept-set size: the trained quantizer sees at least
+    // as many true pairs, so it cannot keep dramatically more than the
+    // fixed screen (allow slack for cluster-boundary reshuffling)
+    assert(trainedKept <= math.ceil(fixedKept * 1.1).toInt,
+      s"trained kept $trainedKept vs fixed kept $fixedKept")
+  }
+
   test("trained (k-means) quantizer plugs into the same screen") {
     // same planted corpus, but the quantizer is learned from the data —
     // the oracle-inexpressible path: pruning must still collapse each
