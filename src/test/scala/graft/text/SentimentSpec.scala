@@ -62,7 +62,8 @@ class SentimentSpec extends SparkSpec {
   }
 
   test("extended lexicon: breadth, range, no role overlap with modifiers") {
-    assert(Sentiment.lexicon.size >= 300, s"size = ${Sentiment.lexicon.size}")
+    // round-7 floor: hand entries + regular-morphology expansion
+    assert(Sentiment.lexicon.size >= 3000, s"size = ${Sentiment.lexicon.size}")
     assert(Sentiment.lexicon.values.forall(v => v >= -4.0 && v <= 4.0))
     // degree/negation words must not double as valence words
     assert(Sentiment.lexicon.keySet.intersect(Sentiment.boosters.keySet).isEmpty)
@@ -71,6 +72,10 @@ class SentimentSpec extends SparkSpec {
     assert(Sentiment.compound("exquisite flavorful meal") > 0.05f)
     assert(Sentiment.compound("unprofessional staff ruined it") < -0.05f)
     assert(Sentiment.compound("not impressed") < 0f)
+    // spot polarity of round-7 morphology-expanded forms
+    assert(Sentiment.compound("they overcharged and humiliated us") < -0.05f)
+    assert(Sentiment.compound("the staff pampered us cheerily") > 0.05f)
+    assert(Sentiment.compound("worrying stains and a lingering stench") < -0.05f)
   }
 
   test("golden scores (embedded lexicon, fixed rule set)") {
@@ -80,5 +85,18 @@ class SentimentSpec extends SparkSpec {
     assert(math.abs(Sentiment.compound("not good") - (-0.34125f)) < 1e-4f)
     // very good = (1.9+0.293) → 2.193/√(2.193²+15) ≈ 0.49273
     assert(math.abs(Sentiment.compound("very good") - 0.49273f) < 1e-4f)
+  }
+
+  test("golden scores: booster/negation combinations") {
+    // not very good: booster at distance 1 (full 0.293), negator in the
+    // window: (1.9+0.293) × −0.74 = −1.62282 → −0.38646
+    assert(math.abs(Sentiment.compound("not very good") - (-0.38646f)) < 1e-4f)
+    // extremely terrible!!: booster deepens the negative base
+    // (−2.1−0.293 = −2.393), two '!' add sign-following 2×0.292:
+    // −2.977 → −2.977/√(2.977²+15) ≈ −0.60942
+    assert(math.abs(Sentiment.compound("extremely terrible!!") - (-0.60942f)) < 1e-4f)
+    // barely plays BOTH roles (dampener and negator):
+    // (1.9−0.293) × −0.74 = −1.18918 → −0.29352
+    assert(math.abs(Sentiment.compound("barely good") - (-0.29352f)) < 1e-4f)
   }
 }
