@@ -65,6 +65,20 @@ object SemDedup {
       .select(col("vec_id"), col("embedding"),
         col("best.centroid_id").as("centroid_id"),
         col("best.c_cos").as("c_cos"))
+    screenAssigned(assigned, tau)
+  }
+
+  /** The rank-and-screen half, on an already-assigned corpus — shared by
+    * the exact single-level assignment above (q106, oracle-expressible)
+    * and the two-level [[graft.similarity.Similarity.hierAssign]] scale
+    * path (q134).
+    *
+    * @param assigned (vec_id, embedding, centroid_id, c_cos) with c_cos
+    *                 already rounded to 6 (every rank key the oracle
+    *                 reproduces uses that discipline).
+    */
+  def screenAssigned(assigned: DataFrame, tau: Double): DataFrame = {
+    GraftFunctions.register(assigned.sparkSession)
     // within-cluster rank, farthest-from-centroid first (the paper's
     // keep-the-outliers order), vec_id tie-break
     val w = Window.partitionBy(col("centroid_id"))
@@ -118,20 +132,25 @@ object SemDedup {
     * Lloyd refinement is iterative fp training, not oracle-SQL territory;
     * SemDedupSpec floors its planted dup-recall against the fixed
     * codebook's instead). Same corpus, same τ, same n/64 nlist
-    * discipline, but the codebook is k-means-refined
-    * ([[graft.similarity.Similarity.kmeansCentroids]]) — the paper's
-    * actual quantizer, which concentrates semantic neighbors into the
-    * same cluster so the within-cluster screen sees more true pairs.
+    * discipline, but the codebook is the TWO-LEVEL k-means quantizer
+    * ([[graft.similarity.Similarity.hierQuantizer]]): √nlist supers
+    * route, children quantize, so training and assignment both cost
+    * n·√nlist instead of the n·nlist that made q106/q134 the one
+    * super-linear pair in the sf0.1→sf1 scaling audit (SCALING.md names
+    * the term and this fix; q106 deliberately keeps the exact
+    * single-level argmax the DuckDB oracle can express).
     *
     * The corpus count is a driver-side SCALAR aggregate (the legitimate
-    * 1-row pattern): `ivfCentroids`' hash-ordered `limit` needs a
-    * literal, so the knob cannot ride a broadcast column here.
+    * 1-row pattern): the quantizer's hash-ordered inits need literal
+    * sizes, so the knob cannot ride a broadcast column here.
     */
   def semDedupTrainedQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val nlist = math.max(8, (e.count() / 64L).toInt)
-    val centroids = graft.similarity.Similarity.kmeansCentroids(
+    val (supers, children) = graft.similarity.Similarity.hierQuantizer(
       e.select(col("vec_id"), col("embedding")), nlist, iters = 2)
-    semDedup(e, centroids, tau = 0.4)
+    val assigned = graft.similarity.Similarity.hierAssign(
+      e.select(col("vec_id"), col("embedding")), supers, children)
+    screenAssigned(assigned, tau = 0.4)
   }
 }

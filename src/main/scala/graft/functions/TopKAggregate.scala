@@ -40,6 +40,14 @@ case class TopKLargest(
 
   @transient private lazy val ordering = TypeUtils.getInterpretedOrdering(child.dataType)
 
+  // One projection per task, NOT per serialize() call: create() re-generates
+  // the projection code string every time (only the janino compile is
+  // cached), and serialize runs once per (group, mapper) — at sf1 that is
+  // ~1.5M calls, which dominated the whole aggregate before hoisting
+  // (SCALING.md, q66). Expressions are deserialized per-task, so the lazy
+  // val is single-threaded.
+  @transient private lazy val serProj = UnsafeProjection.create(Array(child.dataType))
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (k <= 0)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0, got $k")
@@ -93,14 +101,13 @@ case class TopKLargest(
     new GenericArrayData(buf.reverseIterator.toArray)
 
   override def serialize(buf: ArrayBuffer[Any]): Array[Byte] = {
-    val proj = UnsafeProjection.create(Array(child.dataType))
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
     val holder = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
     buf.foreach { v =>
       holder.update(0, v)
-      val bytes = proj(holder).getBytes
+      val bytes = serProj(holder).getBytes
       out.writeInt(bytes.length)
       out.write(bytes)
     }

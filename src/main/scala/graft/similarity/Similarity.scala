@@ -279,6 +279,139 @@ object Similarity {
     centroids
   }
 
+  /** Two-level (hierarchical) quantizer — the O(n·√nlist) scale path for
+    * cluster counts that grow with the corpus. [[kmeansCentroids]] pays
+    * n·nlist per round (every vector scored against every centroid);
+    * with SemDeDup's nlist ∝ n cluster-size discipline that term is
+    * O(n²/64) — the one super-linear curve the sf0.1→sf1 scaling audit
+    * measured (SCALING.md). Here √nlist "super" centroids route, and each
+    * vector only ever competes among its super's ~√nlist children:
+    * training AND assignment cost n·√nlist per round (n^1.5/8 per decade
+    * under the n/64 knob, vs n²/64), the two-level layout of IVF-HNSW /
+    * inverted-multi-index coarse quantizers. Routing is approximate at
+    * cluster boundaries — exactly the trade those systems make — so this
+    * backs the rows-only trained path (q134), while q106 keeps the exact
+    * single-level argmax the DuckDB oracle can express.
+    *
+    * Deterministic end to end: hash-ordered inits, argmax id tie-breaks,
+    * mean recompute as avg aggregates — the double-run determinism gate
+    * covers q134.
+    *
+    * @return (supers, children): (super_id, super) routing table and
+    *         (super_id, centroid_id, centroid) leaf codebook, both tiny.
+    */
+  def hierQuantizer(embeddings: DataFrame, nlist: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val nsuper = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val supers = kmeansCentroids(embeddings, nsuper, iters)
+      .select(col("centroid_id").as("super_id"), col("centroid").as("super"))
+      .localCheckpoint()
+    val routed = routeToSuper(embeddings, supers, probe = 1).localCheckpoint()
+    // leaf init: per-super hash-ordered pick (ivfCentroids, per partition),
+    // with the child BUDGET proportional to the super's routed member
+    // count (floor 1) — a uniform nlist/nsuper split starves dense supers
+    // and wastes leaves on sparse ones, which is exactly where the
+    // cluster-local screen loses planted near-dups (SemDedupSpec's hier
+    // floor caught the uniform version at 0.8 recall). The counts table is
+    // nsuper rows; its total rides a window over that tiny frame, never
+    // the corpus. Ids are super-prefixed (super_id·nlist + rank) — unique
+    // without any global numbering pass.
+    val counts = routed.groupBy(col("super_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("budget",
+        greatest(lit(1L), round(lit(nlist) * col("cnt") /
+          sum(col("cnt")).over(Window.partitionBy())).cast("long")))
+      .select(col("super_id"), col("budget"))
+    val wInit = Window.partitionBy(col("super_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var children = routed.join(broadcast(counts), Seq("super_id"))
+      .withColumn("r", row_number().over(wInit))
+      .filter(col("r") <= col("budget"))
+      .select(col("super_id"),
+        (col("super_id") * nlist + col("r") - 1).cast("long").as("centroid_id"),
+        col("embedding").as("centroid"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      // Lloyd round, super-local: the join is KEYED on super_id (broadcast
+      // codebook), so each vector scores only its super's children
+      children = routed.join(broadcast(children), Seq("super_id"))
+        .withColumn("c_cos", GraftFunctions.cosine(col("embedding"), col("centroid")))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(struct(col("super_id"), col("centroid_id")),
+            struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("best.super_id").as("super_id"),
+          col("best.centroid_id").as("centroid_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("super_id"), col("centroid_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("super_id"), col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+        .localCheckpoint()
+    }
+    (supers, children)
+  }
+
+  /** Nearest-`probe`-supers routing: the n·√nlist half of two-level
+    * assignment. probe = 1 is a `max_by` argmax; probe > 1 reuses the
+    * engine's own [[graft.functions.TopKLargest]] aggregate — the same
+    * map-side-collapse shape (the exchange carries ≤ probe rows per
+    * vector), no per-vector window sort.
+    */
+  private def routeToSuper(embeddings: DataFrame, supers: DataFrame,
+                           probe: Int): DataFrame = {
+    val scored = embeddings.crossJoin(broadcast(supers))
+      .withColumn("s_cos", GraftFunctions.cosine(col("embedding"), col("super")))
+    if (probe == 1)
+      scored.groupBy(col("vec_id"))
+        .agg(
+          max_by(col("super_id"),
+            struct(col("s_cos"), (-col("super_id")).as("neg_id"))).as("super_id"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"), col("super_id"))
+    else
+      scored.groupBy(col("vec_id"))
+        .agg(
+          GraftFunctions.topk(
+            struct(col("s_cos"), (-col("super_id")).as("neg_id")), probe).as("top"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          explode(col("top")).as("t"))
+        .select(col("vec_id"), col("embedding"),
+          (-col("t.neg_id")).as("super_id"))
+  }
+
+  /** Two-level nearest-centroid assignment against a [[hierQuantizer]]
+    * codebook: route to the nearest `probe` supers (n·√nlist), then
+    * argmax among those supers' children only (probe·n·√nlist) — never
+    * n·nlist. probe = 2 (the IVF multi-probe move) recovers the
+    * cluster-boundary cases single-super routing loses — SemDedupSpec
+    * floors its planted dup-recall against the exact fixed codebook.
+    * Emits the same (vec_id, embedding, centroid_id, c_cos) shape as the
+    * exact assignment inside [[graft.dedup.SemDedup.semDedup]], c_cos
+    * rounded to 6 like every rank key the screen uses.
+    */
+  def hierAssign(embeddings: DataFrame, supers: DataFrame,
+                 children: DataFrame, probe: Int = 2): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    routeToSuper(embeddings, supers, probe)
+      .join(broadcast(children), Seq("super_id"))
+      .withColumn("c_cos",
+        round(GraftFunctions.cosine(col("embedding"), col("centroid")), 6))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(struct(col("centroid_id"), col("c_cos")),
+          struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        col("best.centroid_id").as("centroid_id"),
+        col("best.c_cos").as("c_cos"))
+  }
+
   /** Mean best-cosine of every vector against its nearest centroid — the
     * (cosine-flavored) k-means objective, for asserting refinement helps.
     */

@@ -128,6 +128,17 @@ class SemDedupSpec extends SparkSpec {
     // absolute floor, not exactly 1.0: a Lloyd cluster boundary may cut
     // one planted group (the screen is cluster-local by design)
     assert(rTrained >= 0.9, s"trained recall floor broken: $rTrained")
+    // the TWO-LEVEL quantizer (q134's actual path) must hold the same
+    // floors: approximate super-routing may only cost boundary cases
+    val (supers, children) = graft.similarity.Similarity.hierQuantizer(
+      e.select(col("vec_id"), col("embedding")), nlist, iters = 2)
+    val assignedH = graft.similarity.Similarity.hierAssign(
+      e.select(col("vec_id"), col("embedding")), supers, children)
+    val keptH = SemDedup.screenAssigned(assignedH, tau = 0.95).collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val rHier = (0 until 24).count(id => !keptH.contains(id.toLong)) / 20.0
+    assert(rHier >= rFixed, s"hier recall $rHier < fixed recall $rFixed")
+    assert(rHier >= 0.9, s"hier recall floor broken: $rHier")
   }
 
   test("q134 runs on the real embeddings table and screens like q106") {

@@ -68,4 +68,28 @@ class TopKAggregateSpec extends SparkSpec {
       df.queryExecution.executedPlan) { case w: WindowExec => w }
     assert(windows.isEmpty, df.queryExecution.executedPlan.toString)
   }
+
+  test("object-hash path never falls back to sort-based on the bench data") {
+    // The aggregate's whole scale argument (exchange carries ≤ k rows per
+    // group per mapper, nothing sorts a full group) only holds while
+    // ObjectHashAggregateExec stays on its hash path; past the session's
+    // fallbackThreshold it silently degrades to sort-based aggregation.
+    // Execute on the largest checked-in SF and assert the runtime metric —
+    // not the plan — reports zero fallen-back tasks.
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val df = graft.analytics.CoreQueries.topkAggregate(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val aggs = graft.operators.PlanWalk.collectPlan(
+      df.queryExecution.executedPlan) { case o: ObjectHashAggregateExec => o }
+    assert(aggs.nonEmpty, df.queryExecution.executedPlan.toString)
+    aggs.foreach { agg =>
+      val fallback = agg.metrics.collect {
+        case (name, m) if name.toLowerCase.contains("fallback") ||
+          name.toLowerCase.contains("fallbacked") => m.value
+      }
+      assert(fallback.nonEmpty, s"no fallback metric on $agg: ${agg.metrics.keys}")
+      assert(fallback.forall(_ == 0L),
+        s"sort-based fallback engaged: ${agg.metrics}")
+    }
+  }
 }
