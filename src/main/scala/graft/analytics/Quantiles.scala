@@ -49,6 +49,15 @@ import graft.Tables
   * range can still exceed `maxBucketRows` (refinement is one level, per
   * the single-recursion design); the fanout cap makes that window
   * `maxBucketRows`·4096-ths of such a cluster, never the full column.
+  *
+  * Broadcast discipline: explicit `broadcast(...)` hints appear ONLY on
+  * tables bounded by |qs| (the targets / selected-slice descriptors —
+  * a handful of rows by construction). The histogram-derived tables
+  * (refinement fanouts, per-group slice selections) are occupied-bucket-
+  * sized — usually tiny, but an adversarial wide-range distribution can
+  * push them to ~n rows — so they ride unhinted joins and let AQE pick
+  * broadcast-hash from RUNTIME sizes, degrading to a shuffle join past
+  * the threshold instead of failing the query on a driver OOM.
   */
 object Quantiles {
 
@@ -78,7 +87,7 @@ object Quantiles {
       when(col("c0") > maxBucketRows,
         least(ceil(col("c0") / maxBucketRows).cast("long"), lit(MaxRefine)))
         .otherwise(lit(1L)).as("r"))
-    bucketed0.join(broadcast(refine), Seq("b"))
+    bucketed0.join(refine, Seq("b")) // AQE-sized: see broadcast discipline
       .withColumn("s", subBucket(col("v"), col("b"), col("r"), bucketWidth))
       .select(col("v"), col("b"), col("s"))
   }
@@ -107,7 +116,9 @@ object Quantiles {
     val targets = qs.toDF("q")
       .crossJoin(broadcast(total))
       .withColumn("k", ceil(col("q") * col("n")))
-    val sel = targets.join(broadcast(pref),
+    // non-equi join: broadcast the |qs|-row TARGETS side (provably tiny),
+    // streaming the occupied-bucket-sized prefix table — never the reverse
+    val sel = broadcast(targets).join(pref,
         col("k") > col("cum_before") && col("k") <= col("cum_before") + col("c"))
       .select(col("q"), col("k"), col("b"), col("s"), col("cum_before"))
     // pass 2: rank DISTINCT values of the selected slice (value collapse)
@@ -152,7 +163,7 @@ object Quantiles {
       when(col("c0") > maxBucketRows,
         least(ceil(col("c0") / maxBucketRows).cast("long"), lit(MaxRefine)))
         .otherwise(lit(1L)).as("r"))
-    val bucketed = bucketed0.join(broadcast(refine), Seq("g", "b"))
+    val bucketed = bucketed0.join(refine, Seq("g", "b")) // AQE-sized
       .withColumn("s", subBucket(col("v"), col("b"), col("r"), bucketWidth))
     val hist = bucketed.groupBy(col("g"), col("b"), col("s"))
       .agg(count(lit(1)).as("c"))
@@ -170,7 +181,7 @@ object Quantiles {
       .select(col("t.g").as("g"), col("q"), col("k"), col("b"), col("s"),
         col("cum_before"))
     bucketed
-      .join(broadcast(sel), Seq("g", "b", "s"))
+      .join(sel, Seq("g", "b", "s")) // |g|·|qs| rows — AQE-sized
       .groupBy(col("g"), col("q"), col("k"), col("cum_before"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum_v",

@@ -346,7 +346,12 @@ object Similarity {
           col("best.centroid_id").as("centroid_id"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("super_id"), col("centroid_id"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        // round the mean BEFORE the float cast: avg() merges partial sums
+        // in shuffle order, so the raw double is deterministic only up to
+        // fp association — round(·,6) swallows that ulp drift so the
+        // downstream rank keys (and the double-run determinism gate on
+        // q134) never hinge on a near-tie flipping across partitionings
+        .agg(round(avg(col("v")), 6).as("m"))
         .groupBy(col("super_id"), col("centroid_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),

@@ -99,23 +99,38 @@ object Ingest {
 
   /** The latest COMMITTED version: manifest-first (the manifest is the
     * commit point — a fully-written snapshot the manifest does not point
-    * at is an uncommitted batch that streaming will replay), falling back
-    * to the `_SUCCESS` listing only for manifest-less legacy tables. A
-    * stale manifest next to a torn `v{N}` resolves to the manifest's
-    * `v{N-1}`; a manifest pointing at a missing/torn version is ignored.
+    * at is an uncommitted batch that streaming will replay). The bare
+    * max-`_SUCCESS` listing is the fallback STRICTLY for manifest-less
+    * legacy tables: when a manifest exists but points at a missing/torn
+    * directory, the fallback only considers versions <= the manifest
+    * value — an unconstrained max could select a completed-but-
+    * uncommitted snapshot AHEAD of the last real commit (writer crashed
+    * after parquet `_SUCCESS`, before the manifest PUT), silently
+    * resurrecting an unreplayed batch — the exact state the manifest
+    * protocol exists to hide. A manifest that exists but does not parse
+    * is a refuse-don't-guess error: the PUT is atomic on object stores,
+    * so corruption implies tampering or a torn local write, and either
+    * repair choice (resurrect vs drop) is wrong to make silently.
     */
   private[stream] def latestVersion(fs: FileSystem, table: Path): Option[Long] = {
     val manifest = new Path(table, ManifestName)
-    val fromManifest =
-      if (!fs.exists(manifest)) None
-      else {
-        val in = fs.open(manifest)
-        val txt =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        txt.toLongOption.filter(v => isCommittedDir(fs, versionPath(table, v)))
+    if (!fs.exists(manifest)) committedVersions(fs, table).maxOption
+    else {
+      val in = fs.open(manifest)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      txt.toLongOption match {
+        case Some(v) if isCommittedDir(fs, versionPath(table, v)) => Some(v)
+        case Some(v) => committedVersions(fs, table).filter(_ <= v).maxOption
+        case None => throw new IllegalStateException(
+          s"unparseable snapshot manifest $manifest (contents: " +
+            s"'${txt.take(64)}'): refusing to guess the commit point — " +
+            "restore the manifest, or delete it to fall back to the " +
+            "_SUCCESS listing on a table known to have no uncommitted " +
+            "snapshots")
       }
-    fromManifest.orElse(committedVersions(fs, table).maxOption)
+    }
   }
 
   private def writeManifest(fs: FileSystem, table: Path, v: Long): Unit = {

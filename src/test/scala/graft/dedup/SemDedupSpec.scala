@@ -141,21 +141,64 @@ class SemDedupSpec extends SparkSpec {
     assert(rHier >= 0.9, s"hier recall floor broken: $rHier")
   }
 
-  test("q134 runs on the real embeddings table and screens like q106") {
-    // the driver-visible entry: same verdict-per-vector shape as q106,
-    // and the trained screen must drop at least SOMETHING q106-comparable
+  test("q134 runs on the real embeddings table: recall anchored to the brute-force tau-graph") {
+    // the driver-visible entry, floored against GROUND TRUTH rather than
+    // a slack constant on q106's kept count: brute-force the exact
+    // cosine >= tau PAIR set over the full sf0.001 corpus (500 vectors —
+    // 125k pairs on the driver) and measure PAIR RESOLUTION — the
+    // fraction of tau-pairs with at least one endpoint dropped. A global
+    // greedy screen resolves every pair (two kept endpoints would each
+    // be the other's witness); a cluster-local screen only misses
+    // cross-cluster pairs, so resolution is exactly the quantity the
+    // trained codebook is supposed to improve. Unlike connected-
+    // component counting, this does not credit chain transitivity the
+    // screen deliberately lacks (see the non-transitive-closure test),
+    // and unlike a kept-count slack constant it cannot drift with
+    // k-means init order.
     val dir = "/root/testdata/sf0.001"
+    val tau = 0.4
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val n = vecs.length
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val tauPairs = (for {
+      i <- 0 until n; j <- i + 1 until n
+      if cos(vecs(i)._2, vecs(j)._2) >= tau
+    } yield (vecs(i)._1, vecs(j)._1)).toSeq
+    assert(tauPairs.nonEmpty, "corpus has no tau-pairs; the floor is vacuous")
+
+    def resolution(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val kept = rows.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+      tauPairs.count { case (a, b) => !kept(a) || !kept(b) }.toDouble /
+        tauPairs.size
+    }
     val trained = SemDedup.semDedupTrainedQuery(spark, dir).collect()
-    val fixedKept = SemDedup.semDedupQuery(spark, dir).collect()
-      .count(_.getBoolean(3))
-    assert(trained.length == graft.Tables.embeddings(spark, dir).count().toInt)
-    val trainedKept = trained.count(_.getBoolean(3))
-    assert(trainedKept > 0 && trainedKept <= trained.length)
-    // floor vs q106's kept-set size: the trained quantizer sees at least
-    // as many true pairs, so it cannot keep dramatically more than the
-    // fixed screen (allow slack for cluster-boundary reshuffling)
-    assert(trainedKept <= math.ceil(fixedKept * 1.1).toInt,
-      s"trained kept $trainedKept vs fixed kept $fixedKept")
+    assert(trained.length == n)
+    assert(trained.count(_.getBoolean(3)) > 0)
+    val resTrained = resolution(trained)
+    val resFixed = resolution(SemDedup.semDedupQuery(spark, dir).collect())
+    // the trained two-level quantizer re-centers on the actual clusters;
+    // the fixed first-nlist codebook does not — trained resolution may
+    // not fall below fixed (same corpus, same tau-pair denominator)
+    assert(resTrained >= resFixed,
+      s"trained pair-resolution $resTrained < fixed $resFixed " +
+        s"(${tauPairs.size} tau-pairs)")
+    // absolute floor vs ground truth, deliberately loose: tau = 0.4
+    // pairs on this corpus are 60°+ apart (the near-dup band tops out at
+    // cosine ~0.5–0.6), so an 8-centroid cluster-local screen genuinely
+    // cannot co-cluster them all — measured resolution is 0.4545 (30/66
+    // pairs), bit-stable under the q134 determinism gate. 0.3 asserts
+    // the screen resolves a non-trivial fraction of the exact pair mass
+    // while leaving 50% headroom for legitimate quantizer changes; the
+    // relative trained >= fixed assertion above carries the real claim.
+    assert(resTrained >= 0.3,
+      s"trained pair-resolution floor broken: $resTrained " +
+        s"(${tauPairs.size} tau-pairs)")
   }
 
   test("trained (k-means) quantizer plugs into the same screen") {

@@ -151,6 +151,36 @@ class IngestSpec extends SparkSpec {
     assert(state(drain()) === Map(1L -> 10.0, 2L -> 20.0))
   }
 
+  test("latestVersion fallback never resurrects a snapshot ahead of the manifest; corrupt manifest refuses") {
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft-latest").toString
+    val table = new Path(base)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkVersion(v: Int, committed: Boolean): Unit = {
+      val d = Paths.get(base, f"v$v%06d")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("part-junk.parquet"), "x")
+      if (committed) Files.writeString(d.resolve("_SUCCESS"), "")
+    }
+    // double failure: manifest points at v1 which is TORN, while v0 is
+    // committed and v2 completed its parquet write (has _SUCCESS) but was
+    // never committed (writer died before the manifest PUT). The fallback
+    // must resolve to v0 — an unconstrained max-_SUCCESS would resurrect
+    // the unreplayed v2.
+    mkVersion(0, committed = true)
+    mkVersion(1, committed = false)
+    mkVersion(2, committed = true)
+    Files.writeString(Paths.get(base, "_latest"), "1")
+    assert(Ingest.latestVersion(fs, table) === Some(0L))
+    // manifest-less legacy table: max-_SUCCESS listing applies
+    Files.delete(Paths.get(base, "_latest"))
+    assert(Ingest.latestVersion(fs, table) === Some(2L))
+    // corrupt manifest: refuse rather than guess the commit point
+    Files.writeString(Paths.get(base, "_latest"), "garbage ")
+    val e = intercept[IllegalStateException](Ingest.latestVersion(fs, table))
+    assert(e.getMessage.contains("unparseable snapshot manifest"))
+  }
+
   test("incremental screen in foreachBatch: re-delivered CONTENT adds zero rows") {
     import org.apache.spark.sql.types._
     val base = Files.createTempDirectory("graft-screen").toString
