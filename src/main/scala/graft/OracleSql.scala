@@ -2734,6 +2734,48 @@ object OracleSql {
         |    round(1.0 - dt.n_distinct / basic.n_docs, 6) FROM basic, dt
         |  UNION ALL SELECT 'quality_pass_rate',
         |    round(p.n_pass / basic.n_docs, 6) FROM basic, p)
-        |ORDER BY stat""".stripMargin
+        |ORDER BY stat""".stripMargin,
+
+    // q122's session cut, then the TTL islands pass: ordinal restarts
+    // where the inter-session gap exceeds gap+ttl = 30 min + 6 h =
+    // 23_400_000_000 us (Sessionize.TombstoneTtlUs).
+    "q135_ttl_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(new_sess) OVER (
+        |      PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    min(t) AS start_us, max(t) AS end_us,
+        |    round((max(t) - min(t)) / 1000000.0, 3) AS duration_sec
+        |  FROM s GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, n_events, start_us, end_us, duration_sec,
+        |    coalesce(start_us - lag(end_us) OVER
+        |        (PARTITION BY user_id ORDER BY start_us, end_us)
+        |      > 23400000000, FALSE) AS restarted
+        |  FROM sess),
+        |ep AS (
+        |  SELECT *, sum(CASE WHEN restarted THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY start_us, end_us
+        |      ROWS UNBOUNDED PRECEDING) AS epoch
+        |  FROM r)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY user_id, epoch
+        |    ORDER BY start_us, end_us) AS BIGINT) AS session_id,
+        |  restarted, n_events, start_us, end_us, duration_sec
+        |FROM ep
+        |ORDER BY user_id, start_us""".stripMargin
   )
 }

@@ -287,7 +287,12 @@ object SparkEntry {
     // SemDeDup with the TRAINED (k-means) quantizer — q106's twin on the
     // oracle-inexpressible codebook path (rows-only; floor-tested in
     // SemDedupSpec against the fixed codebook's planted dup-recall)
-    "q134_semdedup_trained" -> (graft.dedup.SemDedup.semDedupTrainedQuery _)
+    "q134_semdedup_trained" -> (graft.dedup.SemDedup.semDedupTrainedQuery _),
+    // q122's sessionization under a finite tombstone TTL: per-user
+    // ordinals RESTART when the inter-session gap exceeds gap+ttl (the
+    // batch cut of streamingSessions' bounded-state mode; parity pinned
+    // in SessionizeSpec)
+    "q135_ttl_sessions"     -> (graft.stream.Sessionize.ttlSessionsQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

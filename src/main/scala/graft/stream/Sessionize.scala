@@ -1,6 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -79,6 +80,56 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q135's TTL knob: 6 h of event time past the close horizon — chosen
+    * so the driver events table exercises BOTH branches (at sf0.001,
+    * ~60% of returning users restart, ~40% continue). */
+  val TombstoneTtlUs: Long = 6L * 3600L * 1000000L
+
+  /** The TTL tombstone semantics as a BATCH second pass over the session
+    * table: a session whose gap since the user's previous session exceeds
+    * gap+ttl RESTARTS the per-user ordinal at 1 (the streaming tombstone
+    * would have expired before the first event arrived); `restarted`
+    * marks exactly those sessions. First-ever sessions take ordinal 1
+    * unmarked — no tombstone existed to expire.
+    *
+    * 100 TB shape: both windows run over the SESSIONS table partitioned
+    * by user — bounded by per-user session cardinality, the same bound
+    * the sessionizer itself carries; never a window over raw events.
+    */
+  def ttlOrdinals(sess: DataFrame, ttlUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_us"), col("end_us"))
+    sess
+      .withColumn("restarted",
+        coalesce(
+          col("start_us") - lag(col("end_us"), 1).over(w) > lit(GapUs + ttlUs),
+          lit(false)))
+      .withColumn("epoch",
+        sum(when(col("restarted"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("session_id",
+        row_number().over(Window
+          .partitionBy(col("user_id"), col("epoch"))
+          .orderBy(col("start_us"), col("end_us"))).cast("long"))
+      .select(col("user_id"), col("session_id"), col("restarted"),
+        col("n_events"), col("start_us"), col("end_us"), col("duration_sec"))
+  }
+
+  /** q135: q122's sessionization under a finite tombstone TTL — the
+    * driver-visible batch cut of [[streamingSessions]]'s
+    * `tombstoneTtlUs = Some(...)` mode (parity pinned in SessionizeSpec).
+    * Ordered by (user, start): the TTL-restarting `session_id` is not
+    * unique per user, start is.
+    */
+  def ttlSessionsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .as[Ev]
+    ttlOrdinals(sessions(evs).toDF(), TombstoneTtlUs)
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
   /** Exact event-time microseconds: `getTime` truncates sub-millisecond
     * precision, so add back the micros-within-millisecond from the nanos
     * field — the batch path reads `unix_micros`, and parity demands the
@@ -146,7 +197,10 @@ object Sessionize {
               // tombstoneTtlUs when set). The re-arm timestamp matters:
               // the fired timestamp stays in the state store, and without
               // a new one the tombstone would "time out" again every batch.
-              state.update(Open(0L, 0L, 0L, o.next_sid + 1L))
+              // The tombstone KEEPS the closed session's end: it is the
+              // boundary the next arrival measures its TTL gap against
+              // (event-time-exact restarts, not watermark-timing ones).
+              state.update(Open(0L, o.end_us, 0L, o.next_sid + 1L))
               state.setTimeoutTimestamp(tombstoneTtlUs
                 // clamp above the watermark: a flush event may already
                 // have pushed it past end+gap+ttl, and an in-the-past
@@ -160,8 +214,17 @@ object Sessionize {
           } else {
             val sorted = it.toSeq.sortBy(e => (e.t, e.event_id))
             var nextSid = state.getOption.map(_.next_sid).getOrElse(1L)
+            // TTL restarts are EVENT-TIME exact: any boundary whose gap
+            // exceeds gap+ttl resets the ordinal to 1 — the same cut the
+            // batch twin ([[ttlOrdinals]]) makes — independent of whether
+            // the watermark got around to firing the tombstone's expiry
+            // timeout first (that path stays the state-CLEANUP bound).
+            val restartGapUs = tombstoneTtlUs.map(GapUs + _)
+            // a counter tombstone contributes no interval, but its END is
+            // the closed session's end: the first new session's boundary
+            val tombstoneEnd = state.getOption
+              .filter(o => o.n_events == 0L && o.end_us > 0L).map(_.end_us)
             // chronological interval merge: previous open session + events
-            // (a counter tombstone contributes no interval)
             val intervals =
               (state.getOption.filter(_.n_events > 0L)
                   .map(o => Open(o.start_us, o.end_us, o.n_events, 0L)).toSeq
@@ -177,17 +240,25 @@ object Sessionize {
                     math.max(c.end_us, iv.end_us), c.n_events + iv.n_events, 0L)
                 } else merged += iv
               }
-              // all but the last (chronologically open) interval close now
-              val closed = merged.init.map { o =>
-                val s = Sess(user, nextSid, o.n_events, o.start_us, o.end_us,
-                  round3((o.end_us - o.start_us) / 1000000.0))
-                nextSid += 1L
-                s
+              // all but the last (chronologically open) interval close
+              // now; every boundary first applies the TTL restart rule
+              val out = scala.collection.mutable.ArrayBuffer.empty[Sess]
+              var prevEnd = tombstoneEnd
+              merged.zipWithIndex.foreach { case (iv, i) =>
+                if (restartGapUs.exists(g =>
+                    prevEnd.exists(pe => iv.start_us - pe > g)))
+                  nextSid = 1L
+                if (i < merged.length - 1) {
+                  out += Sess(user, nextSid, iv.n_events, iv.start_us,
+                    iv.end_us, round3((iv.end_us - iv.start_us) / 1000000.0))
+                  nextSid += 1L
+                } else {
+                  state.update(Open(iv.start_us, iv.end_us, iv.n_events, nextSid))
+                  state.setTimeoutTimestamp((iv.end_us + GapUs) / 1000L)
+                }
+                prevEnd = Some(iv.end_us)
               }
-              val last = merged.last
-              state.update(Open(last.start_us, last.end_us, last.n_events, nextSid))
-              state.setTimeoutTimestamp((last.end_us + GapUs) / 1000L)
-              closed.iterator
+              out.iterator
             }
           }
       }

@@ -222,6 +222,80 @@ class SessionizeSpec extends SparkSpec {
       === Seq((1L, us(1)), (1L, us(600))), u1.mkString("; "))
   }
 
+  test("q135 parity: streaming TTL ordinals equal the batch ttlOrdinals cut") {
+    // ttl = 60 min => restart boundary at gap+ttl = 90 min. User 1:
+    // [1,10] sid 1; @50 (gap 40) sid 2; @200 (gap 150 > 90) RESTART sid 1;
+    // @260 (gap 60 <= 90) sid 2. Events fed one batch per session so the
+    // arrival-cut path (open session, no tombstone) takes every boundary.
+    val ttl = Some(60L * 60L * 1000000L)
+    val events = Seq((1L, 1L, 1L), (1L, 2L, 10L), (1L, 3L, 50L),
+      (1L, 4L, 200L), (1L, 5L, 260L))
+    val input = MemoryStream[(Long, Long, Timestamp)](spark)
+    val withWm = input.toDS()
+      .withColumnRenamed("_3", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, Timestamp)]
+    val q = Sessionize.streamingSessions(withWm, tombstoneTtlUs = ttl)
+      .writeStream.format("memory").queryName("sess_ttl_par")
+      .outputMode("append").start()
+    input.addData((1L, 1L, ts(1)), (1L, 2L, ts(10)))
+    q.processAllAvailable()
+    input.addData((1L, 3L, ts(50)))
+    q.processAllAvailable()
+    input.addData((1L, 4L, ts(200)))
+    q.processAllAvailable()
+    input.addData((1L, 5L, ts(260)))
+    q.processAllAvailable()
+    input.addData((9L, 9L, ts(1000)))
+    q.processAllAvailable()
+    input.addData((9L, 8L, ts(1001)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_ttl_par").as[Sess].collect()
+      .filter(_.user_id == 1L).toSet
+    val batch = Sessionize.ttlOrdinals(
+        Sessionize.sessions(
+          events.map { case (u, id, m) => Ev(u, id, us(m)) }.toDS()).toDF(),
+        ttl.get)
+      .drop("restarted").as[Sess].collect().toSet
+    assert(streamed === batch, s"streamed=$streamed batch=$batch")
+    assert(batch.map(s => (s.session_id, s.start_us))
+      === Set((1L, us(1)), (2L, us(50)), (1L, us(200)), (2L, us(260))))
+  }
+
+  test("TTL restart is event-time exact: a return before the watermark fires the expiry still restarts") {
+    // tombstone forms at watermark-close (end=1min, expiry at 91min);
+    // user 1 returns at 150min while the watermark is still at 51min —
+    // the tombstone has NOT timed out, but 150-1 > 90 means the batch
+    // cut restarts, so the arrival check must too
+    val input = MemoryStream[(Long, Long, Timestamp)](spark)
+    val withWm = input.toDS()
+      .withColumnRenamed("_3", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, Timestamp)]
+    val q = Sessionize.streamingSessions(withWm,
+        tombstoneTtlUs = Some(60L * 60L * 1000000L))
+      .writeStream.format("memory").queryName("sess_ttl_exact")
+      .outputMode("append").start()
+    input.addData((1L, 1L, ts(1)))
+    q.processAllAvailable()
+    input.addData((9L, 9L, ts(50)))
+    q.processAllAvailable()
+    input.addData((9L, 8L, ts(51))) // fires u1's close; tombstone end=1min
+    q.processAllAvailable()
+    input.addData((1L, 2L, ts(150))) // watermark 51 < expiry 91: arrival cut
+    q.processAllAvailable()
+    input.addData((9L, 7L, ts(1000)))
+    q.processAllAvailable()
+    input.addData((9L, 6L, ts(1001)))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sess_ttl_exact").as[Sess].collect()
+      .filter(_.user_id == 1L).sortBy(_.start_us)
+    assert(u1.map(s => (s.session_id, s.start_us)).toSeq
+      === Seq((1L, us(1)), (1L, us(150))), u1.mkString("; "))
+  }
+
   test("no TTL: the counter tombstone still continues ordinals (default unchanged)") {
     val input = MemoryStream[(Long, Long, Timestamp)](spark)
     val withWm = input.toDS()
