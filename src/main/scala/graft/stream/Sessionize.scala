@@ -265,14 +265,28 @@ object Sessionize {
   }
 
   /** End-to-end composition: closed streaming sessions upserted into a
-    * versioned MERGE snapshot table ([[Ingest.drainStreamMerge]]) keyed on
-    * (user_id, session_id). The MERGE key makes the sink convergent under
-    * at-least-once delivery: a session row re-emitted after a restart (or
-    * re-drained from a stale checkpoint) rewrites its one row instead of
-    * appending a duplicate, so the table always equals the batch cut of
-    * the events seen so far — the lakehouse landing a session pipeline
-    * actually needs, vs the raw append sink whose output is only
-    * exactly-once per query instance.
+    * versioned MERGE snapshot table ([[Ingest.drainStreamMerge]]). The
+    * MERGE key makes the sink convergent under at-least-once delivery: a
+    * session row re-emitted after a restart (or re-drained from a stale
+    * checkpoint) rewrites its one row instead of appending a duplicate,
+    * so the table always equals the batch cut of the events seen so far
+    * — the lakehouse landing a session pipeline actually needs, vs the
+    * raw append sink whose output is only exactly-once per query
+    * instance.
+    *
+    * Key choice is MODE-DEPENDENT. Without a TTL the key is
+    * (user_id, session_id): ordinals are unique forever, and a replay
+    * that stretches a session (late in-gap data) rewrites that ordinal's
+    * row exactly. WITH a TTL, ordinals RESTART at 1, so (user,
+    * session_id) is no longer unique — a restarted session would
+    * overwrite the user's first session. The TTL key is therefore
+    * (user_id, start_us): session starts are unique per user (sessions
+    * are gap-separated intervals), restarts included. The trade: a
+    * cross-instance replay whose late straggler stretches a session's
+    * START backward (admissible only within the gap) re-keys that
+    * session and leaves the superseded row behind — bounded staleness
+    * the sid key doesn't have, in exchange for restart correctness the
+    * sid key can't give.
     *
     * Returns the latest committed snapshot path (None if nothing closed).
     */
@@ -281,9 +295,12 @@ object Sessionize {
       tablePath: String,
       checkpoint: String,
       tombstoneTtlUs: Option[Long] = None): Option[String] = {
+    val keyExpr =
+      if (tombstoneTtlUs.isDefined)
+        concat_ws("#", col("user_id"), col("start_us"))
+      else concat_ws("#", col("user_id"), col("session_id"))
     val sess = streamingSessions(events, tombstoneTtlUs).toDF()
-      .withColumn("sess_key",
-        concat_ws("#", col("user_id"), col("session_id")))
+      .withColumn("sess_key", keyExpr)
     Ingest.drainStreamMerge(sess, "sess_key",
       Seq("user_id", "session_id", "n_events", "start_us", "end_us",
         "duration_sec"),

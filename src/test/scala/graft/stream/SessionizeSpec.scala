@@ -387,6 +387,50 @@ class SessionizeSpec extends SparkSpec {
     assert(got === Seq((1L, 1L, 2L, us(11)), (1L, 2L, 2L, us(60))))
   }
 
+  test("TTL MERGE-drain: a restarted ordinal lands as its OWN row (start-keyed), not an overwrite") {
+    // under TTL the ordinal restarts at 1, so the (user, session_id) key
+    // would collide the restarted session with the user's first one and
+    // MERGE would silently overwrite it — the TTL mode keys on
+    // (user, start_us) instead; all three sessions must coexist
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-sess-ttlmerge").toString
+    val in = s"$base/in"; val table = s"$base/table"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", TimestampType)))
+    def iso(min: Long) = java.time.Instant.ofEpochMilli(min * 60000L).toString
+    def ev(u: Long, id: Long, min: Long) =
+      s"""{"user_id":$u,"event_id":$id,"ts":"${iso(min)}"}"""
+    def drain(): Option[String] = {
+      val ds = spark.readStream.schema(schema).json(in)
+        .selectExpr("user_id as _1", "event_id as _2", "ts as _3")
+        .withWatermark("_3", "0 seconds")
+        .as[(Long, Long, Timestamp)]
+      Sessionize.drainSessionsMerge(ds, table, s"$base/ckpt",
+        tombstoneTtlUs = Some(60L * 60L * 1000000L)) // 1 h
+    }
+    // sid 1 [1,11]; sid 2 [50]; gap to 500 is 450 min > 90 -> restart sid 1
+    Files.writeString(Paths.get(in, "b1.json"),
+      Seq(ev(1, 1, 1), ev(1, 2, 11)).mkString("\n"))
+    drain()
+    Files.writeString(Paths.get(in, "b2.json"), ev(1, 3, 50))
+    drain()
+    Files.writeString(Paths.get(in, "b3.json"), ev(1, 4, 500))
+    drain()
+    Files.writeString(Paths.get(in, "b4.json"), ev(9, 9, 100000))
+    drain()
+    Files.writeString(Paths.get(in, "b5.json"), ev(9, 8, 100001))
+    val last = drain().getOrElse(fail("no committed snapshot"))
+    val u1 = spark.read.parquet(last)
+      .selectExpr("user_id", "session_id", "start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 == 1L).sortBy(_._3).toSeq
+    assert(u1 === Seq((1L, 1L, us(1)), (1L, 2L, us(50)), (1L, 1L, us(500))),
+      u1.mkString("; "))
+  }
+
   test("streaming event time keeps microsecond precision (gap + 1us cuts)") {
     // start at minute 10: a t == initial-watermark(0) row would drop as late
     val a = ts(10)
