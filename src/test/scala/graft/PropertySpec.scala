@@ -321,6 +321,42 @@ object GraftProperties extends Properties("graft") {
       got == ref
     }
 
+  property("ttlOrdinals equals the in-memory gap+ttl restart walk") =
+    forAll(Gen.listOfN(30,
+        Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 500L)))) { raw =>
+      import spark.implicits._
+      val gapUs = graft.stream.Sessionize.GapUs
+      val ttlUs = 45L * 60L * 1000000L // restart boundary = 75 min
+      val evs = raw.zipWithIndex.map { case ((u, min), i) =>
+        graft.stream.Sessionize.Ev(u, i.toLong, min * 60000000L)
+      }
+      val got = graft.stream.Sessionize.ttlOrdinals(
+          graft.stream.Sessionize.sessions(evs.toDS()).toDF(), ttlUs)
+        .select("user_id", "session_id", "restarted", "start_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+        .toSet
+      // reference: brute-force sessions, then the restart walk — a
+      // session restarts the ordinal iff the gap since the user's
+      // previous session's END exceeds gap+ttl
+      val ref = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        val sorted = es.map(_.t).sorted
+        val sessions = sorted.foldLeft(List.empty[List[Long]]) {
+          case (cur :: rest, t) if t - cur.max <= gapUs => (t :: cur) :: rest
+          case (acc, t) => List(t) :: acc
+        }.map(g => (g.min, g.max)).reverse
+        var sid = 0L
+        var prevEnd = Option.empty[Long]
+        sessions.map { case (s, e) =>
+          val restart = prevEnd.exists(pe => s - pe > gapUs + ttlUs)
+          sid = if (restart) 1L else sid + 1L
+          prevEnd = Some(e)
+          (u, sid, restart, s)
+        }
+      }.toSet
+      got == ref
+    }
+
   property("MERGE INTO equals the set-theoretic outcome table") =
     forAll(Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 20L), Gen.chooseNum(0, 99))),
         Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 25L),
