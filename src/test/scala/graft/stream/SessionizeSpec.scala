@@ -431,6 +431,21 @@ class SessionizeSpec extends SparkSpec {
       u1.mkString("; "))
   }
 
+  test("q135 plan: every ttlOrdinals window rides the user key (no empty-key window)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sess = Sessionize.sessions(
+        (0 until 200).map(i =>
+          Ev(i % 7L, i.toLong, i * 40L * 60000000L)).toDS())
+      .toDF()
+    val q = Sessionize.ttlOrdinals(sess, Sessionize.TombstoneTtlUs)
+    val plan = graft.operators.PlanWalk.executedPlanOf(q)
+    val windows = graft.operators.PlanWalk.collectPlan(plan) {
+      case w: WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty), plan.toString)
+  }
+
   test("streaming event time keeps microsecond precision (gap + 1us cuts)") {
     // start at minute 10: a t == initial-watermark(0) row would drop as late
     val a = ts(10)
