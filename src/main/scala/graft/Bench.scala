@@ -68,13 +68,42 @@ object Bench {
         else name -> math.min(s1, s2)
       }
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // failed queries carry a negative timing AND are listed explicitly —
     // a silent time-to-exception must not pass as a plausible measurement
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The driver archives only a ~2 KB tail of stdout, and the full-name
+    // full-precision map for 140 queries is ~5 KB — it was getting cut
+    // mid-line and recorded as unparseable. Two-part fix: the PRINTED
+    // line is compacted to fit the tail (query names shortened to their
+    // unique qNN prefix, seconds rounded; precision drops further if the
+    // registry ever outgrows the budget), and the complete map is
+    // written to BENCH_FULL_LATEST.json alongside the repo artifacts.
+    def compactLine(scale: Int): String = {
+      val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+        val short = k.takeWhile(_ != '_')
+        "\"" + short + "\":" + BigDecimal(v)
+          .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.mkString("{", ",", "}")
+      val t = BigDecimal(total).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    val line = {
+      val two = compactLine(2)
+      if (two.length <= 1800) two else compactLine(1)
+    }
+    val fullQs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL_LATEST.json")
+    try {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () } // read-only checkout: line still prints
+    println(line)
     spark.stop()
   }
 }

@@ -2776,6 +2776,105 @@ object OracleSql {
         |    ORDER BY start_us, end_us) AS BIGINT) AS session_id,
         |  restarted, n_events, start_us, end_us, duration_sec
         |FROM ep
-        |ORDER BY user_id, start_us""".stripMargin
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // Anchor-hop dedup: the kept set is defined recursively — each key's
+    // first event, then repeatedly the EARLIEST event more than 48 h
+    // after the last kept one. The NOT EXISTS picks that earliest
+    // candidate without aggregating in the recursive term (DuckDB
+    // restriction); (ts, event_id) ordering makes the hop total.
+    "q136_dedup_within" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |kept AS (
+        |  SELECT user_id, event_type, ts, event_id FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_type, n.ts, n.event_id
+        |  FROM kept k JOIN e n
+        |    ON n.user_id = k.user_id AND n.event_type = k.event_type
+        |   AND n.ts > k.ts + INTERVAL 48 HOUR
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e m
+        |    WHERE m.user_id = k.user_id AND m.event_type = k.event_type
+        |      AND m.ts > k.ts + INTERVAL 48 HOUR
+        |      AND (m.ts < n.ts OR (m.ts = n.ts AND m.event_id < n.event_id))))
+        |SELECT user_id, event_type, event_id, ts FROM kept
+        |ORDER BY user_id, event_type, ts, event_id""".stripMargin,
+
+    // The Morton magic-mask spread replayed in SQL: same four
+    // mask-and-shift steps as Layout.part1by1, same masks.
+    "q137_zorder_slabs" ->
+      """WITH g AS (
+        |  SELECT l_partkey % 65536 AS gx, l_suppkey % 65536 AS gy
+        |  FROM lineitem),
+        |s1 AS (
+        |  SELECT gx, gy, (gx | (gx << 8)) & 16711935 AS ax,
+        |                 (gy | (gy << 8)) & 16711935 AS ay FROM g),
+        |s2 AS (
+        |  SELECT gx, gy, (ax | (ax << 4)) & 252645135 AS bx,
+        |                 (ay | (ay << 4)) & 252645135 AS b_y FROM s1),
+        |s3 AS (
+        |  SELECT gx, gy, (bx | (bx << 2)) & 858993459 AS cx,
+        |                 (b_y | (b_y << 2)) & 858993459 AS cy FROM s2),
+        |s4 AS (
+        |  SELECT gx, gy, (cx | (cx << 1)) & 1431655765 AS dx,
+        |                 (cy | (cy << 1)) & 1431655765 AS dy FROM s3)
+        |SELECT (dx | (dy << 1)) >> 12 AS slab,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(gx) AS gx_min, max(gx) AS gx_max,
+        |  min(gy) AS gy_min, max(gy) AS gy_max
+        |FROM s4 GROUP BY 1 ORDER BY slab""".stripMargin,
+
+    // Integer byte sizes (quantity is integral in this data; floor makes
+    // the contract explicit either way) so the running totals and bin
+    // boundaries are exact in both engines.
+    "q138_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT 'part-' || lpad(CAST(l_orderkey % 400 AS VARCHAR), 4, '0')
+        |      AS file,
+        |    sum(CAST(floor(l_quantity) AS BIGINT) * 997 + l_linenumber)
+        |      AS bytes
+        |  FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT file, bytes, coalesce(sum(bytes) OVER (ORDER BY file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM f)
+        |SELECT CAST(floor(bef / 50000000.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |  min(file) AS first_file, max(file) AS last_file
+        |FROM p GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q139_schema_align" ->
+      """SELECT c_custkey, c_mktsegment, CAST(NULL AS VARCHAR) AS c_phone,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // json_valid decides the split exactly where Spark's PERMISSIVE parse
+    // does: the corruption rule truncates the closing `"}`, leaving an
+    // unterminated string no JSON parser accepts.
+    "q140_quarantine" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN c_custkey % 7 = 3
+        |              THEN substr(line, 1, length(line) - 2)
+        |              ELSE line END AS line
+        |  FROM (SELECT c_custkey,
+        |          '{"k":' || c_custkey || ',"seg":"' || c_mktsegment || '"}'
+        |            AS line
+        |        FROM customer)),
+        |p AS (SELECT line, json_valid(line) AS ok FROM l)
+        |SELECT json_extract_string(line, '$.seg') AS seg,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract(line, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k
+        |FROM p WHERE ok GROUP BY 1
+        |UNION ALL
+        |SELECT '__quarantined__' AS seg, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(length(line)) AS BIGINT) AS sum_k
+        |FROM p WHERE NOT ok
+        |ORDER BY seg""".stripMargin
   )
 }

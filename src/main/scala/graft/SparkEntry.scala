@@ -292,7 +292,22 @@ object SparkEntry {
     // ordinals RESTART when the inter-session gap exceeds gap+ttl (the
     // batch cut of streamingSessions' bounded-state mode; parity pinned
     // in SessionizeSpec)
-    "q135_ttl_sessions"     -> (graft.stream.Sessionize.ttlSessionsQuery _)
+    "q135_ttl_sessions"     -> (graft.stream.Sessionize.ttlSessionsQuery _),
+    // batch twin of dropDuplicatesWithinWatermark: per-(user,type)
+    // anchor-hop dedup over a 48 h horizon (oracle: recursive hop CTE)
+    "q136_dedup_within"     -> (graft.stream.DedupWithin.dedupWithinQuery _),
+    // Z-order layout, driver-visible cut: per-slab counts + min/max
+    // widths of both grid dimensions under the Morton magic-mask spread
+    "q137_zorder_slabs"     -> (graft.operators.Layout.zorderSlabsQuery _),
+    // small-file compaction planner: byte-budgeted bin assignment over
+    // an ordered file listing (running-total window on metadata rows)
+    "q138_compaction_plan"  -> (graft.operators.Layout.compactionPlanQuery _),
+    // schema-drift alignTo: typed-null fill + widening cast + drop +
+    // reorder onto a fixed contract
+    "q139_schema_align"     -> (graft.etl.SchemaDrift.schemaAlignQuery _),
+    // corrupt-record quarantine: one PERMISSIVE parse splits clean rows
+    // from verbatim-preserved bad lines (deterministic corruption rule)
+    "q140_quarantine"       -> (graft.etl.Quarantine.quarantineQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

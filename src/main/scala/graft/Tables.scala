@@ -22,15 +22,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as plain long and
-    * rebuild the timestamp; the data is microsecond-precision (ns % 1000 == 0
-    * across all SFs), so `div 1000` is lossless. Integer `div` — a double
-    * division would lose precision above 2^53 ns (~1970+104 days).
+  /** The testdata's `ts` encoding has varied across driver rounds:
+    * TIMESTAMP(NANOS) — which Spark 4 refuses outright
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as plain long — through round 8,
+    * native TIMESTAMP(MICROS) since round 9. Handle both by inspecting the
+    * loaded schema:
+    *   - long (nanosAsLong read of a NANOS file): rebuild the timestamp
+    *     via integer `div 1000` — lossless because the data is
+    *     microsecond-precision, and integer because a double division
+    *     would lose precision above 2^53 ns (~1970+104 days);
+    *   - TIMESTAMP_NTZ (Spark's default inference for a MICROS file not
+    *     adjusted to UTC): cast to TIMESTAMP — value-identical under the
+    *     engine's fixed UTC session timezone, and keeps every downstream
+    *     query/oracle seeing the exact type all prior rounds saw.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", expr("cast(ts as timestamp)"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -47,4 +47,35 @@ object Quarantine {
       .select(col(CorruptCol).as("raw_line"))
     (clean, bad)
   }
+
+  /** q140: [[splitJson]] through the driver gate on a deterministic
+    * corpus — customer rows rendered as JSON lines with every
+    * `c_custkey % 7 == 3` line truncated mid-string (invalid for any
+    * parser, so Spark's PERMISSIVE split and the oracle's `json_valid`
+    * agree on exactly which lines quarantine). Output: per-segment
+    * counts/sums from the CLEAN half plus one `__quarantined__` row
+    * carrying the bad-line count and total raw length — proving the
+    * quarantined lines survive verbatim.
+    */
+  def quarantineQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val whole = concat(lit("{\"k\":"), col("c_custkey").cast(StringType),
+      lit(",\"seg\":\""), col("c_mktsegment"), lit("\"}"))
+    val raw = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), whole.as("l"))
+      .select(when(col("c_custkey") % 7 === 3,
+        expr("substring(l, 1, length(l) - 2)")).otherwise(col("l")).as("line"))
+      .as[String]
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("seg", StringType)))
+    val (clean, bad) = splitJson(spark, schema, raw)
+    val cleanAgg = clean.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    val badAgg = bad.agg(count(lit(1)).as("n"),
+      sum(length(col("raw_line")).cast(LongType)).as("sum_k"))
+      .select(lit("__quarantined__").as("seg"), col("n"), col("sum_k"))
+    cleanAgg.unionByName(badAgg).orderBy(col("seg"))
+  }
 }

@@ -39,4 +39,21 @@ object SchemaDrift {
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
   }
+
+  /** q139: [[alignTo]] through the driver gate — customer projected onto
+    * a drifted contract that exercises all three moves at once: a column
+    * the table lacks (`c_phone`, typed null), a widening cast
+    * (`c_nationkey` INT→BIGINT), dropped columns (`c_name`, `c_acctbal`),
+    * and a reorder. The oracle is the same projection in SQL.
+    */
+  def schemaAlignQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val contract = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_phone", StringType),
+      StructField("c_nationkey", LongType)))
+    alignTo(graft.Tables.customer(spark, dir), contract)
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Physical-layout helpers: directory partitioning for partition pruning.
   *
@@ -127,5 +130,66 @@ object Layout {
       else src.repartition(nFiles)
     sized.write.mode("overwrite").parquet(outPath)
     nFiles.toLong
+  }
+
+  /** Compaction PLAN as data: assign an ordered file listing
+    * `(file, bytes)` to output bins of ≈ `targetBytes` by running byte
+    * total — bin = floor(bytes-before-this-file / target), so every bin
+    * except possibly the last holds at least `targetBytes` once its
+    * first file lands and files stay in listing order (rewrites remain
+    * sequential reads of neighboring inputs).
+    *
+    * Scale note: the global ORDER BY window is a deliberate choice —
+    * the input is file METADATA (name + size), ~1M rows per 100 TB of
+    * 100 MB files, not data. A running sum over that is a single-task
+    * window on megabytes; sharding it two-phase would buy nothing.
+    */
+  def planCompaction(files: DataFrame, targetBytes: Long): DataFrame = {
+    val w = Window.orderBy(col("file"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("__before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__before") / lit(targetBytes.toDouble)))
+      .drop("__before")
+  }
+
+  /** q138: [[planCompaction]] over a deterministic synthetic listing —
+    * lineitem rolled up into 400 "files" whose integer byte sizes come
+    * from quantity/linenumber arithmetic (no float sums, so the oracle's
+    * running totals match bit-for-bit). One row per output bin.
+    */
+  def compactionPlanQuery(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables.lineitem(s, dir)
+      .groupBy(concat(lit("part-"),
+        lpad((col("l_orderkey") % 400).cast("string"), 4, "0")).as("file"))
+      .agg(sum(floor(col("l_quantity")) * lit(997L) +
+        col("l_linenumber").cast("long")).as("bytes"))
+    planCompaction(files, 50000000L)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        min(col("file")).as("first_file"), max(col("file")).as("last_file"))
+      .orderBy(col("bin"))
+  }
+
+  /** q137: Z-order slab statistics — the driver-visible cut of
+    * [[zorderBy]]'s Morton machinery. Grid cells come from pure integer
+    * arithmetic (key mod 2^16, no min/max float normalization) so the
+    * oracle can replay the magic-mask spread exactly; slab = the Morton
+    * code's high bits, i.e. a 64×64-cell Z-curve region. The per-slab
+    * min/max widths of BOTH dimensions are the quantity parquet min/max
+    * pruning actually uses — the point of Z-ordering (a linear sort
+    * leaves the second dimension's per-slab width at full range;
+    * LayoutSpec measures that comparison).
+    */
+  def zorderSlabsQuery(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .select((col("l_partkey") % 65536L).as("gx"),
+        (col("l_suppkey") % 65536L).as("gy"))
+    g.withColumn("slab", shiftright(mortonCode(col("gx"), col("gy")), 12))
+      .groupBy(col("slab"))
+      .agg(count(lit(1)).as("n"),
+        min(col("gx")).as("gx_min"), max(col("gx")).as("gx_max"),
+        min(col("gy")).as("gy_min"), max(col("gy")).as("gy_max"))
+      .orderBy(col("slab"))
   }
 }

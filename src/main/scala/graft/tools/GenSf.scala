@@ -141,9 +141,10 @@ object GenSf {
       col("l_linestatus"), col("l_shipdate")),
       "lineitem", 16)
 
-    // events: ts is a raw TIMESTAMP(NANOS) column that Spark 4 refuses as
-    // a timestamp — read it as a plain long and write it back as a plain
-    // long, exactly the shape Tables.events expects
+    // events: ts passes through VERBATIM in whatever encoding the driver
+    // shipped this round — long (the nanosAsLong read of the old
+    // TIMESTAMP(NANOS) files) or native TIMESTAMP(MICROS) since round 9.
+    // Tables.events inspects the loaded schema and adapts to either.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = read("events")
     val nEv = events.agg(max("event_id")).head().getLong(0) + 1L

@@ -24,6 +24,26 @@ class LayoutSpec extends SparkSpec {
       .collect().head.getLong(0) == 6400L * 6399L / 2)
   }
 
+  test("planCompaction: byte-budgeted bins in listing order, giant files " +
+    "claim multiple budgets") {
+    import spark.implicits._
+    val files = Seq( // listing order == name order
+      ("f01", 60L), ("f02", 60L), // bin 0: 120 B before f03
+      ("f03", 500L),              // bin 1: giant file -> skips budgets
+      ("f04", 10L)                // before=620 -> bin 6
+    ).toDF("file", "bytes")
+    val plan = Layout.planCompaction(files, targetBytes = 100L)
+      .orderBy("file").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))) // (file, bytes, bin)
+    val bins = plan.map { case (f, _, b) => f -> b }.toMap
+    assert(bins("f01") === 0L && bins("f02") === 0L)
+    assert(bins("f03") === 1L)
+    assert(bins("f04") === 6L) // 620 bytes before it / 100 -> bin 6
+    // bin is monotone in listing order
+    assert(plan.sortBy(_._1).map(_._3).toSeq.sliding(2).forall {
+      case Seq(a, b) => a <= b; case _ => true })
+  }
+
   test("compaction can also SPLIT: more files than read partitions") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-split").toString
