@@ -413,6 +413,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q136: the only exchanges are the dedup-key shuffle and the output sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = graft.stream.DedupWithin.dedupWithinQuery(spark, dir)
+    val shuffles = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }
+    assert(shuffles.size == 2, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q137: Morton slab stats plan as one partial/final aggregate pair") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = graft.operators.Layout.zorderSlabsQuery(spark, dir)
+    val aggs = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case a: HashAggregateExec => a
+    }
+    val shuffles = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }
+    // partial + final HashAggregate (codegen'd Morton arithmetic below
+    // them), slab exchange + output sort — nothing else
+    assert(aggs.size == 2 && shuffles.size == 2,
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("q140: PERMISSIVE parse executes once — both halves read the cache") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = graft.etl.Quarantine.quarantineQuery(spark, dir)
+    try {
+      val cached = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+        case c: InMemoryTableScanExec => c
+      }
+      assert(cached.size == 2, df.queryExecution.executedPlan.toString)
+    } finally spark.catalog.clearCache()
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
