@@ -2875,6 +2875,38 @@ object OracleSql {
         |SELECT '__quarantined__' AS seg, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(length(line)) AS BIGINT) AS sum_k
         |FROM p WHERE NOT ok
-        |ORDER BY seg""".stripMargin
+        |ORDER BY seg""".stripMargin,
+
+    // The sketch build AND probe replayed relationally: same affine
+    // hashes over the Mersenne prime, same d x w cell grid, min-over-rows
+    // point query. Pure integer arithmetic end-to-end.
+    "q141_countmin" ->
+      """WITH counts AS (
+        |  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |cells AS (
+        |  SELECT 0 AS r, ((1103515245 * key + 12345) % 2147483647) % 1024
+        |    AS bucket, n FROM counts
+        |  UNION ALL SELECT 1, ((214013 * key + 2531011) % 2147483647) % 1024,
+        |    n FROM counts
+        |  UNION ALL SELECT 2, ((69069 * key + 362437) % 2147483647) % 1024,
+        |    n FROM counts
+        |  UNION ALL SELECT 3, ((134775813 * key + 1) % 2147483647) % 1024,
+        |    n FROM counts),
+        |matrix AS (SELECT r, bucket, sum(n) AS c FROM cells GROUP BY 1, 2),
+        |tp AS (SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 20),
+        |probes AS (
+        |  SELECT key, n, 0 AS r,
+        |    ((1103515245 * key + 12345) % 2147483647) % 1024 AS bucket FROM tp
+        |  UNION ALL SELECT key, n, 1,
+        |    ((214013 * key + 2531011) % 2147483647) % 1024 FROM tp
+        |  UNION ALL SELECT key, n, 2,
+        |    ((69069 * key + 362437) % 2147483647) % 1024 FROM tp
+        |  UNION ALL SELECT key, n, 3,
+        |    ((134775813 * key + 1) % 2147483647) % 1024 FROM tp)
+        |SELECT p.key AS o_custkey, CAST(max(p.n) AS BIGINT) AS exact_n,
+        |  CAST(min(m.c) AS BIGINT) AS cms_est
+        |FROM probes p JOIN matrix m ON m.r = p.r AND m.bucket = p.bucket
+        |GROUP BY 1 ORDER BY exact_n DESC, o_custkey""".stripMargin
   )
 }

@@ -307,7 +307,10 @@ object SparkEntry {
     "q139_schema_align"     -> (graft.etl.SchemaDrift.schemaAlignQuery _),
     // corrupt-record quarantine: one PERMISSIVE parse splits clean rows
     // from verbatim-preserved bad lines (deterministic corruption rule)
-    "q140_quarantine"       -> (graft.etl.Quarantine.quarantineQuery _)
+    "q140_quarantine"       -> (graft.etl.Quarantine.quarantineQuery _),
+    // Count-Min sketch with affine integer hashes — unlike the
+    // xxhash64-seeded HLL/MinHash family the oracle replays it exactly
+    "q141_countmin"         -> (graft.analytics.CountMin.countMinQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,78 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Count–Min sketch [Cormode & Muthukrishnan, "An Improved Data Stream
+  * Summary: The Count-Min Sketch and its Applications", J. Algorithms
+  * 55(1)] — the point-query frequency sketch that completes the engine's
+  * mergeable-summary suite (HLL q31/q82 for cardinality, Misra–Gries q93
+  * for heavy hitters, Bloom q96 for membership, top-k q66 for order
+  * statistics).
+  *
+  * Deliberately built RELATIONALLY, not as a UDAF: the d×w counter
+  * matrix is `groupBy(row, bucket).sum` — Spark's partial aggregation
+  * IS the sketch merge (map-side partials are per-partition sketches,
+  * the exchange merges them), so the mergeability the sketch exists for
+  * comes from the engine's aggregation machinery instead of hand-rolled
+  * buffers. d=4 pairwise-independent affine hashes over a Mersenne
+  * prime; integer keys and integer arithmetic end-to-end, so — unlike
+  * the xxhash64-seeded HLL/MinHash family — the DuckDB oracle replays
+  * the sketch bit-for-bit (q141 is hash-verified, not rows-only).
+  *
+  * 100 TB shape: one exchange keyed on the sketch cell (d·w = 4096
+  * cells regardless of corpus size), after a map-side combine on the
+  * (key)-grain. The probe side joins the top-k keys to the cell matrix
+  * on the cell key — dimension-sized, broadcast. The classic
+  * overestimate-only guarantee (est ≥ exact; P[err > εN] ≤ δ with
+  * ε = e/w, δ = e^−d) is asserted in CountMinSpec.
+  */
+object CountMin {
+
+  val P: Long = 2147483647L // 2^31 − 1, Mersenne prime
+  val W: Long = 1024L
+  /** Fixed odd affine params (a, b), one per sketch row. */
+  val Hashes: Seq[(Int, Long, Long)] = Seq(
+    (0, 1103515245L, 12345L),
+    (1, 214013L, 2531011L),
+    (2, 69069L, 362437L),
+    (3, 134775813L, 1L))
+
+  private def bucket(a: Long, b: Long, k: org.apache.spark.sql.Column) =
+    ((lit(a) * k + lit(b)) % lit(P)) % lit(W)
+
+  /** The d×w counter matrix for a weighted key frequency table
+    * `(key, n)` — one row per NON-EMPTY cell (the zero cells of a 100 TB
+    * sketch are implicit; materializing 4096 mostly-zero rows would be
+    * harmless, but the sparse form is what a sketch store persists).
+    */
+  def sketch(counts: DataFrame): DataFrame = {
+    val cells = Hashes.map { case (i, a, b) =>
+      counts.select(lit(i).as("r"),
+        bucket(a, b, col("key")).as("bucket"), col("n"))
+    }.reduce(_ unionByName _)
+    cells.groupBy(col("r"), col("bucket")).agg(sum(col("n")).as("c"))
+  }
+
+  /** q141: build the sketch over order counts per customer, then probe
+    * it for the 20 heaviest customers — exact count next to the CMS
+    * estimate, the overestimate visible in-row. Oracle replays both the
+    * build and the probe in SQL.
+    */
+  def countMinQuery(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n"))
+    val matrix = sketch(counts)
+    val top = counts.orderBy(col("n").desc, col("key")).limit(20)
+    val probes = Hashes.map { case (i, a, b) =>
+      top.select(col("key"), col("n"), lit(i).as("r"),
+        bucket(a, b, col("key")).as("bucket"))
+    }.reduce(_ unionByName _)
+    probes.join(broadcast(matrix), Seq("r", "bucket"))
+      .groupBy(col("key").as("o_custkey"))
+      .agg(max(col("n")).as("exact_n"), min(col("c")).as("cms_est"))
+      .orderBy(col("exact_n").desc, col("o_custkey"))
+  }
+}
