@@ -384,6 +384,66 @@ object GraftProperties extends Properties("graft") {
         }
     }
 
+  property("anchor-hop dedup equals the per-key in-memory fold") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))) {
+      evs =>
+        import spark.implicits._
+        val horizon = 7L
+        // unique (t, id) per row: id is the list index
+        val rows = evs.zipWithIndex.map { case ((u, t), i) =>
+          graft.stream.DedupWithin.KEv(u, "a", i.toLong, t)
+        }
+        val got = graft.stream.DedupWithin
+          .dedupWithin(rows.toDS(), horizon)
+          .collect().map(_.event_id).toSet
+        val ref = rows.groupBy(e => (e.user_id, e.event_type)).values.flatMap {
+          ks =>
+            var last = Long.MinValue / 2
+            ks.sortBy(e => (e.t, e.event_id)).filter { e =>
+              if (e.t - last > horizon) { last = e.t; true } else false
+            }
+        }.map(_.event_id).toSet
+        got == ref
+    }
+
+  property("Count-Min estimates never fall below exact counts") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 30L))) { keys =>
+      import spark.implicits._
+      keys.isEmpty || {
+        val counts = keys.groupBy(identity).view
+          .mapValues(_.size.toLong).toSeq.toDF("key", "n")
+        val cells = graft.analytics.CountMin.sketch(counts).collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+        keys.distinct.forall { k =>
+          val exact = keys.count(_ == k).toLong
+          val est = graft.analytics.CountMin.Hashes.map { case (i, a, b) =>
+            cells((i, ((a * k + b) % graft.analytics.CountMin.P)
+              % graft.analytics.CountMin.W))
+          }.min
+          est >= exact
+        }
+      }
+    }
+
+  property("planCompaction bins equal floor(bytes-before / target)") =
+    forAll(Gen.listOf(Gen.chooseNum(1L, 300L))) { sizes =>
+      import spark.implicits._
+      sizes.isEmpty || {
+        val target = 100L
+        val files = sizes.zipWithIndex
+          .map { case (b, i) => (f"f$i%04d", b) }
+        val got = graft.operators.Layout
+          .planCompaction(files.toDF("file", "bytes"), target)
+          .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+        val before = files.sortBy(_._1)
+          .scanLeft(("", 0L)) { case ((_, acc), (f, b)) => (f, acc + b) }
+        // scanLeft pairs each file with the PRIOR cumulative total
+        val ref = files.sortBy(_._1).zip(before.dropRight(1).map(_._2))
+          .map { case ((f, _), bef) => f -> bef / target }.toMap
+        got == ref
+      }
+    }
+
   property("snapshot diff statuses match set-theoretic classification") =
     forAll(Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 25L), Gen.chooseNum(0, 3))),
         Gen.mapOf(Gen.zip(Gen.chooseNum(1L, 25L), Gen.chooseNum(0, 3)))) {
