@@ -73,7 +73,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ > 0).sum
     // The driver archives only a ~2 KB tail of stdout, and the full-name
-    // full-precision map for 140 queries is ~5 KB — it was getting cut
+    // full-precision map for 141 queries is ~5 KB — it was getting cut
     // mid-line and recorded as unparseable. Two-part fix: the PRINTED
     // line is compacted to fit the tail (query names shortened to their
     // unique qNN prefix, seconds rounded; precision drops further if the
