@@ -79,30 +79,56 @@ object Bench {
     // unique qNN prefix, seconds rounded; precision drops further if the
     // registry ever outgrows the budget), and the complete map is
     // written to BENCH_FULL_LATEST.json alongside the repo artifacts.
-    def compactLine(scale: Int): String = {
+    def compactLine(scale: Int, minimal: Boolean): String = {
       val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
         val short = k.takeWhile(_ != '_')
         "\"" + short + "\":" + BigDecimal(v)
           .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
       }.mkString("{", ",", "}")
       val t = BigDecimal(total).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
-      s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      // minimal drops "sf" (recoverable from the driver's own config) and
+      // an EMPTY failed list; a non-empty failed list is never dropped —
+      // silently hiding failures to fit a byte budget would be worse than
+      // truncation
+      val failedPart =
+        if (minimal && failed.isEmpty) "" else s""","failed":$failedJson"""
+      val sfPart = if (minimal) "" else s""","sf":"$sfDir""""
+      s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs$failedPart$sfPart}"""
     }
+    // Degrade precision (2 → 1 → 0 dp), then fields, until the line fits
+    // the driver's ~2 KB stdout tail; if even the minimal form overflows,
+    // say so on stderr so a truncated round is diagnosable.
     val line = {
-      val two = compactLine(2)
-      if (two.length <= 1800) two else compactLine(1)
+      val attempts = Seq(compactLine(2, minimal = false),
+        compactLine(1, minimal = false), compactLine(0, minimal = false),
+        compactLine(0, minimal = true))
+      attempts.find(_.length <= 1800).getOrElse {
+        System.err.println("bench: compact JSON line exceeds the 1800-byte " +
+          "budget even at minimal precision — the driver's stdout tail will " +
+          "truncate it; read BENCH_FULL_LATEST.json instead")
+        attempts.last
+      }
     }
     val fullQs = results.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
-    val fullPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL_LATEST.json")
+    // Default path derives from the working directory (the repo root when
+    // the driver runs sbt there); only expected IO failures are swallowed
+    // (read-only checkout), and always with a stderr notice — a silent
+    // write failure would leave a stale committed artifact masquerading as
+    // the current run.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      new java.io.File("BENCH_FULL_LATEST.json").getAbsolutePath)
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(full) finally w.close()
-    } catch { case _: Throwable => () } // read-only checkout: line still prints
+    } catch {
+      case e @ (_: java.io.IOException | _: SecurityException) =>
+        System.err.println(s"bench: could not write $fullPath (${e.getMessage}) " +
+          "— the compact stdout line is the only record of this run")
+    }
     println(line)
     spark.stop()
   }

@@ -3,9 +3,11 @@ package graft
 /** DuckDB oracle SQL for every deterministic query in [[SparkEntry.queries]].
   *
   * Contract (see the driver notes in SparkEntry): same table names, same
-  * column aliases, same final ORDER BY as the Spark plan. Approximate /
-  * Spark-hash-seeded queries (q27-q31) are intentionally absent — the driver
-  * falls back to a rows-only check for those.
+  * column aliases, same final ORDER BY as the Spark plan. Spark-hash-seeded
+  * queries (q29-q31 and friends) are intentionally absent — the driver
+  * falls back to a rows-only check for those. q27/q28 graduated to
+  * hash-verified in round 10 by replacing their xxhash64 layer with the
+  * integer rolling-hash + affine-family construction (the q141 pattern).
   *
   * Dialect notes that keep the hashes matching:
   *  - counts are BIGINT in both engines; SUM(CASE ...) over ints is HUGEINT
@@ -317,6 +319,115 @@ object OracleSql {
         |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cosine
         |FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // q27: the MinHash+LSH pipeline replayed end-to-end in integer
+    // arithmetic — shingle rolling hash (the q23 fingerprint fold),
+    // affine-permutation mins over the Mersenne prime, band-bucket fold
+    // (list_reduce — the q89/q107 fold-mirror trick), bucket cap,
+    // candidate join, signature-estimate verify. The permutation
+    // constants are interpolated from Dedup.MinhashParams, so engine and
+    // oracle cannot drift.
+    "q27_minhash_lsh" -> {
+      val P = graft.dedup.Dedup.MinhashP
+      val bb = graft.dedup.Dedup.MinhashBandBase
+      val mins = graft.dedup.Dedup.MinhashParams.take(20).zipWithIndex.map {
+        case ((a, b), i) => s"min(($a * sh + $b) % $P) AS m$i"
+      }.mkString(",\n        |    ")
+      val sigList = (0 until 20).map("m" + _).mkString("[", ", ", "]")
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        j -> CAST(ascii(substring(s, j, 1)) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007) AS sh
+        |  FROM (
+        |    SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS s
+        |    FROM tk, unnest(range(0, len(t) - 4)) AS g(i)
+        |    WHERE len(t) >= 5) raw),
+        |sig AS (
+        |  SELECT doc_id,
+        |    $mins
+        |  FROM sh0 GROUP BY doc_id),
+        |sigl AS (SELECT doc_id, $sigList AS sig FROM sig),
+        |bands AS (
+        |  SELECT doc_id, b AS band,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_slice(sig, b * 4 + 1, b * 4 + 4)),
+        |      (acc, v) -> (acc * $bb + v) % $P) AS bucket
+        |  FROM sigl, unnest(range(0, 5)) AS g(b)),
+        |capped AS (
+        |  SELECT doc_id, band, bucket FROM (
+        |    SELECT doc_id, band, bucket,
+        |      count(*) OVER (PARTITION BY band, bucket) AS bn
+        |    FROM bands) cb
+        |  WHERE bn <= 50),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT id_a, id_b,
+        |    round(CAST(len(list_filter(range(1, 21),
+        |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 20, 4) AS est_jaccard
+        |  FROM cand
+        |  JOIN sigl sa ON sa.doc_id = id_a
+        |  JOIN sigl sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // q28: per-doc 62-bit SimHash rebuilt relationally (distinct tokens →
+    // rolling-hash fingerprint → 62 affine-hash votes → sign bits), then
+    // the ≤ 3 Hamming pair set by BRUTE FORCE — which independently
+    // verifies the engine's chunk-pigeonhole candidate generation is
+    // exhaustive, not just deterministic. Constants interpolated from
+    // TextHash.SimA/SimB. A doc with no tokens has every vote at 0 and
+    // therefore every bit set (the engine's votes ≥ 0 convention) — the
+    // UNION ALL branch supplies that all-ones signature.
+    "q28_simhash_pairs" -> {
+      import graft.functions.TextHash
+      val votes = (0 until TextHash.SimBits).map { j =>
+        s"sum(CASE WHEN (${TextHash.SimA(j)} * x + ${TextHash.SimB(j)}) % " +
+          s"${TextHash.SimP} <= ${TextHash.SimHalf} THEN 1 ELSE -1 END) AS v$j"
+      }.mkString(",\n        |    ")
+      val bits = (0 until TextHash.SimBits).map { j =>
+        s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n        |    + ")
+      val allOnes = (1L << TextHash.SimBits) - 1L
+      s"""WITH tk AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |    FROM documents) u),
+        |tx AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(token) + 1),
+        |        j -> CAST(ascii(substring(token, j, 1)) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007) AS x
+        |  FROM tk),
+        |v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM tx GROUP BY doc_id),
+        |s AS (
+        |  SELECT doc_id,
+        |    $bits
+        |    AS simhash
+        |  FROM v
+        |  UNION ALL
+        |  SELECT doc_id, $allOnes AS simhash
+        |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM v))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // Shared verbatim with the Spark side (see
     // CoreQueries.topNationsPerRegionSql) — one SQL text, two engines.
@@ -2880,30 +2991,35 @@ object OracleSql {
     // The sketch build AND probe replayed relationally: same affine
     // hashes over the Mersenne prime, same d x w cell grid, min-over-rows
     // point query. Pure integer arithmetic end-to-end.
+    // x = floor-mod(key, P) mirrors CountMin.bucket's key reduction — the
+    // affine product then never overflows for any 64-bit key in either
+    // engine.
     "q141_countmin" ->
       """WITH counts AS (
-        |  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
-        |  FROM orders GROUP BY 1),
+        |  SELECT o_custkey AS key,
+        |    (o_custkey % 2147483647 + 2147483647) % 2147483647 AS x,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
         |cells AS (
-        |  SELECT 0 AS r, ((1103515245 * key + 12345) % 2147483647) % 1024
+        |  SELECT 0 AS r, ((1103515245 * x + 12345) % 2147483647) % 1024
         |    AS bucket, n FROM counts
-        |  UNION ALL SELECT 1, ((214013 * key + 2531011) % 2147483647) % 1024,
+        |  UNION ALL SELECT 1, ((214013 * x + 2531011) % 2147483647) % 1024,
         |    n FROM counts
-        |  UNION ALL SELECT 2, ((69069 * key + 362437) % 2147483647) % 1024,
+        |  UNION ALL SELECT 2, ((69069 * x + 362437) % 2147483647) % 1024,
         |    n FROM counts
-        |  UNION ALL SELECT 3, ((134775813 * key + 1) % 2147483647) % 1024,
+        |  UNION ALL SELECT 3, ((134775813 * x + 1) % 2147483647) % 1024,
         |    n FROM counts),
         |matrix AS (SELECT r, bucket, sum(n) AS c FROM cells GROUP BY 1, 2),
-        |tp AS (SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 20),
+        |tp AS (SELECT key, x, n FROM counts ORDER BY n DESC, key LIMIT 20),
         |probes AS (
         |  SELECT key, n, 0 AS r,
-        |    ((1103515245 * key + 12345) % 2147483647) % 1024 AS bucket FROM tp
+        |    ((1103515245 * x + 12345) % 2147483647) % 1024 AS bucket FROM tp
         |  UNION ALL SELECT key, n, 1,
-        |    ((214013 * key + 2531011) % 2147483647) % 1024 FROM tp
+        |    ((214013 * x + 2531011) % 2147483647) % 1024 FROM tp
         |  UNION ALL SELECT key, n, 2,
-        |    ((69069 * key + 362437) % 2147483647) % 1024 FROM tp
+        |    ((69069 * x + 362437) % 2147483647) % 1024 FROM tp
         |  UNION ALL SELECT key, n, 3,
-        |    ((134775813 * key + 1) % 2147483647) % 1024 FROM tp)
+        |    ((134775813 * x + 1) % 2147483647) % 1024 FROM tp)
         |SELECT p.key AS o_custkey, CAST(max(p.n) AS BIGINT) AS exact_n,
         |  CAST(min(m.c) AS BIGINT) AS cms_est
         |FROM probes p JOIN matrix m ON m.r = p.r AND m.bucket = p.bucket

@@ -60,8 +60,8 @@ object SparkEntry {
     // dedup
     "q24_dedup_exact"       -> (Dedup.exactQuery _),
     "q25_jaccard_pairs"     -> (Dedup.jaccardQuery _),
-    "q27_minhash_lsh"       -> (Dedup.minhashQuery _),       // rows-only
-    "q28_simhash_pairs"     -> (Dedup.simhashQuery _),       // rows-only
+    "q27_minhash_lsh"       -> (Dedup.minhashQuery _),
+    "q28_simhash_pairs"     -> (Dedup.simhashQuery _),
     // similarity search
     "q26_cosine_topk"       -> (Similarity.cosineTopKQuery _),
     "q29_lsh_ann_topk"      -> (Similarity.lshCosineTopKQuery _), // rows-only

@@ -43,7 +43,13 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampType => df
-      case _ => df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr("cast(ts as timestamp)"))
+      // a NEW encoding (strings, doubles, nested…) must fail loudly here,
+      // not flow downstream as a silently-casted garbage timestamp
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unexpected type ${other.catalogString} — " +
+          "teach Tables.events the new driver encoding explicitly")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

@@ -33,15 +33,25 @@ object CountMin {
 
   val P: Long = 2147483647L // 2^31 − 1, Mersenne prime
   val W: Long = 1024L
-  /** Fixed odd affine params (a, b), one per sketch row. */
+  /** Fixed odd affine params (a, b), one per sketch row. Each a < 2³¹, so
+    * after the key is floor-mod-reduced below P the product a·x stays
+    * under 2⁶² — no silent Spark wrap (and no DuckDB overflow error) for
+    * ANY 64-bit key.
+    */
   val Hashes: Seq[(Int, Long, Long)] = Seq(
     (0, 1103515245L, 12345L),
     (1, 214013L, 2531011L),
     (2, 69069L, 362437L),
     (3, 134775813L, 1L))
 
-  private def bucket(a: Long, b: Long, k: org.apache.spark.sql.Column) =
-    ((lit(a) * k + lit(b)) % lit(P)) % lit(W)
+  private def bucket(a: Long, b: Long, k: org.apache.spark.sql.Column) = {
+    // floor-mod FIRST: a raw negative key would make Scala-style % return
+    // a negative bucket, and a·key overflows long for |key| > ~4.3e9 —
+    // reducing the key below P makes both impossible, for the full key
+    // domain, identically in Spark and the DuckDB oracle
+    val x = ((k % lit(P)) + lit(P)) % lit(P)
+    ((lit(a) * x + lit(b)) % lit(P)) % lit(W)
+  }
 
   /** The d×w counter matrix for a weighted key frequency table
     * `(key, n)` — one row per NON-EMPTY cell (the zero cells of a 100 TB

@@ -148,32 +148,71 @@ object Dedup {
   def jaccardQuery(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.documents(s, dir), k = 5, threshold = 0.2, maxDf = 100)
 
-  /** Distinct (doc_id, shingle) pairs with the shingle pre-hashed to a
-    * 64-bit key — the scale variant feeding MinHash: the dedup shuffle and
-    * every downstream row carry 8 bytes instead of a k-token string
-    * (collision odds ~n²/2⁶⁵ — irrelevant for near-dup mining, which is
-    * why the exact-Jaccard path keeps real strings).
+  /** Mersenne prime 2³¹ − 1: the modulus of the MinHash permutation
+    * family and the band-bucket fold. Every value in the pipeline stays
+    * below 2³¹, so products against sub-2³¹ multipliers stay below 2⁶² —
+    * no silent Spark wrap, no DuckDB overflow error.
+    */
+  val MinhashP: Long = 2147483647L
+
+  /** Multiplier of the band-bucket fold (prime, ~2²⁰). */
+  val MinhashBandBase: Long = 1000003L
+
+  /** Fixed affine-permutation params (aᵢ, bᵢ): hᵢ(x) = (aᵢ·x + bᵢ) mod P —
+    * the textbook 2-universal family over the prime field [Carter &
+    * Wegman '79], the standard MinHash permutation surrogate. Constants
+    * derive from the golden-ratio and Numerical-Recipes multipliers; any
+    * fixed family member is valid, and aᵢ ≠ 0 because P is prime and
+    * neither factor is ≡ 0 (mod P). Shared VERBATIM with the q27 oracle —
+    * `OracleSql` interpolates this seq into its SQL, so the constants
+    * live in exactly one place.
+    */
+  val MinhashParams: IndexedSeq[(Long, Long)] =
+    (0 until 64).map { i =>
+      val a = (2654435761L * (2L * i + 1L)) % MinhashP
+      val b = (1013904223L * (i + 1L)) % MinhashP
+      (a, b)
+    }
+
+  /** Distinct (doc_id, shingle) pairs with the shingle pre-hashed to an
+    * integer key — the scale variant feeding MinHash: the dedup shuffle
+    * and every downstream row carry 8 bytes instead of a k-token string
+    * (collision odds ~n²/2·10⁻⁹ per shared-bucket pair — irrelevant for
+    * near-dup mining, which is why the exact-Jaccard path keeps real
+    * strings). The hash is the engine's codegen'd rolling-hash
+    * fingerprint (mod 10⁹+7, `TextHash.Modulus`) rather than xxhash64:
+    * integer-arithmetic end-to-end makes the whole MinHash pipeline
+    * DuckDB-replayable (the q141 pattern), which is what turned q27 from
+    * rows-only into hash-verified. Mixing-quality risk was gated on the
+    * existing QualityFloorsSpec precision/recall floors before the swap
+    * (the q126 discipline).
     */
   def shingleHashes(docs: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = TextOps.tokens(col("text"))
     docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
-        explode(transform(shingleArray(col("toks"), k), s => xxhash64(s)))
+        explode(transform(shingleArray(col("toks"), k),
+          s => graft.functions.GraftFunctions.fingerprint(s)))
           .as("shingle"))
       .distinct() // dedup on the 8-byte hash, not the string — that IS the point
   }
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * the min over the doc's shingles of xxhash64(seed, shingle).
-    * One aggregation pass; signature is a fixed-width array column.
-    * Works over [[shingles]] (string column) or [[shingleHashes]] (long
-    * column) — xxhash64 is type-generic.
+  /** MinHash signatures: for each of the first `numHashes` affine
+    * permutations hᵢ(x) = (aᵢ·x + bᵢ) mod P ([[MinhashParams]]), the min
+    * over the doc's shingle hashes. One aggregation pass; signature is a
+    * fixed-width array column. Input contract: `shingle` is a
+    * non-negative integer below 2³¹ ([[shingleHashes]] provides it).
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    require(numHashes <= MinhashParams.length,
+      s"at most ${MinhashParams.length} permutations are parameterized")
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = MinhashParams(i)
+      min((lit(a) * col("shingle") + lit(b)) % lit(MinhashP)).as(s"mh_$i")
+    }
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
@@ -195,11 +234,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(shingleHashes(docs, k), numHashes).cache()
+    // band bucket: left fold of the band's signature values,
+    // (acc·B + v) mod P — acc and v stay below P < 2³¹ and B ~ 2²⁰, so
+    // the product stays below 2⁵¹; DuckDB's list_reduce replays the fold
+    // bit-for-bit (the q89/q107 fold-mirror trick)
     val bandRows = sig.select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")))))
+          b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
+            lit(0L), (acc, v) => (acc * MinhashBandBase + v) % lit(MinhashP))))
         .as(Seq("band", "bucket")))
     // Cap pathological buckets (stop-shingle skew guard).
     val bucketed = bandRows
@@ -227,41 +270,56 @@ object Dedup {
   def minhashQuery(s: SparkSession, dir: String): DataFrame =
     minhashLshPairs(Tables.documents(s, dir))
 
-  /** 64-bit SimHash over the document's distinct tokens: bit j of the
-    * signature is the sign of Σ_tokens (2·bit_j(xxhash64(token)) − 1).
-    * Production path: the codegen'd [[graft.functions.SimHash64]] kernel
-    * (two tight loops); [[simhashComposed]] keeps the pure-column variant
-    * whose per-token × per-bit lambdas run interpreted (the parity spec
-    * pins the two together).
+  /** 62-bit SimHash over the document's distinct tokens: bit j of the
+    * signature is the sign of the per-token votes, where token t votes on
+    * bit j through its own affine hash yⱼ = (aⱼ·fp(t) + bⱼ) mod P of the
+    * rolling-hash fingerprint fp (constants in
+    * [[graft.functions.TextHash]], shared with the q28 oracle — the
+    * integer construction is what makes q28 hash-verified rather than
+    * rows-only). Production path: the codegen'd
+    * [[graft.functions.SimHash62]] kernel (two tight loops);
+    * [[simhashComposed]] keeps the pure-column variant whose per-token ×
+    * per-bit lambdas run interpreted (the parity spec pins the two
+    * together).
     */
   def simhash(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-      graft.functions.GraftFunctions.simhash64(
+      graft.functions.GraftFunctions.simhash62(
         array_distinct(TextOps.tokens(col("text")))).as("simhash"))
   }
 
   /** Composed-HOF SimHash reference implementation (see [[simhash]]). */
   def simhashComposed(docs: DataFrame): DataFrame = {
+    import graft.functions.TextHash
     val toks = array_distinct(TextOps.tokens(col("text")))
+    val aCol = array(TextHash.SimA.map(lit(_)): _*)
+    val bCol = array(TextHash.SimB.map(lit(_)): _*)
+    val bits = TextHash.SimBits - 1
     docs
-      .select(col("doc_id"), transform(toks, t => xxhash64(t)).as("hs"))
+      .select(col("doc_id"),
+        transform(toks, t => TextOps.fingerprint(t)).as("xs"))
       .withColumn("votes", aggregate(
-        col("hs"),
-        transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-        (acc, h) => zip_with(acc, sequence(lit(0L), lit(63L)),
-          (a, j) => a + when(shr(h, j.cast("int")).bitwiseAND(1L) === 1L, 1L)
-            .otherwise(-1L))))
+        col("xs"),
+        transform(sequence(lit(0), lit(bits)), _ => lit(0L)),
+        (acc, x) => zip_with(acc, sequence(lit(0), lit(bits)),
+          (a, j) => a + when(
+            (element_at(aCol, j + 1) * x + element_at(bCol, j + 1))
+              % TextHash.SimP <= TextHash.SimHalf, 1L).otherwise(-1L))))
       .select(col("doc_id"), aggregate(
-        zip_with(col("votes"), sequence(lit(0), lit(63)),
+        zip_with(col("votes"), sequence(lit(0), lit(bits)),
           (v, j) => when(v >= 0L, shl(lit(1L), j.cast("int"))).otherwise(0L)),
         lit(0L), (s, b) => s.bitwiseOR(b)).as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs with Hamming distance ≤ maxHamming
-    * (≤ 3 with 4 chunks): pigeonhole — any pair within distance 3 agrees on
-    * at least one of the 4 16-bit chunks, so the join is on chunk equality,
-    * never all-pairs. Exact Hamming verified with bit_count(xor).
+    * (≤ 3 with 4 chunks): pigeonhole — any pair within distance 3 agrees
+    * on at least one of the 4 disjoint 16-bit chunks (the top chunk holds
+    * the signature's remaining 14 bits), so the join is on chunk
+    * equality, never all-pairs. Exact Hamming verified with
+    * bit_count(xor). The q28 oracle recomputes the ≤ maxHamming pair set
+    * by brute force, which independently verifies the pigeonhole
+    * candidate generation is exhaustive.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhash(docs).cache()
@@ -274,7 +332,8 @@ object Dedup {
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
       // filter BEFORE distinct: chunk collisions vastly outnumber true
       // near-dups, so dropping them first shrinks the dedup shuffle
       .filter(col("hamming") <= maxHamming)

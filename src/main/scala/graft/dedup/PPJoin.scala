@@ -61,8 +61,22 @@ object PPJoin {
   /** Exact Jaccard ≥ τ pairs over arbitrary per-doc element sets:
     * `elems` = DISTINCT (doc_id, token) rows, any element domain
     * (word tokens, shingles, hashed features).
+    *
+    * Candidate-volume guard: PPJoin is the engine's one deliberately
+    * EXACT similarity join, and its measured 100× leg (21.1×,
+    * SCALING.md) documents a usage discipline — bounded slices only —
+    * that until round 10 nothing enforced. Before the candidate join
+    * runs, the upper bound Σ_token C(m_t, 2) over the prefix-index
+    * per-token counts m_t (a dimension-sized aggregate over the already-
+    * cached prefix table) is compared against `maxCandidates`; misuse on
+    * an unbounded corpus now fails loudly with the bound and the fix
+    * (use the df-capped q25 path, or slice the corpus) instead of
+    * melting a cluster. The check is one scalar aggregate — the
+    * legitimate driver-side pattern — and its cost is one reuse of the
+    * cached prefix table.
     */
-  def similarPairsOver(elems: DataFrame, threshold: Double): DataFrame = {
+  def similarPairsOver(elems: DataFrame, threshold: Double,
+      maxCandidates: Long = 1000000000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val tok = elems.select(col("doc_id"), col("token")).cache()
 
@@ -77,9 +91,26 @@ object PPJoin {
       .withColumn("pos", row_number().over(byRarity))
       .withColumn("sz", count(lit(1)).over(szWin))
 
-    // prefix: first |x| − ⌈τ|x|⌉ + 1 tokens in rarity order
+    // prefix: first |x| − ⌈τ|x|⌉ + 1 tokens in rarity order — cached: the
+    // volume guard and the candidate join both consume it (same
+    // clearCache contract as `tok`, see the object Scaladoc)
     val prefix = ranked.filter(
       col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .cache()
+
+    // ×2 upper bound as decimal(38,0): per-token counts can reach corpus
+    // size, where m·(m−1) overflows a long
+    val candUpper2 = prefix.groupBy(col("token")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(col("m").cast("decimal(38,0)") * (col("m") - 1)),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    val budget2 = java.math.BigDecimal.valueOf(maxCandidates)
+      .multiply(java.math.BigDecimal.valueOf(2))
+    if (candUpper2.compareTo(budget2) > 0) throw new IllegalStateException(
+      s"PPJoin prefix-index candidate upper bound ${candUpper2.divide(
+        java.math.BigDecimal.valueOf(2))} exceeds maxCandidates=" +
+        s"$maxCandidates: this corpus is outside the exact join's bounded-" +
+        "slice discipline (SCALING.md, q92 at 100×) — use the df-capped " +
+        "Dedup.jaccardPairs path, slice the corpus, or raise maxCandidates")
 
     // candidate pairs from the prefix-only inverted index + length filter
     val cand = prefix.as("a")

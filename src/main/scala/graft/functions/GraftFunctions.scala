@@ -40,7 +40,7 @@ object GraftFunctions {
 
   private def simhashBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 1, s"graft_simhash expects 1 argument, got ${args.length}")
-    SimHash64(args(0))
+    SimHash62(args(0))
   }
 
   private def lshBucketBuilder(args: Seq[Expression]): Expression = {
@@ -126,7 +126,7 @@ object GraftFunctions {
       new ExpressionInfo(classOf[RollingHashFingerprint].getCanonicalName, "graft_fingerprint"),
       fingerprintBuilder _),
     ("graft_simhash",
-      new ExpressionInfo(classOf[SimHash64].getCanonicalName, "graft_simhash"),
+      new ExpressionInfo(classOf[SimHash62].getCanonicalName, "graft_simhash"),
       simhashBuilder _),
     ("graft_lsh_bucket",
       new ExpressionInfo(classOf[HyperplaneSketch].getCanonicalName, "graft_lsh_bucket"),
@@ -160,7 +160,7 @@ object GraftFunctions {
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def sentiment(text: Column): Column = call_function("graft_sentiment", text)
   def fingerprint(text: Column): Column = call_function("graft_fingerprint", text)
-  def simhash64(tokens: Column): Column = call_function("graft_simhash", tokens)
+  def simhash62(tokens: Column): Column = call_function("graft_simhash", tokens)
   def lshBucket(v: Column, bits: Int): Column =
     call_function("graft_lsh_bucket", v, org.apache.spark.sql.functions.lit(bits))
   def topk(v: Column, k: Int): Column =

@@ -78,33 +78,49 @@ object TextHash {
     h
   }
 
-  /** 64-bit SimHash of a token array: per-token xxhash64 (Spark's default
-    * seed 42), per-bit vote, sign → bit.
+  /** SimHash bit parameters: bit j of the signature is derived from the
+    * affine hash yⱼ(x) = (SimA(j)·x + SimB(j)) mod SimP of the token's
+    * rolling-hash fingerprint x — each bit its own member of the
+    * 2-universal family over the prime field, instead of "the bits of one
+    * xxhash64" (theoretically cleaner: per-bit pairwise independence is a
+    * family property, not an avalanche hope). 62 bits keep every
+    * intermediate — including the assembled signature — positive in a
+    * signed 64-bit long, so the DuckDB oracle replays the construction
+    * with plain BIGINT arithmetic (q28 is hash-verified, not rows-only).
+    * Constants from the xxhash avalanche primes; aⱼ ≠ 0 because SimP is
+    * prime and neither factor is ≡ 0 (mod SimP).
+    */
+  final val SimBits = 62
+  final val SimP = 2147483647L // 2^31 − 1
+  final val SimHalf = 1073741823L // floor(SimP / 2): y <= half votes +1
+  val SimA: Array[Long] =
+    Array.tabulate(SimBits)(j => (2246822519L * (2L * j + 1L)) % SimP)
+  val SimB: Array[Long] =
+    Array.tabulate(SimBits)(j => (3266489917L * (j + 1L)) % SimP)
+
+  /** 62-bit SimHash of a token array: per-token rolling-hash fingerprint,
+    * per-bit affine-hash vote (+1 iff yⱼ ≤ SimHalf), sign → bit.
     */
   def simhash(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.StringType
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](SimBits)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      // null token → seed, matching Spark's xxhash64-of-null semantics in
-      // the composed variant; without the explicit check the result would
-      // depend on the array's physical representation (UnsafeArrayData's
-      // zeroed null slot reads as an empty string)
-      val h =
-        if (arr.isNullAt(i)) 42L
-        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      // null token → fingerprint 0 (tokenizers here never emit null; the
+      // explicit check keeps the result independent of the array's
+      // physical null-slot representation)
+      val x = if (arr.isNullAt(i)) 0L else fingerprint(arr.getUTF8String(i))
       var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+      while (j < SimBits) {
+        val y = (SimA(j) * x + SimB(j)) % SimP
+        if (y <= SimHalf) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
       i += 1
     }
     var sig = 0L
     var j = 0
-    while (j < 64) {
+    while (j < SimBits) {
       if (votes(j) >= 0) sig |= (1L << j)
       j += 1
     }
@@ -112,14 +128,15 @@ object TextHash {
   }
 }
 
-/** Native codegen 64-bit SimHash over a token array. The composed version
-  * (`Dedup.simhashComposed`: aggregate + zip_with over a 64-slot vote
-  * array) evaluates its lambdas per token × 64 bits on the interpreted HOF
-  * path; this kernel is two tight loops. Bit math is identical: xxhash64
-  * (seed 42, Spark's default) per token, vote per bit, bit set when votes
-  * ≥ 0 — DedupSpec asserts parity.
+/** Native codegen 62-bit SimHash over a token array. The composed version
+  * (`Dedup.simhashComposed`: aggregate + zip_with over a 62-slot vote
+  * array) evaluates its lambdas per token × 62 bits on the interpreted HOF
+  * path; this kernel is two tight loops. Bit math is identical: rolling-
+  * hash fingerprint per token, per-bit affine vote (`TextHash.SimA/SimB`
+  * over `SimP`), bit set when votes ≥ 0 — DedupSpec asserts parity, and
+  * the q28 oracle replays the same construction in DuckDB SQL.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash62(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -139,7 +156,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"$kernel.MODULE$$.simhash($c)")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash62 =
     copy(child = newChild)
 }
 

@@ -124,7 +124,12 @@ object Layout {
     val src = spark.read.parquet(inPath)
     // coalesce can only DECREASE partition count — splitting fewer, larger
     // files into more, smaller ones needs a real repartition (one shuffle;
-    // the usual compaction direction still takes the shuffle-free path)
+    // the usual compaction direction still takes the shuffle-free path).
+    // `src.rdd.getNumPartitions` instantiates the RDD lineage to read the
+    // scan's partition count — a PLANNING-time cost only (no job runs);
+    // don't "optimize" it away with a byte-based estimate, which would
+    // break the coalesce-vs-repartition decision whenever
+    // maxPartitionBytes packing diverges from file sizes.
     val sized =
       if (nFiles <= src.rdd.getNumPartitions) src.coalesce(nFiles)
       else src.repartition(nFiles)

@@ -24,7 +24,14 @@ import graft.Tables
   * 2×delay the watermark provably clears the old entry first and the two
   * paths agree exactly; DedupWithinSpec pins that case. Outside it the
   * batch twin is the stricter, deterministic semantics (and the one the
-  * oracle checks as q136).
+  * oracle checks as q136). Inside the disagreement window the FIRST
+  * divergence is always one-sided — late eviction can only cause extra
+  * streaming drops, so streaming keeps ⊆ batch keeps — but a cascade can
+  * then flip the direction: a streaming-dropped batch-anchor never
+  * created state, so a later event inside THAT anchor's batch horizon
+  * may be streaming-KEPT. DedupWithinSpec pins both shapes; the batch
+  * twin stays the contract precisely because the streaming outcome
+  * depends on micro-batch boundaries.
   *
   * Reference tie: the reference ingests each Yelp dump as an overwrite
   * (no incremental dedup); this is the §2.9 engine-addition row that

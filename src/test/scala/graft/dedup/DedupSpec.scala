@@ -182,6 +182,6 @@ class DedupSpec extends SparkSpec {
     assert(sig(1L) == sig(2L))
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
-    assert(p12.isDefined && p12.get.getInt(2) == 0) // bit_count → IntegerType
+    assert(p12.isDefined && p12.get.getLong(2) == 0) // hamming cast to long
   }
 }

@@ -48,4 +48,23 @@ class PPJoinSpec extends SparkSpec {
     val out = PPJoin.similarPairs(d, 1.0).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
+
+  test("candidate-volume guard: an over-budget corpus fails loudly, " +
+    "and the same corpus passes under a sufficient budget") {
+    // 40 single-token docs sharing one hot token: every doc's prefix IS
+    // that token, so the prefix index alone implies C(40,2) = 780
+    // candidates — deliberately over a 100-pair budget
+    val hot = docs((1L to 40L).map(i => i -> "shared"): _*)
+    val e = intercept[IllegalStateException] {
+      PPJoin.similarPairsOver(PPJoin.docTokens(hot), threshold = 0.8,
+        maxCandidates = 100L)
+    }
+    assert(e.getMessage.contains("780"))
+    assert(e.getMessage.contains("maxCandidates=100"))
+    // same corpus, adequate budget: runs to completion (all pairs J=1.0)
+    val ok = PPJoin.similarPairsOver(PPJoin.docTokens(hot), threshold = 0.8,
+      maxCandidates = 1000L).collect()
+    assert(ok.length == 780 && ok.forall(_.getDouble(2) == 1.0))
+    spark.catalog.clearCache()
+  }
 }

@@ -115,4 +115,63 @@ class DedupWithinSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch === Set((1L, "a", 1L), (2L, "b", 3L), (1L, "a", 4L)))
   }
+
+  test("inside the 2×delay window the first divergence is one-sided: " +
+    "streaming drops an event the batch twin keeps") {
+    val input = MemoryStream[(Long, String, Long, Timestamp)](spark)
+    val df = input.toDF().toDF("user_id", "event_type", "event_id", "ts")
+    val q = DedupWithin.streamingDedup(df, "60 minutes")
+      .writeStream.format("memory").queryName("ddw_div")
+      .outputMode("append").start()
+    // anchor at minute 1; the watermark after this batch stays at the epoch
+    input.addData((1L, "a", 1L, ts(1)))
+    q.processAllAvailable()
+    // minute 70 is PAST the 60-minute horizon — the batch twin keeps it —
+    // but the watermark has not reached the anchor's 61-minute expiry, so
+    // the state entry is still alive and streaming drops it
+    input.addData((1L, "a", 2L, ts(70)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ddw_div").select("event_id")
+      .as[Long].collect().toSet
+    val batch = DedupWithin.dedupWithin(Seq(
+      KEv(1, "a", 1, tUs(1)), KEv(1, "a", 2, tUs(70))).toDS(), H)
+      .collect().map(_.event_id).toSet
+    assert(batch === Set(1L, 2L))
+    assert(streamed === Set(1L))
+    assert(streamed.subsetOf(batch)) // first-hop containment direction
+  }
+
+  test("a cascade can flip the divergence direction: a streaming-dropped " +
+    "batch-anchor never created state, so a later event inside its batch " +
+    "horizon is streaming-kept") {
+    val input = MemoryStream[(Long, String, Long, Timestamp)](spark)
+    val df = input.toDF().toDF("user_id", "event_type", "event_id", "ts")
+    val q = DedupWithin.streamingDedup(df, "60 minutes")
+      .writeStream.format("memory").queryName("ddw_casc")
+      .outputMode("append").start()
+    input.addData((1L, "a", 1L, ts(1)))
+    q.processAllAvailable()
+    // batch-kept (69 min past the anchor), streaming-dropped (state alive)
+    input.addData((1L, "a", 2L, ts(70)))
+    q.processAllAvailable()
+    // unrelated key pushes the watermark to minute 71 → the minute-1
+    // entry expires at batch end
+    input.addData((9L, "z", 9L, ts(131)))
+    q.processAllAvailable()
+    // minute 100: inside the BATCH horizon of the minute-70 anchor (the
+    // batch twin drops it), but not late (event time > watermark 71) and
+    // streaming has no state for the key any more — streaming keeps it
+    input.addData((1L, "a", 3L, ts(100)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ddw_casc").select("event_id")
+      .as[Long].collect().toSet
+    val batch = DedupWithin.dedupWithin(Seq(
+      KEv(1, "a", 1, tUs(1)), KEv(1, "a", 2, tUs(70)),
+      KEv(9, "z", 9, tUs(131)), KEv(1, "a", 3, tUs(100))).toDS(), H)
+      .collect().map(_.event_id).toSet
+    assert(batch === Set(1L, 2L, 9L))
+    assert(streamed === Set(1L, 9L, 3L)) // id2 extra-dropped, id3 extra-kept
+  }
 }
