@@ -710,13 +710,17 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // canonical undirected edge set, directed big→small: (u, v), u > v
+    // canonical undirected edge set, directed big→small: (u, v), u > v.
+    // DISK_ONLY checkpoint storage for the edge-sized per-round state —
+    // the q94 100× OOM lesson (in-memory row caches and even SER
+    // promotion OOM under pressure; see KCore.kcoreCounted's note).
+    val ser = org.apache.spark.storage.StorageLevel.DISK_ONLY
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = true, storageLevel = ser)
 
     // Set-identity fingerprint: count + decimal sum of per-edge hashes
     // (decimal(38,0) — a long sum over ±2⁶³ hashes would overflow).
@@ -756,11 +760,16 @@ object Dedup {
     var converged = prevCnt == 0L // empty graph: nothing to contract
     var iter = 0
     while (!converged && iter < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
-      val (cnt, sm) = fingerprint(edges)
+      val next = smallStar(largeStar(edges))
+        .localCheckpoint(eager = true, storageLevel = ser)
+      val (cnt, sm) = fingerprint(next)
       converged = cnt == prevCnt && sm.compareTo(prevSum) == 0
       prevCnt = cnt
       prevSum = sm
+      // edge-sized per-round state: free the superseded checkpoint
+      // (PlanWalk.freeCheckpoint — the q94 100× lesson applied here too)
+      graft.operators.PlanWalk.freeCheckpoint(edges)
+      edges = next
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -29,9 +29,29 @@ object KCore {
   /** @param undirected symmetrized (src, dst) edge set — one row per
     *                    direction, no duplicates; degree = row count per src
     */
-  def kcore(undirected: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+  def kcore(undirected: DataFrame, k: Int, maxRounds: Int): DataFrame =
+    kcoreCounted(undirected, k, maxRounds)._1
+
+  /** [[kcore]] plus the rounds-to-fixpoint count (known eagerly — each
+    * round materializes through the convergence `count()`); the scaling
+    * audit records it, and `tools.GraphProbe` prints it per SF.
+    */
+  def kcoreCounted(undirected: DataFrame, k: Int, maxRounds: Int)
+      : (DataFrame, Int) = {
     require(k >= 1 && maxRounds >= 1, "k and maxRounds must be positive")
-    var e = undirected.localCheckpoint()
+    // Edge-sized iterative state checkpoints to DISK_ONLY — measured at
+    // the 100× audit leg (117M-edge graph, 8g heap, SCALING.md r10):
+    // the default deserialized cache OOM'd outright (~56 B per cached
+    // UnsafeRow object); MEMORY_AND_DISK_SER fit at 16g but still OOM'd
+    // 8g, because re-reading a spilled block PROMOTES it back through a
+    // whole-block ByteBuffer allocation (BlockManager
+    // maybeCacheDiskBytesInMemory) exactly when memory is scarcest.
+    // DISK_ONLY never promotes: per-round state streams from local disk
+    // (~2.8 GB/round here — NVMe noise) and the heap stays free for the
+    // join/agg execution. Same discipline in Dedup.connectedComponents;
+    // vertex-sized loops (PageRank/LPA/BFS) keep the in-memory default.
+    val ser = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    var e = undirected.localCheckpoint(eager = true, storageLevel = ser)
     var prev = e.count()
     var stable = false
     var round = 0
@@ -39,22 +59,36 @@ object KCore {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src"))
+      // shuffle_hash on the vertex-sized survivor side: under the default
+      // preference Spark picks sort-merge once `keep` outgrows the
+      // broadcast threshold — measured at the 100× leg as three full
+      // sorts of the 117M-row edge set per round (119 s; plan flipped
+      // from the broadcast semi-joins the small SFs get). Hashing the
+      // survivors and STREAMING the edges drops the sorts while staying
+      // scale-safe where a forced broadcast would not (the survivor set
+      // is vertex-bounded, not constant-bounded) — the same discipline as
+      // LabelProp's edge-layout join.
       val next = e
-        .join(keep, Seq("src"), "left_semi")
-        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .join(keep.hint("shuffle_hash"), Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")).hint("shuffle_hash"),
+          Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .localCheckpoint(eager = true, storageLevel = ser)
       val n = next.count()
       // no vertex loses an edge without the edge count shrinking, so
       // |E| unchanged ⟺ no deletion this round ⟺ fixpoint
       stable = n == prev
       prev = n
+      // the edge set is the LARGE state here: free the superseded round's
+      // checkpoint blocks or the peel holds every round's edge copy at
+      // once (the 100× OOM, see PlanWalk.freeCheckpoint)
+      graft.operators.PlanWalk.freeCheckpoint(e)
       e = next
       round += 1
     }
     if (!stable) throw new IllegalStateException(
       s"$k-core peel still shrinking after $maxRounds rounds — raise maxRounds")
-    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    (e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")), round)
   }
 
   /** q94: the 10-core of the undirected customer–supplier purchase graph

@@ -28,4 +28,24 @@ object PlanWalk {
     df.queryExecution.toRdd.count()
     df.queryExecution.executedPlan
   }
+
+  /** Free the storage blocks behind a `localCheckpoint()`'d frame once a
+    * later round's checkpoint has materialized. `Dataset.localCheckpoint`
+    * persists its internal RDD (MEMORY_AND_DISK) and wraps it in a
+    * `LogicalRDD`; nothing ever unpersists it, so an iterative loop that
+    * checkpoints per round holds one copy of its state per round until
+    * the ContextCleaner happens to collect the old RDDs. For VERTEX-sized
+    * state that is noise; for EDGE-sized state it is exactly the storage
+    * squeeze that starved execution memory and OOM'd the q94 k-core peel
+    * on the 100× scaling leg (117M-edge graph, 8g heap — SCALING.md
+    * round-10 appendix). Call on the PREVIOUS round's checkpoint right
+    * after the next one is materialized; a frame that is not a
+    * checkpoint/LogicalRDD is left untouched.
+    */
+  def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
