@@ -3,11 +3,13 @@ package graft
 /** DuckDB oracle SQL for every deterministic query in [[SparkEntry.queries]].
   *
   * Contract (see the driver notes in SparkEntry): same table names, same
-  * column aliases, same final ORDER BY as the Spark plan. Spark-hash-seeded
-  * queries (q29-q31 and friends) are intentionally absent — the driver
-  * falls back to a rows-only check for those. q27/q28 graduated to
-  * hash-verified in round 10 by replacing their xxhash64 layer with the
-  * integer rolling-hash + affine-family construction (the q141 pattern).
+  * column aliases, same final ORDER BY as the Spark plan. Queries seeded
+  * by Spark-internal hashes or trained float pipelines (q31/q32, q36,
+  * q37, q82, q134) are intentionally absent — the driver falls back to a
+  * rows-only check for those. q27/q28/q29/q30 graduated to hash-verified
+  * in round 10 by replacing their xxhash64 layers with integer
+  * rolling-hash / affine-family / quadratic-mixer constructions (the
+  * q141 pattern).
   *
   * Dialect notes that keep the hashes matching:
   *  - counts are BIGINT in both engines; SUM(CASE ...) over ints is HUGEINT
@@ -426,6 +428,116 @@ object OracleSql {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // q29/q30: the random-hyperplane LSH pipelines replayed end-to-end —
+    // the plane components are the engine's quadratic-congruential
+    // integer mixer (VectorHash constants, interpolated below), the sign
+    // sketches are per-plane left folds in kernel order, and the cosine
+    // verify reuses the q26 fold mirror. q29 enumerates the multi-probe
+    // Hamming-≤1 masks; q30 slices the 48-bit sketch into 8 six-bit
+    // bands.
+    "q29_lsh_ann_topk" -> {
+      val p = OracleSqlHelpers.planesCtes(8)
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding AS v FROM embeddings),
+        |$p,
+        |proj AS (
+        |  SELECT vec_id, p,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v) + 1),
+        |        j -> CAST(v[j] AS DOUBLE) * cs[j])),
+        |      (s, x) -> s + x) AS pr
+        |  FROM e, planes),
+        |b AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p)
+        |      ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |ev AS (
+        |  SELECT vec_id, list_transform(v, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM e),
+        |n AS (
+        |  SELECT vec_id, dv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(dv, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM ev),
+        |masks AS (
+        |  SELECT CAST(0 AS BIGINT) AS mask
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) << i FROM unnest(range(0, 8)) AS gm(i)),
+        |q AS (
+        |  SELECT n.vec_id AS query_id, n.dv AS qv, n.nrm AS qn,
+        |    xor(b.bucket, masks.mask) AS bucket
+        |  FROM n JOIN b ON b.vec_id = n.vec_id CROSS JOIN masks
+        |  WHERE n.vec_id < 10),
+        |cand AS (
+        |  SELECT q.query_id, n2.vec_id AS neighbor_id, q.qv, q.qn,
+        |    n2.dv, n2.nrm
+        |  FROM q JOIN b b2 ON b2.bucket = q.bucket
+        |  JOIN n n2 ON n2.vec_id = b2.vec_id
+        |  WHERE n2.vec_id <> q.query_id),
+        |c AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(qv) + 1), i -> qv[i] * dv[i])),
+        |      (s, x) -> s + x) / (qn * nrm) AS cos
+        |  FROM cand),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cosine
+        |FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q30_embedding_near_dup" -> {
+      val p = OracleSqlHelpers.planesCtes(48)
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding AS v FROM embeddings),
+        |$p,
+        |proj AS (
+        |  SELECT vec_id, p,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v) + 1),
+        |        j -> CAST(v[j] AS DOUBLE) * cs[j])),
+        |      (s, x) -> s + x) AS pr
+        |  FROM e, planes),
+        |sk AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p)
+        |      ELSE 0 END) AS BIGINT) AS sketch
+        |  FROM proj GROUP BY vec_id),
+        |bands AS (
+        |  SELECT vec_id, t AS band, (sketch >> (t * 6)) & 63 AS bucket
+        |  FROM sk, unnest(range(0, 8)) AS gt(t)),
+        |ev AS (
+        |  SELECT vec_id, list_transform(v, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM e),
+        |n AS (
+        |  SELECT vec_id, dv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(dv, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM ev),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |      AND a.vec_id < b.vec_id),
+        |c AS (
+        |  SELECT id_a, id_b,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(na.dv) + 1),
+        |        i -> na.dv[i] * nb.dv[i])),
+        |      (s, x) -> s + x) / (na.nrm * nb.nrm) AS cos
+        |  FROM cand
+        |  JOIN n na ON na.vec_id = id_a
+        |  JOIN n nb ON nb.vec_id = id_b)
+        |SELECT id_a, id_b, round(cos, 4) AS cosine
+        |FROM c WHERE cos >= 0.4
         |ORDER BY id_a, id_b""".stripMargin
     },
 
@@ -3025,4 +3137,35 @@ object OracleSql {
         |FROM probes p JOIN matrix m ON m.r = p.r AND m.bucket = p.bucket
         |GROUP BY 1 ORDER BY exact_n DESC, o_custkey""".stripMargin
   )
+}
+
+/** Builders for oracle-SQL fragments whose constants must track the
+  * engine's — interpolating from the shared Scala objects means the two
+  * sides cannot drift.
+  */
+object OracleSqlHelpers {
+  /** The hyperplane table for a `bits`-plane sign sketch, as three CTEs
+    * (`d`, `pl`, `planes`) expecting an `e(vec_id, v)` CTE in scope:
+    * plane p's components in ascending-dim order as the list `cs`,
+    * computed by the same quadratic-congruential mixer as
+    * [[graft.functions.VectorHash.planeComponent]] (SQL j is 1-based, so
+    * the kernel's p·stride + j + 1 with 0-based j becomes
+    * p·stride + j here). Margin-formatted for splicing into the
+    * stripMargin templates above.
+    */
+  def planesCtes(bits: Int): String = {
+    import graft.functions.VectorHash._
+    s"""d AS (SELECT max(len(v)) AS dim FROM e),
+      |        |pl AS (
+      |        |  SELECT p, j,
+      |        |    ($PlaneA1 * (p * $PlaneDimStride + j) + $PlaneB1) % $PlaneP AS m1
+      |        |  FROM unnest(range(0, $bits)) AS gp(p), d,
+      |        |       unnest(range(1, dim + 1)) AS gj(j)),
+      |        |planes AS (
+      |        |  SELECT p, list(
+      |        |    CAST((($PlaneA2 * ((m1 * m1) % $PlaneP) + m1) % $PlaneP)
+      |        |      % 2000001 - 1000000 AS DOUBLE) / 1000000.0
+      |        |    ORDER BY j) AS cs
+      |        |  FROM pl GROUP BY p)""".stripMargin
+  }
 }

@@ -64,8 +64,8 @@ object SparkEntry {
     "q28_simhash_pairs"     -> (Dedup.simhashQuery _),
     // similarity search
     "q26_cosine_topk"       -> (Similarity.cosineTopKQuery _),
-    "q29_lsh_ann_topk"      -> (Similarity.lshCosineTopKQuery _), // rows-only
-    "q30_embedding_near_dup"-> (Similarity.nearDupQuery _),       // rows-only
+    "q29_lsh_ann_topk"      -> (Similarity.lshCosineTopKQuery _),
+    "q30_embedding_near_dup"-> (Similarity.nearDupQuery _),
     "q37_ivf_ann_topk"      -> (Similarity.ivfTopKQuery _),       // rows-only
     // 100 TB profiling posture
     "q31_approx_distinct"   -> (CoreQueries.approxDistinctStats _), // rows-only

@@ -94,17 +94,39 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Static kernel shared by [[HyperplaneSketch]]'s eval and generated code. */
 object VectorHash {
 
+  /** Plane-component hash constants — integer arithmetic over the
+    * Mersenne prime so the DuckDB oracle replays the sketch exactly
+    * (which is what turned q29/q30 from rows-only into hash-verified).
+    * The mixer is QUADRATIC-congruential — m₁ affine, then m₁² mod P
+    * folded back in — because a purely affine map of the sequential
+    * (plane, dim) index would leave linear structure across components
+    * (the measured q126 LCG-vs-Wang lesson: mixing quality is
+    * load-bearing for projection-based sketches); the squaring step
+    * breaks that linearity while staying expressible as plain BIGINT
+    * multiply/mod in both engines. Gated on the planted-recall floors in
+    * QualityFloorsSpec/SimilaritySpec before the swap (same discipline
+    * as the q27/q28 hash conversion).
+    */
+  final val PlaneP = 2147483647L       // 2^31 − 1
+  final val PlaneA1 = 506952114L       // 2654435761 mod P (golden ratio)
+  final val PlaneB1 = 1013904223L      // Numerical Recipes increment
+  final val PlaneA2 = 1566083941L      // Waterman multiplier
+  final val PlaneDimStride = 8191L     // prime > any embedding width here
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * chained xxhash64 of (plane, dim) — exactly the composed
-    * `Similarity.lshBucket` formula (pmod ≡ floorMod, same ascending-dim
-    * double accumulation), so buckets are bit-identical.
+    * i = p·stride + j + 1; m₁ = (A₁·i + B₁) mod P; m₂ = m₁² mod P;
+    * m₃ = (A₂·m₂ + m₁) mod P; component = (m₃ mod 2000001 − 10⁶)/10⁶.
+    * Every intermediate stays below 2⁶³ (m₁² < P² ≈ 4.6e18), so Spark
+    * longs and DuckDB BIGINTs compute identical values. Exactly the
+    * composed `Similarity.lshBucketComposed` formula — buckets are
+    * bit-identical (VectorExpressionsSpec parity).
     */
   def planeComponent(p: Int, j: Long): Double = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    var h = XxHash64Function.hash(p, IntegerType, 42L)
-    h = XxHash64Function.hash(j, LongType, h)
-    (Math.floorMod(h, 2000001L) - 1000000L).toDouble / 1000000.0
+    val i = p * PlaneDimStride + j + 1L
+    val m1 = (PlaneA1 * i + PlaneB1) % PlaneP
+    val m2 = (m1 * m1) % PlaneP
+    val m3 = (PlaneA2 * m2 + m1) % PlaneP
+    ((m3 % 2000001L) - 1000000L).toDouble / 1000000.0
   }
 
   /** Plane matrix cache: a plane row is a pure function of (plane, dims) —

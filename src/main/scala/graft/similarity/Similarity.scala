@@ -18,8 +18,11 @@ import graft.functions.GraftFunctions
   *  - [[lshCosineTopK]] — the scale path: random-hyperplane LSH. Vectors are
   *    bucketed by a b-bit sign sketch; each query probes only its own bucket
   *    (plus multi-probe neighbors if recall demands), so work per query is
-  *    O(bucket) not O(N). Recall is approximate by construction → excluded
-  *    from the DuckDB oracle.
+  *    O(bucket) not O(N). Recall vs brute force is approximate by
+  *    construction, but the buckets themselves are deterministic integer
+  *    arithmetic since round 10, so the DuckDB oracle REPLAYS the sketch
+  *    and checks the pipeline end-to-end (q29/q30 hash-verified; the
+  *    recall floors in QualityFloorsSpec cover the quality axis).
   *
   * All math is done in Double after an explicit upcast so results are
   * reproducible across engines (float accumulation order would not be).
@@ -89,10 +92,19 @@ object Similarity {
     vectorStats(Tables.embeddings(s, dir))
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
-    * hash-derived value in [-1, 1) — reproducible with no RNG state.
+    * hash-derived value in [-1, 1) — reproducible with no RNG state, and
+    * since round 10 computed by the quadratic-congruential integer mixer
+    * in [[graft.functions.VectorHash]] (shared constants), which the
+    * q29/q30 DuckDB oracles replay exactly.
     */
-  private def planeComponent(p: Int, j: Column): Column =
-    (pmod(xxhash64(lit(p), j), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+  private def planeComponent(p: Int, j: Column): Column = {
+    import graft.functions.VectorHash._
+    val i = lit(p * PlaneDimStride) + j + 1L
+    val m1 = (lit(PlaneA1) * i + lit(PlaneB1)) % lit(PlaneP)
+    val m2 = (m1 * m1) % lit(PlaneP)
+    val m3 = (lit(PlaneA2) * m2 + m1) % lit(PlaneP)
+    ((m3 % lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+  }
 
   /** b-bit random-hyperplane sign sketch — composed-HOF reference
     * implementation over a DOUBLE array; the production path is the
