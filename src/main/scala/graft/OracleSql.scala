@@ -3,13 +3,14 @@ package graft
 /** DuckDB oracle SQL for every deterministic query in [[SparkEntry.queries]].
   *
   * Contract (see the driver notes in SparkEntry): same table names, same
-  * column aliases, same final ORDER BY as the Spark plan. Queries seeded
-  * by Spark-internal hashes or trained float pipelines (q31/q32, q36,
-  * q37, q82, q134) are intentionally absent — the driver falls back to a
-  * rows-only check for those. q27/q28/q29/q30 graduated to hash-verified
-  * in round 10 by replacing their xxhash64 layers with integer
-  * rolling-hash / affine-family / quadratic-mixer constructions (the
-  * q141 pattern).
+  * column aliases, same final ORDER BY as the Spark plan. Queries built
+  * on Spark-internal sketches, media bytes, or trained float pipelines
+  * (q31, q36, q37, q82, q134) are intentionally absent — the driver
+  * falls back to a rows-only check for those. q27–q30 graduated to
+  * hash-verified in round 10 by replacing their xxhash64 layers with
+  * integer rolling-hash / affine-family / quadratic-mixer constructions
+  * (the q141 pattern), and q32 by replaying the engine's own sentiment
+  * lexicon and rule chain as generated SQL.
   *
   * Dialect notes that keep the hashes matching:
   *  - counts are BIGINT in both engines; SUM(CASE ...) over ints is HUGEINT
@@ -539,6 +540,25 @@ object OracleSql {
         |SELECT id_a, id_b, round(cos, 4) AS cosine
         |FROM c WHERE cos >= 0.4
         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // q32: the engine's own ~3k-entry sentiment lexicon and rule chain
+    // (negation window, distance-scaled boosters, caps emphasis,
+    // exclamation amplification, VADER normalization) replayed in SQL —
+    // tables and constants generated from the Sentiment object, folds
+    // position-ordered for bit-exact double arithmetic. See
+    // OracleSqlHelpers.sentimentScoreCtes.
+    "q32_sentiment_by_lang" -> {
+      val sc = OracleSqlHelpers.sentimentScoreCtes
+      s"""WITH $sc
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(CAST(score AS DOUBLE)), 4) AS avg_sentiment,
+        |  CAST(sum(CASE WHEN score > CAST(0.05 AS FLOAT) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_positive,
+        |  CAST(sum(CASE WHEN score < CAST(-0.05 AS FLOAT) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_negative
+        |FROM sc GROUP BY lang
+        |ORDER BY lang""".stripMargin
     },
 
     // Shared verbatim with the Spark side (see
@@ -3167,5 +3187,107 @@ object OracleSqlHelpers {
       |        |      % 2000001 - 1000000 AS DOUBLE) / 1000000.0
       |        |    ORDER BY j) AS cs
       |        |  FROM pl GROUP BY p)""".stripMargin
+  }
+
+  /** The engine's VADER-style compound sentiment scorer, replayed as SQL
+    * over the `documents` table: a `sc(doc_id, lang, score)` CTE chain.
+    *
+    * The lexicon/booster/negator tables are VALUES lists generated from
+    * [[graft.text.Sentiment]]'s own maps, and every accumulation the
+    * scorer performs sequentially (per-hit booster additions in window
+    * order, per-doc hit additions in token order) is mirrored as a
+    * position-ORDERED `list(...)` folded with `list_reduce` — so the
+    * double arithmetic reproduces the JVM scorer BIT-FOR-BIT, not just
+    * approximately. Label thresholds compare against FLOAT-cast
+    * literals because the engine compares in float (a double 0.05 sits
+    * 7.4e-10 below float 0.05f — a real, if thin, divergence window).
+    */
+  def sentimentScoreCtes: String = {
+    import graft.text.Sentiment
+    def esc(s: String) = s.replace("'", "''")
+    val lex = Sentiment.lexicon.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"('${esc(t)}', ${v})" }.mkString(", ")
+    val boo = Sentiment.boosters.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"('${esc(t)}', ${v})" }.mkString(", ")
+    val neg = Sentiment.negators.toSeq.sorted
+      .map(t => s"('${esc(t)}')").mkString(", ")
+    val negS = Sentiment.NegationScalar
+    val caps = Sentiment.CapsBoost
+    val excl = Sentiment.ExclBoost
+    s"""lex AS (SELECT * FROM (VALUES $lex) AS t(tok, v)),
+      |        |boo AS (SELECT * FROM (VALUES $boo) AS t(tok, b)),
+      |        |neg AS (SELECT * FROM (VALUES $neg) AS t(tok)),
+      |        |t0 AS (SELECT doc_id, lang, text FROM documents),
+      |        |tk AS (
+      |        |  SELECT doc_id,
+      |        |    list_filter(
+      |        |      list_transform(
+      |        |        list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+      |        |        x -> regexp_replace(regexp_replace(x,
+      |        |          '^[^a-zA-Z0-9'']+', ''), '[^a-zA-Z0-9'']+$$', '')),
+      |        |      x -> x <> '') AS cl
+      |        |  FROM t0),
+      |        |flags AS (
+      |        |  SELECT doc_id, cl,
+      |        |    len(list_filter(cl, x -> x <> upper(x))) = 0 AS allcaps
+      |        |  FROM tk),
+      |        |pos AS (
+      |        |  SELECT doc_id, allcaps, i, cl[i] AS ct, lower(cl[i]) AS lt, cl
+      |        |  FROM flags, unnest(range(1, len(cl) + 1)) AS g(i)),
+      |        |hits AS (
+      |        |  SELECT p.doc_id, p.i, p.cl, lex.v AS base,
+      |        |    CASE WHEN NOT p.allcaps AND p.ct = upper(p.ct)
+      |        |        AND regexp_matches(p.ct, '[a-zA-Z]')
+      |        |      THEN CASE WHEN lex.v >= 0 THEN $caps ELSE -$caps END
+      |        |      ELSE 0.0 END AS capsadd
+      |        |  FROM pos p JOIN lex ON lex.tok = p.lt),
+      |        |wrows AS (
+      |        |  SELECT h.doc_id, h.i, g.j, bo.b AS braw,
+      |        |    CASE h.i - g.j WHEN 1 THEN 1.0 WHEN 2 THEN 0.95
+      |        |      ELSE 0.9 END AS dscale,
+      |        |    (ng.tok IS NOT NULL) AS isneg
+      |        |  FROM hits h
+      |        |  CROSS JOIN unnest(range(greatest(1, h.i - 3), h.i)) AS g(j)
+      |        |  LEFT JOIN boo bo ON bo.tok = lower(h.cl[g.j])
+      |        |  LEFT JOIN neg ng ON ng.tok = lower(h.cl[g.j])),
+      |        |wagg AS (
+      |        |  SELECT doc_id, i,
+      |        |    list(braw * dscale ORDER BY j) FILTER (WHERE braw IS NOT NULL)
+      |        |      AS scaleds,
+      |        |    coalesce(bool_or(isneg), false) AS negd
+      |        |  FROM wrows GROUP BY doc_id, i),
+      |        |vhit AS (
+      |        |  SELECT h.doc_id, h.i,
+      |        |    CASE WHEN coalesce(w.negd, false) THEN $negS ELSE 1.0 END
+      |        |      * list_reduce(
+      |        |          list_prepend(h.base + h.capsadd,
+      |        |            coalesce(w.scaleds, CAST([] AS DOUBLE[]))),
+      |        |          (s, x) -> s + CASE WHEN h.base >= 0 THEN x
+      |        |            ELSE -x END) AS v
+      |        |  FROM hits h LEFT JOIN wagg w
+      |        |    ON w.doc_id = h.doc_id AND w.i = h.i),
+      |        |dv AS (
+      |        |  SELECT doc_id, list(v ORDER BY i) AS vs
+      |        |  FROM vhit GROUP BY doc_id),
+      |        |tot AS (
+      |        |  SELECT t0.doc_id, t0.lang,
+      |        |    coalesce(list_reduce(
+      |        |      list_prepend(CAST(0.0 AS DOUBLE), dv.vs),
+      |        |      (s, x) -> s + x), 0.0) AS total,
+      |        |    least(length(t0.text)
+      |        |      - length(replace(t0.text, '!', '')), 4) AS xcount
+      |        |  FROM t0 LEFT JOIN dv ON dv.doc_id = t0.doc_id),
+      |        |amp AS (
+      |        |  SELECT doc_id, lang,
+      |        |    CASE WHEN xcount > 0 AND total <> 0.0
+      |        |      THEN total + CASE WHEN total > 0 THEN 1.0 ELSE -1.0 END
+      |        |        * xcount * $excl
+      |        |      ELSE total END AS t2
+      |        |  FROM tot),
+      |        |sc AS (
+      |        |  SELECT doc_id, lang,
+      |        |    CAST(greatest(-1.0, least(1.0,
+      |        |      t2 / sqrt(t2 * t2 + 15.0))) AS FLOAT) AS score
+      |        |  FROM amp)""".stripMargin
   }
 }

@@ -70,7 +70,7 @@ object SparkEntry {
     // 100 TB profiling posture
     "q31_approx_distinct"   -> (CoreQueries.approxDistinctStats _), // rows-only
     // U1 sentiment (engine lexicon, not SQL-expressible)
-    "q32_sentiment_by_lang" -> (CoreQueries.sentimentByLang _),     // rows-only
+    "q32_sentiment_by_lang" -> (CoreQueries.sentimentByLang _),
     // S8 catalog surface: temp views + spark.sql
     "q33_sql_top_nations"   -> (CoreQueries.sqlTopNationsPerRegion _),
     // event-time tumbling window (same code runs on readStream)

@@ -680,9 +680,12 @@ object Sentiment {
     (generated ++ hand) -- boosters.keySet -- negators
   }
 
-  private val NegationScalar = -0.74
-  private val CapsBoost = 0.733
-  private val ExclBoost = 0.292
+  /** Rule constants — public so the q32 oracle builder interpolates the
+    * exact same values into its SQL mirror (one source of truth).
+    */
+  val NegationScalar = -0.74
+  val CapsBoost = 0.733
+  val ExclBoost = 0.292
 
   private def stripPunct(t: String): String =
     t.dropWhile(c => !c.isLetterOrDigit && c != '\'')

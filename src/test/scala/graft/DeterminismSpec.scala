@@ -2,15 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions.col
 
-/** Double-run determinism gate for the rows-only queries (q31, q32, q36,
-  * q37, q82, q134): they have no DuckDB oracle (engine lexicon, HLL
-  * internals, media bytes, trained float quantizers), so nondeterminism —
-  * hash-seed drift between runs, AQE/shuffle-partition-count
-  * sensitivity, unstable tie ordering — would be invisible to the
-  * correctness gate. q27–q30 graduated to hash-verified in round 10 but
-  * stay listed: the double-run partition-count sweep catches a different
-  * failure class (merge-order sensitivity) than the single-configuration
-  * oracle compare.
+/** Double-run determinism gate for the rows-only queries (q31, q36,
+  * q37, q82, q134): they have no DuckDB oracle (Spark HLL internals,
+  * media bytes, trained float quantizers), so nondeterminism — hash-seed
+  * drift between runs, AQE/shuffle-partition-count sensitivity, unstable
+  * tie ordering — would be invisible to the correctness gate. q27–q30
+  * and q32 graduated to hash-verified in round 10 but stay listed: the
+  * double-run partition-count sweep catches a different failure class
+  * (merge-order sensitivity) than the single-configuration oracle
+  * compare.
   *
   * Each query runs TWICE, in two fresh session states with deliberately
   * different (and from-the-default different) shuffle-partition counts,
