@@ -59,20 +59,7 @@ object KCore {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src"))
-      // shuffle_hash on the vertex-sized survivor side: under the default
-      // preference Spark picks sort-merge once `keep` outgrows the
-      // broadcast threshold — measured at the 100× leg as three full
-      // sorts of the 117M-row edge set per round (119 s; plan flipped
-      // from the broadcast semi-joins the small SFs get). Hashing the
-      // survivors and STREAMING the edges drops the sorts while staying
-      // scale-safe where a forced broadcast would not (the survivor set
-      // is vertex-bounded, not constant-bounded) — the same discipline as
-      // LabelProp's edge-layout join.
-      val next = e
-        .join(keep.hint("shuffle_hash"), Seq("src"), "left_semi")
-        .join(keep.select(col("src").as("dst")).hint("shuffle_hash"),
-          Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
+      val next = peelJoin(e, keep)
         .localCheckpoint(eager = true, storageLevel = ser)
       val n = next.count()
       // no vertex loses an edge without the edge count shrinking, so
@@ -90,6 +77,25 @@ object KCore {
       s"$k-core peel still shrinking after $maxRounds rounds — raise maxRounds")
     (e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")), round)
   }
+
+  /** One peel round's edge filtering: keep edges whose BOTH endpoints
+    * survive. shuffle_hash on the vertex-sized survivor side: under the
+    * default preference Spark picks sort-merge once `keep` outgrows the
+    * broadcast threshold — measured at the 100× leg as three full sorts
+    * of the 117M-row edge set per round (119 s; the plan silently
+    * flipped from the broadcast semi-joins the small SFs get). Hashing
+    * the survivors and STREAMING the edges drops the sorts while
+    * staying scale-safe where a forced broadcast would not (the
+    * survivor set is vertex-bounded, not constant-bounded) — the same
+    * discipline as LabelProp's edge-layout join. PlanSpec pins the
+    * no-sort-merge shape with broadcast disabled, so the hint can't be
+    * silently lost in a refactor.
+    */
+  private[graft] def peelJoin(e: DataFrame, keep: DataFrame): DataFrame =
+    e.join(keep.hint("shuffle_hash"), Seq("src"), "left_semi")
+      .join(keep.select(col("src").as("dst")).hint("shuffle_hash"),
+        Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
 
   /** q94: the 10-core of the undirected customer–supplier purchase graph
     * — vertices whose co-purchase neighborhood survives mutual degree-10

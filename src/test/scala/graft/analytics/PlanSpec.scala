@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
 
@@ -75,6 +76,40 @@ class PlanSpec extends SparkSpec {
         + df.queryExecution.executedPlan.toString)
     }
     spark.catalog.clearCache() // the pair miners cache intermediates
+  }
+
+  test("q94: the k-core peel joins hash, never sort-merge, even when the " +
+    "survivor side cannot broadcast") {
+    // The 100× regression this pins: once the survivor set outgrew the
+    // broadcast threshold, the un-hinted peel silently degraded to three
+    // sort-merge sorts of the 117M-row edge set per round (SCALING.md
+    // round-10 appendix). Broadcast is disabled here to simulate the
+    // at-scale condition at sf0.001 — the shuffle_hash hint must hold
+    // the plan sort-free.
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val b = graft.graph.PageRank.purchaseEdgesInt(spark, dir)
+      val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 10).select(col("src"))
+      val plan = PlanWalk.executedPlanOf(graft.graph.KCore.peelJoin(e, keep))
+      // only the PEEL's semi-joins are pinned — the one-time edge
+      // derivation (orders⋈lineitem) legitimately sort-merges under this
+      // test's disabled-broadcast conf and is not the per-round hot path
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      val smj = PlanWalk.collectPlan(plan) {
+        case s: SortMergeJoinExec if s.joinType == LeftSemi => s
+      }
+      val shj = PlanWalk.collectPlan(plan) {
+        case s: ShuffledHashJoinExec if s.joinType == LeftSemi => s
+      }
+      assert(smj.isEmpty, s"peel planned sort-merge semi-joins:\n$plan")
+      // ≥ 2: Catalyst may push the semi-joins through the symmetrizing
+      // union, duplicating them per branch — still hash, still sort-free
+      assert(shj.size >= 2, s"expected shuffled-hash semi-joins:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q45/q46: one keyed shuffle each (plus only the output-order sort)") {
