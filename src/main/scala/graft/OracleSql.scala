@@ -5,12 +5,14 @@ package graft
   * Contract (see the driver notes in SparkEntry): same table names, same
   * column aliases, same final ORDER BY as the Spark plan. Queries built
   * on Spark-internal sketches, media bytes, or trained float pipelines
-  * (q31, q36, q37, q82, q134) are intentionally absent — the driver
+  * (q31, q36, q37, q134) are intentionally absent — the driver
   * falls back to a rows-only check for those. q27–q30 graduated to
   * hash-verified in round 10 by replacing their xxhash64 layers with
   * integer rolling-hash / affine-family / quadratic-mixer constructions
-  * (the q141 pattern), and q32 by replaying the engine's own sentiment
-  * lexicon and rule chain as generated SQL.
+  * (the q141 pattern), q32 by replaying the engine's own sentiment
+  * lexicon and rule chain as generated SQL, and q82 by rebuilding the
+  * HLL relationally over the same quadratic mixer (registers, integer
+  * harmonic sum, and linear-counting branch all replayed below).
   *
   * Dialect notes that keep the hashes matching:
   *  - counts are BIGINT in both engines; SUM(CASE ...) over ints is HUGEINT
@@ -1417,6 +1419,58 @@ object OracleSql {
         |GROUP BY GROUPING SETS ((n_name, year(o_orderdate)), (n_name),
         |  (year(o_orderdate)))
         |ORDER BY gid, nation NULLS FIRST, yr NULLS FIRST""".stripMargin,
+
+    // The engine's relational HLL replayed register-for-register: same
+    // quadratic-congruential mixer over the Mersenne prime (constants =
+    // graft.analytics.Hll / VectorHash), same 10-bit bucket split, rho
+    // from the binary-string length (bin() exists in both dialects and
+    // both render no leading zeros), INTEGER harmonic sum, and the same
+    // two-branch estimator. The __all__ row is max-merged from the
+    // per-type register CTE, mirroring the engine's rescan-free union.
+    // DISTINCT first is equivalent to the engine's direct max-aggregation
+    // over raw events (max ignores duplicates) — registers identical.
+    "q82_hll_sketches" ->
+      s"""WITH e AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |h AS (
+        |  SELECT event_type,
+        |    (1566083941 * ((m1 * m1) % 2147483647) + m1) % 2147483647 AS hh
+        |  FROM (
+        |    SELECT event_type,
+        |      (506952114 * ((user_id % 2147483647 + 2147483647) % 2147483647)
+        |        + 1013904223) % 2147483647 AS m1
+        |    FROM e)),
+        |regs AS (
+        |  SELECT event_type, hh & 1023 AS bucket,
+        |    max(22 - CASE WHEN (hh >> 10) = 0 THEN 0
+        |                  ELSE length(bin(hh >> 10)) END) AS reg
+        |  FROM h GROUP BY 1, 2),
+        |allregs AS (
+        |  SELECT '__all__' AS event_type, bucket, max(reg) AS reg
+        |  FROM regs GROUP BY 2),
+        |sk AS (
+        |  SELECT event_type, count(*) AS used,
+        |    sum(1 << (22 - reg)) AS s_part
+        |  FROM (SELECT * FROM regs UNION ALL SELECT * FROM allregs)
+        |  GROUP BY 1),
+        |est AS (
+        |  SELECT event_type, used,
+        |    ${java.lang.Double.toString(graft.analytics.Hll.AlphaNum)}
+        |      / CAST(s_part + (1024 - used) * 4194304 AS DOUBLE) AS raw
+        |  FROM sk),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM e GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__all__', count(DISTINCT user_id) FROM e)
+        |SELECT est.event_type,
+        |  CAST(round(CASE WHEN raw <= 2560.0 AND used < 1024
+        |       THEN 1024.0 * ln(1024.0 / CAST(1024 - used AS DOUBLE))
+        |       ELSE raw END) AS BIGINT) AS est_users,
+        |  CAST(exact_users AS BIGINT) AS exact_users
+        |FROM est JOIN ex ON ex.event_type = est.event_type
+        |ORDER BY 1""".stripMargin,
 
     // Each event lands in len/slide = 4 epoch-aligned windows: the k-offset
     // cross join reproduces Spark's window(ts, '1 hour', '15 minutes').

@@ -178,7 +178,7 @@ object SparkEntry {
     "q80_vector_stats"      -> (Similarity.vectorStatsQuery _),
     // asymmetric GROUPING SETS via the SQL surface
     "q81_grouping_sets"     -> (CoreQueries.groupingSetsRevenue _),
-    // mergeable HLL sketches (union without rescan) — rows-only
+    // mergeable relational HLL (union without rescan) — hash-verified r10
     "q82_hll_sketches"      -> (CoreQueries.hllUserSketches _),
     // sliding (overlapping) event-time windows — streaming code path
     "q83_sliding_windows"   -> ((s, dir) =>

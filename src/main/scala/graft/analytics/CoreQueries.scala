@@ -750,28 +750,77 @@ object CoreQueries {
       ORDER BY gid, nation NULLS FIRST, yr NULLS FIRST""")
   }
 
-  /** q82: mergeable distinct-count sketches (DataSketches HLL) — the
-    * re-aggregatable profiling primitive: per-type sketches built in one
-    * pass, then UNIONED into the global estimate without rescanning the
-    * facts (the property a plain approx_count_distinct, q31, lacks).
-    * Rows-only: DuckDB's HLL is a different sketch; SketchSpec pins the
-    * estimates to the exact counts instead.
+  /** q82: mergeable distinct-count sketches — the engine's OWN relational
+    * HyperLogLog [Flajolet, Fuşy, Gandouet, Meunier, "HyperLogLog: the
+    * analysis of a near-optimal cardinality estimation algorithm", AofA
+    * 2007] with linear-counting small-range correction [Whang,
+    * Vander-Zanden, Taylor, ACM TODS 15(2)]: the re-aggregatable
+    * profiling primitive: per-type sketches built in one pass, then
+    * UNIONED into the global estimate without rescanning the facts (the
+    * property a plain approx_count_distinct, q31, lacks).
+    *
+    * Hash-verified since round 10 (was rows-only on DataSketches
+    * `hll_sketch_agg`, whose xxhash64 internals DuckDB cannot replay):
+    * the register build is `groupBy(type, bucket).max(rho)` — Spark's
+    * map-side partial max IS the sketch merge (the q141 CountMin
+    * argument) and the exchange is fixed-width (≤ |types|·1024 cells)
+    * regardless of corpus size — and the hash is the quadratic-
+    * congruential mixer over the Mersenne prime (the [[graft.functions
+    * .VectorHash]] constants; a purely affine map would walk sequential
+    * user_ids arithmetically through the bucket space, collide never,
+    * and bias linear counting by +n²/2m — the measured q126
+    * mixing-quality lesson). The harmonic sum is INTEGER
+    * (Σ 2^(22−rho) + empty·2^22); the only float steps are one division
+    * of the shared [[Hll.AlphaNum]] literal and, on the small-range
+    * branch, m·ln(m/V) — whose rounded-integer outputs sit ≥ 0.04 from
+    * the nearest half at every test SF (measured), so a 1-ulp
+    * cross-libm `ln` difference cannot flip the BIGINT estimate.
     */
   def hllUserSketches(s: SparkSession, dir: String): DataFrame = {
+    import Hll._
     val e = Tables.events(s, dir)
-    val perType = e.groupBy(col("event_type"))
-      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
-        countDistinct(col("user_id")).as("exact_users"))
-    val all = perType
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
-      .crossJoin(broadcast(
-        e.agg(countDistinct(col("user_id")).as("exact_users"))))
-      .select(lit("__all__").as("event_type"), col("est_users"),
-        col("exact_users"))
-    perType
-      .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("est_users"),
-        col("exact_users"))
-      .union(all)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"))
+    val hashed = e
+      .select(col("event_type"),
+        ((lit(506952114L) * (((col("user_id") % P) + P) % P)
+          + lit(1013904223L)) % P).as("m1"))
+      .select(col("event_type"),
+        ((lit(1566083941L) * ((col("m1") * col("m1")) % P) + col("m1")) % P)
+          .as("h"))
+    val w = shiftright(col("h"), 10)
+    val rho = (lit(WBits + 1) - when(w === 0L, lit(0))
+      .otherwise(length(bin(w)))).as("rho")
+    val regs = hashed
+      .select(col("event_type"), col("h").bitwiseAND(lit(1023L)).as("bucket"),
+        rho)
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("reg"))
+      .cache() // ≤ |types|·1024 rows; reused by the union sketch below
+    // sketch UNION = register-wise max over the per-type sketch TABLE —
+    // no second scan of events
+    val allRegs = regs.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+      .select(lit("__all__").as("event_type"), col("bucket"), col("reg"))
+    val sk = regs.unionByName(allRegs)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("used"),
+        expr("sum(shiftleft(CAST(1 AS BIGINT), 22 - reg))").as("s_part"))
+    val est = sk
+      .select(col("event_type"), col("used"),
+        (lit(AlphaNum) / (col("s_part")
+          + (lit(M.toLong) - col("used")) * lit(1L << 22)).cast("double"))
+          .as("raw"))
+      .select(col("event_type"),
+        round(when(col("raw") <= lit(2.5 * M) && col("used") < M,
+          lit(M.toDouble)
+            * log(lit(M.toDouble) / (lit(M.toLong) - col("used"))
+              .cast("double")))
+          .otherwise(col("raw"))).cast("long").as("est_users"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .unionByName(e.agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(lit("__all__").as("event_type"), col("exact_users")))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("est_users"), col("exact_users"))
       .orderBy(col("event_type"))
   }
 
@@ -1035,4 +1084,26 @@ object CoreQueries {
         sum(when(col("label") === "negative", 1L).otherwise(0L)).as("n_negative"))
       .orderBy(col("lang"))
   }
+}
+
+/** q82 HyperLogLog constants, shared with the DuckDB oracle mirror (the
+  * OracleSqlHelpers interpolation discipline: one definition, two engines,
+  * no drift). Mixer multipliers are the [[graft.functions.VectorHash]]
+  * family — every intermediate stays under 2⁶³ (A·x < 1.1e18,
+  * m₁² < P² ≈ 4.6e18), so Spark longs and DuckDB BIGINTs agree for any
+  * 64-bit user_id after the floor-mod reduction.
+  */
+object Hll {
+  /** 2³¹ − 1 (Mersenne), the q141 modulus. */
+  val P: Long = 2147483647L
+  /** Registers (10 bucket bits); rsd ≈ 1.04/√m ≈ 3.2%. */
+  val M: Int = 1024
+  /** Width of the rho window: (P−1) >> 10 < 2²¹, so rho ∈ [1, 22]. */
+  val WBits: Int = 21
+  /** α₁₀₂₄ · m² · 2²² — the raw-estimate numerator. The oracle embeds
+    * `Double.toString(AlphaNum)` (shortest-roundtrip decimal), so both
+    * engines divide the SAME double by the integer harmonic sum.
+    */
+  val AlphaNum: Double =
+    0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * 4194304.0
 }

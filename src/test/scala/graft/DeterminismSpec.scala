@@ -3,13 +3,13 @@ package graft
 import org.apache.spark.sql.functions.col
 
 /** Double-run determinism gate for the rows-only queries (q31, q36,
-  * q37, q82, q134): they have no DuckDB oracle (Spark HLL internals,
+  * q37, q134): they have no DuckDB oracle (Spark HLL internals,
   * media bytes, trained float quantizers), so nondeterminism — hash-seed
   * drift between runs, AQE/shuffle-partition-count sensitivity, unstable
-  * tie ordering — would be invisible to the correctness gate. q27–q30
-  * and q32 graduated to hash-verified in round 10 but stay listed: the
-  * double-run partition-count sweep catches a different failure class
-  * (merge-order sensitivity) than the single-configuration oracle
+  * tie ordering — would be invisible to the correctness gate. q27–q30,
+  * q32, and q82 graduated to hash-verified in round 10 but stay listed:
+  * the double-run partition-count sweep catches a different failure
+  * class (merge-order sensitivity) than the single-configuration oracle
   * compare.
   *
   * Each query runs TWICE, in two fresh session states with deliberately
