@@ -4,15 +4,18 @@ package graft
   *
   * Contract (see the driver notes in SparkEntry): same table names, same
   * column aliases, same final ORDER BY as the Spark plan. Queries built
-  * on Spark-internal sketches, media bytes, or trained float pipelines
-  * (q31, q36, q37, q134) are intentionally absent — the driver
+  * on Spark-internal sketches, media bytes, or the two-level trained
+  * quantizer (q31, q36, q134) are intentionally absent — the driver
   * falls back to a rows-only check for those. q27–q30 graduated to
   * hash-verified in round 10 by replacing their xxhash64 layers with
   * integer rolling-hash / affine-family / quadratic-mixer constructions
   * (the q141 pattern), q32 by replaying the engine's own sentiment
-  * lexicon and rule chain as generated SQL, and q82 by rebuilding the
+  * lexicon and rule chain as generated SQL, q82 by rebuilding the
   * HLL relationally over the same quadratic mixer (registers, integer
-  * harmonic sum, and linear-counting branch all replayed below).
+  * harmonic sum, and linear-counting branch all replayed below), and
+  * q37 by seeding the IVF codebook with the same mixer and unrolling
+  * its two Lloyd training rounds (round(mean, 6) → FLOAT re-quantizes
+  * both engines onto identical centroid bits between rounds).
   *
   * Dialect notes that keep the hashes matching:
   *  - counts are BIGINT in both engines; SUM(CASE ...) over ints is HUGEINT
@@ -579,6 +582,119 @@ object OracleSql {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // q37: the TRAINED IVF ANN pipeline replayed end-to-end — seed-hash
+    // centroid init (the VectorHash quadratic mixer over vec_id, constants
+    // interpolated so engine and oracle cannot drift), TWO unrolled Lloyd
+    // rounds (argmax-cosine assignment + per-dimension round(mean, 6) →
+    // FLOAT centroids — the q57/q67 fixed-iteration-unroll pattern), then
+    // the final inverted-list build, nprobe=4 query probing, and ranked
+    // top-5. Every cosine is the q26 fold mirror of the codegen kernel
+    // (per-element double upcast, ascending-index folds, dot/(√·√)), so
+    // raw-double argmax ordering agrees bit-for-bit; the cast-to-FLOAT
+    // after the rounded mean re-quantizes both engines onto identical
+    // centroid bits between rounds.
+    "q37_ivf_ann_topk" -> {
+      import graft.functions.VectorHash._
+      // cosine of an n-row (dv, nrm) against a centroid row (cdv, cnrm)
+      def cos(dv: String, nrm: String, cdv: String, cnrm: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, len($dv) + 1), i -> $dv[i] * $cdv[i])), " +
+          s"(s, x) -> s + x) / ($nrm * $cnrm)"
+      // double-upcast + norm of a FLOAT-list centroid table cX(cid, c)
+      def cn(out: String, src: String): String =
+        s"""$out AS (
+        |  SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)) AS cdv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (s, x) -> s + x)) AS cnrm
+        |  FROM $src)"""
+      // one Lloyd round: nearest-centroid argmax (ties → smaller cid, the
+      // engine's max_by(struct(c_cos, -cid))), then round(mean, 6) → FLOAT
+      def lloyd(a: String, from: String, m: String, cNext: String): String =
+        s"""$a AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT n.vec_id, t.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (${cos("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n, $from t) s
+        |  WHERE rn = 1),
+        |$m AS (
+        |  SELECT cid, pos, round(avg(vv), 6) AS m
+        |  FROM (
+        |    SELECT a.cid,
+        |      unnest(range(1, len(e.dv) + 1)) AS pos,
+        |      unnest(e.dv) AS vv
+        |    FROM $a a JOIN e ON e.vec_id = a.vec_id) u
+        |  GROUP BY cid, pos),
+        |$cNext AS (
+        |  SELECT cid, list_transform(list(m ORDER BY pos),
+        |    x -> CAST(x AS FLOAT)) AS c
+        |  FROM $m GROUP BY cid)"""
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding AS v,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, dv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(dv, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM e),
+        |sd AS (
+        |  SELECT vec_id,
+        |    (($PlaneA1 * (vec_id % $PlaneP) + $PlaneB1) % $PlaneP) AS m1
+        |  FROM e),
+        |sh2 AS (
+        |  SELECT vec_id,
+        |    (($PlaneA2 * ((m1 * m1) % $PlaneP) + m1) % $PlaneP) AS h
+        |  FROM sd),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY sh2.h, sh2.vec_id) - 1
+        |      AS BIGINT) AS cid,
+        |    e.v AS c
+        |  FROM sh2 JOIN e ON e.vec_id = sh2.vec_id
+        |  QUALIFY row_number() OVER (ORDER BY sh2.h, sh2.vec_id) <= 16),
+        |${cn("c0n", "c0")},
+        |${lloyd("a1", "c0n", "m1r", "c1")},
+        |${cn("c1n", "c1")},
+        |${lloyd("a2", "c1n", "m2r", "c2")},
+        |${cn("c2n", "c2")},
+        |lists AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT n.vec_id, t.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (${cos("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n, c2n t) s
+        |  WHERE rn = 1),
+        |pr AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT n.vec_id AS query_id, t.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (${cos("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n, c2n t WHERE n.vec_id < 10) s
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT pr.query_id, l.vec_id AS neighbor_id
+        |  FROM pr JOIN lists l ON l.cid = pr.cid
+        |  WHERE l.vec_id <> pr.query_id),
+        |c AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    ${cos("nq.dv", "nq.nrm", "nn.dv", "nn.nrm")} AS cos
+        |  FROM cand
+        |  JOIN n nq ON nq.vec_id = cand.query_id
+        |  JOIN n nn ON nn.vec_id = cand.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cosine
+        |FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin
+    },
 
     // Java regex (Spark) and RE2 (DuckDB) agree on this alternation-of-
     // simple-atoms pattern (leftmost-first in both).

@@ -66,7 +66,7 @@ object SparkEntry {
     "q26_cosine_topk"       -> (Similarity.cosineTopKQuery _),
     "q29_lsh_ann_topk"      -> (Similarity.lshCosineTopKQuery _),
     "q30_embedding_near_dup"-> (Similarity.nearDupQuery _),
-    "q37_ivf_ann_topk"      -> (Similarity.ivfTopKQuery _),       // rows-only
+    "q37_ivf_ann_topk"      -> (Similarity.ivfTopKQuery _),
     // 100 TB profiling posture
     "q31_approx_distinct"   -> (CoreQueries.approxDistinctStats _), // rows-only
     // U1 sentiment (engine lexicon, not SQL-expressible)
@@ -147,8 +147,8 @@ object SparkEntry {
     "q65_funnel"            -> (CoreQueries.funnel _),
     // custom Catalyst AGGREGATE: map-side partial top-k per group
     "q66_topk_aggregate"    -> (CoreQueries.topkAggregate _),
-    // matrix-free power-iteration PCA projection (rows-only: iterative
-    // eigen-math; planted-direction recovery pinned in QualityFloorsSpec)
+    // matrix-free power-iteration PCA projection (oracle: the fixed 8
+    // rounds unroll; planted-direction recovery pinned in QualityFloorsSpec)
     "q67_pca_projection"    -> (Similarity.pcaProjectQuery _),
     // CUBE + grouping_id: all four grouping sets in one pass
     "q68_revenue_cube"      -> (CoreQueries.revenueCube _),

@@ -215,16 +215,38 @@ object Similarity {
     embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4,
       bandBits = 6, tables = 8)
 
-  /** Deterministic IVF coarse quantizer: `nlist` centroids chosen by vector-id
-    * hash order (reproducible, no RNG/training iterations — at scale swap in
-    * k-means centroids without touching the probe path).
+  /** Centroid-seed ordering hash: the [[graft.functions.VectorHash]]
+    * quadratic-congruential mixer applied to the vector id — replayable
+    * BIGINT arithmetic in DuckDB, unlike the xxhash64 it replaced (the
+    * same swap that made q27–q30 hash-verified). The id is floor-reduced
+    * below P first so A₁·v stays under 2⁶³ even for 100-TB-scale ids;
+    * every later intermediate is bounded by P² ≈ 4.6e18.
     */
-  def ivfCentroids(embeddings: DataFrame, nlist: Int): DataFrame =
+  private[graft] def seedHash(vid: Column): Column = {
+    import graft.functions.VectorHash._
+    val v = vid % lit(PlaneP)
+    val m1 = (lit(PlaneA1) * v + lit(PlaneB1)) % lit(PlaneP)
+    val m2 = (m1 * m1) % lit(PlaneP)
+    (lit(PlaneA2) * m2 + m1) % lit(PlaneP)
+  }
+
+  /** Deterministic IVF coarse quantizer: `nlist` centroids chosen by
+    * vector-id hash order (reproducible, no RNG/training iterations — at
+    * scale swap in k-means centroids without touching the probe path).
+    * `orderBy + limit` plans as TakeOrderedAndProject (per-partition
+    * top-nlist, merge of nlist rows — never a full sort); the numbering
+    * window then runs over that ≤ nlist-row frame only, which also
+    * replaces the old `monotonically_increasing_id` (partition-layout-
+    * dependent) with an id the DuckDB oracle reproduces exactly.
+    */
+  def ivfCentroids(embeddings: DataFrame, nlist: Int): DataFrame = {
+    val w = Window.orderBy(seedHash(col("vec_id")), col("vec_id")) // ≤ nlist rows
     embeddings
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(seedHash(col("vec_id")), col("vec_id"))
       .limit(nlist)
-      .select(monotonically_increasing_id().as("centroid_id"),
+      .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
         col("embedding").as("centroid"))
+  }
 
   /** Nearest-`nprobe` centroid assignment per vector (IVF list membership).
     * The centroid table is tiny → broadcast cross join; per-row cost is
@@ -264,10 +286,13 @@ object Similarity {
     * every vector to its nearest centroid (the same broadcast argmax as
     * [[ivfAssign]] nprobe=1) and recomputes centroids as the elementwise
     * mean of their members. Fully deterministic: hash-ordered init, argmax
-    * tie-breaks, and the per-dimension mean is an `avg` aggregate (order-
-    * insensitive up to fp association — identical plan each run). Clusters
-    * that lose all members drop out (standard Lloyd behavior), so the
-    * result may have fewer than `nlist` rows.
+    * tie-breaks, and the per-dimension mean is rounded to 6 before the
+    * float cast — `avg` merges partial sums in shuffle order, so the raw
+    * double is deterministic only up to fp association; the rounding
+    * swallows that ulp drift (the [[hierQuantizer]] discipline), which is
+    * also what lets the q37 DuckDB oracle replay the training rounds
+    * bit-for-bit. Clusters that lose all members drop out (standard Lloyd
+    * behavior), so the result may have fewer than `nlist` rows.
     *
     * Per round: one narrow broadcast-scored pass + two hash aggregations
     * (on (centroid, dim) then centroid) — no driver-side data movement.
@@ -281,7 +306,7 @@ object Similarity {
         .select(col("centroid_id"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        .agg(round(avg(col("v")), 6).as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -336,7 +361,7 @@ object Similarity {
           sum(col("cnt")).over(Window.partitionBy())).cast("long")))
       .select(col("super_id"), col("budget"))
     val wInit = Window.partitionBy(col("super_id"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(seedHash(col("vec_id")), col("vec_id"))
     var children = routed.join(broadcast(counts), Seq("super_id"))
       .withColumn("r", row_number().over(wInit))
       .filter(col("r") <= col("budget"))
@@ -534,7 +559,11 @@ object Similarity {
   /** q37 ships with the trained quantizer (2 Lloyd rounds) — the gate path
     * exercises k-means training, not just the hash-ordered init;
     * QualityFloorsSpec pins trained recall ≥ untrained on the planted
-    * corpus.
+    * corpus. Oracle-verified since round 10: the [[seedHash]] init order,
+    * both unrolled Lloyd rounds (argmax assignment + round(mean, 6) →
+    * float centroids), the final list/probe assignments, and the ranked
+    * probe join all replay in DuckDB — the q57/q67 fixed-iteration-unroll
+    * pattern composed with the q26 cosine fold mirror.
     */
   def ivfTopKQuery(s: SparkSession, dir: String): DataFrame =
     ivfCosineTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5,
