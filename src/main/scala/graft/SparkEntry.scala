@@ -310,7 +310,12 @@ object SparkEntry {
     "q140_quarantine"       -> (graft.etl.Quarantine.quarantineQuery _),
     // Count-Min sketch with affine integer hashes — unlike the
     // xxhash64-seeded HLL/MinHash family the oracle replays it exactly
-    "q141_countmin"         -> (graft.analytics.CountMin.countMinQuery _)
+    "q141_countmin"         -> (graft.analytics.CountMin.countMinQuery _),
+    // KMV/theta sketch: estimated distinct union/intersection/Jaccard
+    // between sources (the sketch twin of q117's exact overlap), exact
+    // common joined in as ground truth; oracle replays the k-minimum-
+    // values build and every estimate
+    "q142_theta_overlap"    -> (graft.analytics.ThetaSketch.thetaOverlapQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
