@@ -4,18 +4,20 @@ package graft
   *
   * Contract (see the driver notes in SparkEntry): same table names, same
   * column aliases, same final ORDER BY as the Spark plan. Queries built
-  * on Spark-internal sketches, media bytes, or the two-level trained
-  * quantizer (q31, q36, q134) are intentionally absent — the driver
-  * falls back to a rows-only check for those. q27–q30 graduated to
-  * hash-verified in round 10 by replacing their xxhash64 layers with
-  * integer rolling-hash / affine-family / quadratic-mixer constructions
-  * (the q141 pattern), q32 by replaying the engine's own sentiment
-  * lexicon and rule chain as generated SQL, q82 by rebuilding the
-  * HLL relationally over the same quadratic mixer (registers, integer
-  * harmonic sum, and linear-counting branch all replayed below), and
-  * q37 by seeding the IVF codebook with the same mixer and unrolling
-  * its two Lloyd training rounds (round(mean, 6) → FLOAT re-quantizes
-  * both engines onto identical centroid bits between rounds).
+  * on Spark-internal sketches or media bytes (q31, q36) are
+  * intentionally absent — the driver falls back to a rows-only check
+  * for those. q27–q30 graduated to hash-verified in round 10 by
+  * replacing their xxhash64 layers with integer rolling-hash /
+  * affine-family / quadratic-mixer constructions (the q141 pattern),
+  * q32 by replaying the engine's own sentiment lexicon and rule chain
+  * as generated SQL, q82 by rebuilding the HLL relationally over the
+  * same quadratic mixer (registers, integer harmonic sum, and
+  * linear-counting branch all replayed below), q37 by seeding the IVF
+  * codebook with the same mixer and unrolling its two Lloyd training
+  * rounds (round(mean, 6) → FLOAT re-quantizes both engines onto
+  * identical centroid bits between rounds), and q134 by applying that
+  * same unroll at BOTH levels of the two-level trained quantizer
+  * (supers, then super-local children over a fixed routing).
   *
   * Dialect notes that keep the hashes matching:
   *  - counts are BIGINT in both engines; SUM(CASE ...) over ints is HUGEINT
@@ -2148,6 +2150,198 @@ object OracleSql {
         |  FROM r LEFT JOIN dups d ON r.vec_id = d.vec_id)
         |SELECT vec_id, centroid_id, rnk, kept
         |FROM res ORDER BY vec_id""".stripMargin,
+
+    // q134: the TRAINED two-level quantizer replayed end-to-end — the q37
+    // Lloyd unroll applied at BOTH levels. Level 1: seed-hash init → two
+    // unrolled Lloyd rounds give the ⌈√nlist⌉ super codebook. Level 2:
+    // route every vector to its nearest super (raw-cosine argmax; the
+    // training routing is fixed across rounds, exactly as the engine
+    // caches `routed`), budget-proportional per-super leaf init in
+    // seed-hash order (ids super_id·nlist + rank, no global numbering),
+    // two SUPER-LOCAL Lloyd rounds — each vector competes only among its
+    // super's children, the n·√nlist shape the engine runs — then probe-2
+    // assignment (top-2 supers by raw cosine, rounded-cosine argmax among
+    // their children) and the q106 SemDeDup screen verbatim. Every cosine
+    // is the q26 fold mirror of the codegen kernel; training argmaxes
+    // compare RAW doubles exactly like the engine's max_by, every
+    // rank/threshold decision goes through round(·, 6), and the
+    // cast-to-FLOAT after each rounded mean re-quantizes both engines
+    // onto identical centroid bits between rounds. nlist/nsuper derive
+    // from count(*) with the same max(8, n/64) knob as the engine.
+    "q134_semdedup_trained" -> {
+      import graft.functions.VectorHash._
+      def cos(dv: String, nrm: String, cdv: String, cnrm: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, len($dv) + 1), i -> $dv[i] * $cdv[i])), " +
+          s"(s, x) -> s + x) / ($nrm * $cnrm)"
+      // double-upcast + norm of a FLOAT-list SUPER table sX(cid, c)
+      def cn(out: String, src: String): String =
+        s"""$out AS (
+        |  SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)) AS cdv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (s, x) -> s + x)) AS cnrm
+        |  FROM $src)"""
+      // same, for a CHILD table lX(super_id, cid, c)
+      def cnc(out: String, src: String): String =
+        s"""$out AS (
+        |  SELECT super_id, cid, list_transform(c, x -> CAST(x AS DOUBLE)) AS cdv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (s, x) -> s + x)) AS cnrm
+        |  FROM $src)"""
+      // one SUPER Lloyd round over the whole corpus (the q37 lloyd)
+      def lloyd(a: String, from: String, m: String, cNext: String): String =
+        s"""$a AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT nn.vec_id, t.cid,
+        |      row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        |        (${cos("nn.dv", "nn.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n nn, $from t) s
+        |  WHERE rn = 1),
+        |$m AS (
+        |  SELECT cid, pos, round(avg(vv), 6) AS m
+        |  FROM (
+        |    SELECT a.cid,
+        |      unnest(range(1, len(e.dv) + 1)) AS pos,
+        |      unnest(e.dv) AS vv
+        |    FROM $a a JOIN e ON e.vec_id = a.vec_id) u
+        |  GROUP BY cid, pos),
+        |$cNext AS (
+        |  SELECT cid, list_transform(list(m ORDER BY pos),
+        |    x -> CAST(x AS FLOAT)) AS c
+        |  FROM $m GROUP BY cid)"""
+      // one CHILD Lloyd round: the candidate join is KEYED on the fixed
+      // routing rt, so each vector scores only its super's children
+      def clloyd(a: String, from: String, m: String, cNext: String): String =
+        s"""$a AS (
+        |  SELECT vec_id, super_id, cid FROM (
+        |    SELECT rt.vec_id, t.super_id, t.cid,
+        |      row_number() OVER (PARTITION BY rt.vec_id ORDER BY
+        |        (${cos("nn.dv", "nn.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM rt
+        |    JOIN $from t USING (super_id)
+        |    JOIN n nn ON nn.vec_id = rt.vec_id) s
+        |  WHERE rn = 1),
+        |$m AS (
+        |  SELECT super_id, cid, pos, round(avg(vv), 6) AS m
+        |  FROM (
+        |    SELECT a.super_id, a.cid,
+        |      unnest(range(1, len(e.dv) + 1)) AS pos,
+        |      unnest(e.dv) AS vv
+        |    FROM $a a JOIN e ON e.vec_id = a.vec_id) u
+        |  GROUP BY super_id, cid, pos),
+        |$cNext AS (
+        |  SELECT super_id, cid, list_transform(list(m ORDER BY pos),
+        |    x -> CAST(x AS FLOAT)) AS c
+        |  FROM $m GROUP BY super_id, cid)"""
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding AS v,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, dv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(dv, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM e),
+        |k AS (
+        |  SELECT greatest(8, count(*) // 64) AS nlist,
+        |    CAST(ceil(sqrt(CAST(greatest(8, count(*) // 64) AS DOUBLE)))
+        |      AS BIGINT) AS nsuper
+        |  FROM embeddings),
+        |sd AS (
+        |  SELECT vec_id,
+        |    (($PlaneA1 * (vec_id % $PlaneP) + $PlaneB1) % $PlaneP) AS m1
+        |  FROM e),
+        |sh2 AS (
+        |  SELECT vec_id,
+        |    (($PlaneA2 * ((m1 * m1) % $PlaneP) + m1) % $PlaneP) AS h
+        |  FROM sd),
+        |s0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY sh2.h, sh2.vec_id) - 1
+        |      AS BIGINT) AS cid,
+        |    e.v AS c
+        |  FROM sh2 JOIN e ON e.vec_id = sh2.vec_id
+        |  QUALIFY row_number() OVER (ORDER BY sh2.h, sh2.vec_id)
+        |    <= (SELECT nsuper FROM k)),
+        |${cn("s0n", "s0")},
+        |${lloyd("sa1", "s0n", "sm1", "s1")},
+        |${cn("s1n", "s1")},
+        |${lloyd("sa2", "s1n", "sm2", "s2")},
+        |${cn("s2n", "s2")},
+        |rt AS (
+        |  SELECT vec_id, cid AS super_id FROM (
+        |    SELECT nn.vec_id, t.cid,
+        |      row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        |        (${cos("nn.dv", "nn.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n nn, s2n t) s
+        |  WHERE rn = 1),
+        |bg AS (
+        |  SELECT super_id,
+        |    greatest(1, CAST(round((SELECT nlist FROM k) * count(*)
+        |      / (SELECT count(*) FROM rt)) AS BIGINT)) AS budget
+        |  FROM rt GROUP BY super_id),
+        |li AS (
+        |  SELECT rt.super_id, rt.vec_id,
+        |    row_number() OVER (PARTITION BY rt.super_id
+        |      ORDER BY sh2.h, rt.vec_id) AS r
+        |  FROM rt JOIN sh2 ON sh2.vec_id = rt.vec_id),
+        |l0 AS (
+        |  SELECT li.super_id,
+        |    CAST(li.super_id * (SELECT nlist FROM k) + li.r - 1
+        |      AS BIGINT) AS cid,
+        |    e.v AS c
+        |  FROM li
+        |  JOIN bg ON bg.super_id = li.super_id
+        |  JOIN e ON e.vec_id = li.vec_id
+        |  WHERE li.r <= bg.budget),
+        |${cnc("l0n", "l0")},
+        |${clloyd("ca1", "l0n", "cm1", "l1")},
+        |${cnc("l1n", "l1")},
+        |${clloyd("ca2", "l1n", "cm2", "l2")},
+        |${cnc("l2n", "l2")},
+        |r2 AS (
+        |  SELECT vec_id, cid AS super_id FROM (
+        |    SELECT nn.vec_id, t.cid,
+        |      row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        |        (${cos("nn.dv", "nn.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n nn, s2n t) s
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT r2.vec_id, t.cid,
+        |    round(${cos("nn.dv", "nn.nrm", "t.cdv", "t.cnrm")}, 6) AS c_cos
+        |  FROM r2
+        |  JOIN l2n t USING (super_id)
+        |  JOIN n nn ON nn.vec_id = r2.vec_id),
+        |asg AS (
+        |  SELECT vec_id, cid AS centroid_id, c_cos FROM (
+        |    SELECT vec_id, cid, c_cos,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY c_cos DESC NULLS LAST, cid) AS rn
+        |    FROM cand) s
+        |  WHERE rn = 1),
+        |r AS (
+        |  SELECT vec_id, centroid_id, c_cos,
+        |    CAST(row_number() OVER (PARTITION BY centroid_id
+        |      ORDER BY c_cos ASC, vec_id) AS BIGINT) AS rnk
+        |  FROM asg),
+        |dups AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM r a
+        |  JOIN r b ON a.centroid_id = b.centroid_id AND b.rnk < a.rnk
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id
+        |  WHERE round(${cos("na.dv", "na.nrm", "nb.dv", "nb.nrm")}, 6)
+        |    >= 0.4)
+        |SELECT r.vec_id, r.centroid_id, r.rnk,
+        |  d.vec_id IS NULL AS kept
+        |FROM r LEFT JOIN dups d ON r.vec_id = d.vec_id
+        |ORDER BY r.vec_id""".stripMargin
+    },
 
     // Matrix-free power iteration, exactly 8 rounds unrolled (the Spark
     // side runs iters=8). Each round mirrors the engine verbatim:

@@ -285,8 +285,9 @@ object SparkEntry {
     // per-language BPE fertility under the corpus-trained merges
     "q133_bpe_fertility"    -> (graft.text.Bpe.bpeFertilityQuery _),
     // SemDeDup with the TRAINED (k-means) quantizer — q106's twin on the
-    // oracle-inexpressible codebook path (rows-only; floor-tested in
-    // SemDedupSpec against the fixed codebook's planted dup-recall)
+    // two-level codebook path (oracle-verified since r10 by unrolling the
+    // Lloyd rounds at both levels; floor-tested in SemDedupSpec against
+    // the fixed codebook's planted dup-recall)
     "q134_semdedup_trained" -> (graft.dedup.SemDedup.semDedupTrainedQuery _),
     // q122's sessionization under a finite tombstone TTL: per-user
     // ordinals RESTART when the inter-session gap exceeds gap+ttl (the

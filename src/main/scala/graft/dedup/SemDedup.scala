@@ -128,10 +128,12 @@ object SemDedup {
     semDedup(e, centroids, tau = 0.4)
   }
 
-  /** q134: the TRAINED-quantizer twin of q106 (rows-only by design —
-    * Lloyd refinement is iterative fp training, not oracle-SQL territory;
-    * SemDedupSpec floors its planted dup-recall against the fixed
-    * codebook's instead). Same corpus, same τ, same n/64 nlist
+  /** q134: the TRAINED-quantizer twin of q106 (oracle-verified since
+    * r10: the DuckDB oracle unrolls the fixed-iteration Lloyd training
+    * at BOTH levels — the q37 pattern — with round(mean, 6) → FLOAT
+    * re-quantizing both engines onto identical centroid bits between
+    * rounds; SemDedupSpec additionally floors its planted dup-recall
+    * against the fixed codebook's). Same corpus, same τ, same n/64 nlist
     * discipline, but the codebook is the TWO-LEVEL k-means quantizer
     * ([[graft.similarity.Similarity.hierQuantizer]]): √nlist supers
     * route, children quantize, so training and assignment both cost

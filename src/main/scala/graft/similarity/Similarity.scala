@@ -327,12 +327,14 @@ object Similarity {
     * under the n/64 knob, vs n²/64), the two-level layout of IVF-HNSW /
     * inverted-multi-index coarse quantizers. Routing is approximate at
     * cluster boundaries — exactly the trade those systems make — so this
-    * backs the rows-only trained path (q134), while q106 keeps the exact
-    * single-level argmax the DuckDB oracle can express.
+    * backs the trained path (q134), while q106 keeps the exact
+    * single-level argmax as the simpler reference construction.
     *
     * Deterministic end to end: hash-ordered inits, argmax id tie-breaks,
     * mean recompute as avg aggregates — the double-run determinism gate
-    * covers q134.
+    * covers q134, and since r10 the DuckDB oracle replays the whole
+    * two-level training (both levels' Lloyd rounds unrolled, the q37
+    * pattern) so q134 is hash-verified, not rows-only.
     *
     * @return (supers, children): (super_id, super) routing table and
     *         (super_id, centroid_id, centroid) leaf codebook, both tiny.
