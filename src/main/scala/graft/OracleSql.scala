@@ -3603,6 +3603,64 @@ object OracleSql {
         |FROM est e
         |LEFT JOIN ex ON ex.source_a = e.source_a AND ex.source_b = e.source_b
         |ORDER BY e.source_a, e.source_b""".stripMargin
+    },
+
+    // q143: the dyadic CM quantile sketch replayed end-to-end — cents
+    // saturation, per-level dyadic nodes, the q141 affine cells, then
+    // all 20 descent steps unrolled (left-child CM min with the sparse
+    // form's implicit-zero cells, integer branch arithmetic). Constants
+    // interpolate from CountMin/CmQuantiles so the engines cannot drift;
+    // ceil(p·n) evaluates in DOUBLE identically on both sides.
+    "q143_cm_quantiles" -> {
+      val P = graft.analytics.CountMin.P
+      val W = graft.analytics.CountMin.W
+      val L = graft.analytics.CmQuantiles.Levels
+      val dom = graft.analytics.CmQuantiles.Domain
+      val hsValues = graft.analytics.CountMin.Hashes
+        .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+      def step(l: Int): String =
+        s"""f$l AS (
+        |  SELECT grp, p, n, target,
+        |    CASE WHEN rank_below + est_left >= target
+        |      THEN nd * 2 ELSE nd * 2 + 1 END AS nd,
+        |    CASE WHEN rank_below + est_left >= target
+        |      THEN rank_below ELSE rank_below + est_left END AS rank_below
+        |  FROM (
+        |    SELECT f.grp, f.p, f.n, f.target, f.nd, f.rank_below,
+        |      min(coalesce(c.cnt, CAST(0 AS BIGINT))) AS est_left
+        |    FROM f${l + 1} f
+        |    CROSS JOIN hs
+        |    LEFT JOIN cells c ON c.grp = f.grp AND c.level = $l
+        |      AND c.r = hs.r
+        |      AND c.bucket =
+        |        ((hs.a * (((f.nd * 2) % $P + $P) % $P) + hs.b) % $P) % $W
+        |    GROUP BY 1, 2, 3, 4, 5, 6) s)"""
+      val steps = (L - 1 to 0 by -1).map(step).mkString(",\n")
+      s"""WITH ev AS (
+        |  SELECT event_type AS grp,
+        |    least(greatest(CAST(round(value * 100) AS BIGINT), 0),
+        |      ${dom - 1}) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |hs(r, a, b) AS (VALUES $hsValues),
+        |nodes AS (
+        |  SELECT grp, g.level, v >> g.level AS nd
+        |  FROM ev, unnest(range(0, $L)) AS g(level)),
+        |cells AS (
+        |  SELECT n.grp, n.level, hs.r,
+        |    ((hs.a * ((n.nd % $P + $P) % $P) + hs.b) % $P) % $W AS bucket,
+        |    count(*) AS cnt
+        |  FROM nodes n CROSS JOIN hs
+        |  GROUP BY 1, 2, 3, 4),
+        |np AS (SELECT grp, count(*) AS n FROM ev GROUP BY 1),
+        |f$L AS (
+        |  SELECT grp, CAST(ps.p AS DOUBLE) AS p, n,
+        |    CAST(ceil(CAST(ps.p AS DOUBLE) * n) AS BIGINT) AS target,
+        |    CAST(0 AS BIGINT) AS nd, CAST(0 AS BIGINT) AS rank_below
+        |  FROM np, (VALUES (0.5), (0.9), (0.99)) ps(p)),
+        |$steps
+        |SELECT grp AS event_type, p, n, target AS target_rank,
+        |  nd AS est_cents, round(nd / 100.0, 2) AS est_value
+        |FROM f0 ORDER BY event_type, p""".stripMargin
     }
   )
 }

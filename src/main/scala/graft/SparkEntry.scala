@@ -316,7 +316,11 @@ object SparkEntry {
     // between sources (the sketch twin of q117's exact overlap), exact
     // common joined in as ground truth; oracle replays the k-minimum-
     // values build and every estimate
-    "q142_theta_overlap"    -> (graft.analytics.ThetaSketch.thetaOverlapQuery _)
+    "q142_theta_overlap"    -> (graft.analytics.ThetaSketch.thetaOverlapQuery _),
+    // dyadic Count-Min quantiles: mergeable rank/quantile sketch (the CM
+    // paper's range-query application) — fixed-size per-level cells, then
+    // an L-step integer dyadic descent the oracle replays bit-for-bit
+    "q143_cm_quantiles"     -> (graft.analytics.CmQuantiles.cmQuantilesQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -44,7 +44,7 @@ object CountMin {
     (2, 69069L, 362437L),
     (3, 134775813L, 1L))
 
-  private def bucket(a: Long, b: Long, k: org.apache.spark.sql.Column) = {
+  private[analytics] def bucket(a: Long, b: Long, k: org.apache.spark.sql.Column) = {
     // floor-mod FIRST: a raw negative key would make Scala-style % return
     // a negative bucket, and a·key overflows long for |key| > ~4.3e9 —
     // reducing the key below P makes both impossible, for the full key
