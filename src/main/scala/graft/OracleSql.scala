@@ -3661,6 +3661,73 @@ object OracleSql {
         |SELECT grp AS event_type, p, n, target AS target_rank,
         |  nd AS est_cents, round(nd / 100.0, 2) AS est_value
         |FROM f0 ORDER BY event_type, p""".stripMargin
+    },
+
+    // q144: the skipping index replayed — range-binned file ids (integer
+    // div on both engines; a double divide would round differently under
+    // Spark's truncating vs DuckDB's rounding cast), per-file min/max,
+    // the k=3 affine bloom bits into the data-sized m-bit space, and
+    // both probe legs. Constants interpolate from SkippingIndex/CountMin.
+    "q144_file_skipping" -> {
+      val P = graft.analytics.CountMin.P
+      val nf = graft.operators.SkippingIndex.NFiles
+      val bpk = graft.operators.SkippingIndex.BitsPerKey
+      val hsValues = graft.analytics.CountMin.Hashes
+        .take(graft.operators.SkippingIndex.BloomK)
+        .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |sp AS (
+        |  SELECT CAST(ceil((max(l_orderkey) + 1) / $nf.0) AS BIGINT)
+        |    AS span FROM li),
+        |fk AS (
+        |  SELECT DISTINCT l_orderkey // sp.span AS file, l_partkey AS key
+        |  FROM li, sp),
+        |st AS (SELECT file, min(key) AS mn, max(key) AS mx
+        |  FROM fk GROUP BY 1),
+        |mm AS (
+        |  SELECT $bpk * ((count(*) + ${nf - 1}) // $nf) AS m
+        |  FROM fk),
+        |hs(j, a, b) AS (VALUES $hsValues),
+        |bb AS (
+        |  SELECT DISTINCT file, j,
+        |    ((a * ((key % $P + $P) % $P) + b) % $P) % mm.m AS bit
+        |  FROM fk, hs, mm),
+        |pr AS (
+        |  SELECT key FROM (SELECT DISTINCT key FROM fk ORDER BY key LIMIT 10)
+        |  UNION ALL
+        |  SELECT mxk + i FROM (SELECT max(key) AS mxk FROM fk),
+        |    unnest(range(1, 4)) g(i)),
+        |nf AS (SELECT count(*) AS n_files FROM st),
+        |mp AS (
+        |  SELECT pr.key, count(*) AS minmax_pass
+        |  FROM pr JOIN st ON pr.key >= st.mn AND pr.key <= st.mx
+        |  GROUP BY 1),
+        |pb AS (
+        |  SELECT pr.key, hs.j,
+        |    ((hs.a * ((pr.key % $P + $P) % $P) + hs.b) % $P) % mm.m AS bit
+        |  FROM pr, hs, mm),
+        |bp AS (
+        |  SELECT key, count(*) AS bloom_pass FROM (
+        |    SELECT pb.key, bb.file, count(*) AS hits
+        |    FROM pb JOIN bb ON bb.j = pb.j AND bb.bit = pb.bit
+        |    GROUP BY 1, 2) s
+        |  WHERE hits = ${graft.operators.SkippingIndex.BloomK}
+        |  GROUP BY 1),
+        |tr AS (
+        |  SELECT pr.key, count(*) AS true_files
+        |  FROM pr JOIN fk ON fk.key = pr.key GROUP BY 1),
+        |mx AS (SELECT max(key) AS mxk FROM fk)
+        |SELECT pr.key AS probe_key, pr.key <= mx.mxk AS present,
+        |  nf.n_files,
+        |  coalesce(mp.minmax_pass, CAST(0 AS BIGINT)) AS minmax_pass,
+        |  coalesce(bp.bloom_pass, CAST(0 AS BIGINT)) AS bloom_pass,
+        |  coalesce(tr.true_files, CAST(0 AS BIGINT)) AS true_files
+        |FROM pr
+        |CROSS JOIN mx CROSS JOIN nf
+        |LEFT JOIN mp ON mp.key = pr.key
+        |LEFT JOIN bp ON bp.key = pr.key
+        |LEFT JOIN tr ON tr.key = pr.key
+        |ORDER BY probe_key""".stripMargin
     }
   )
 }

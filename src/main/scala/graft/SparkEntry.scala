@@ -320,7 +320,11 @@ object SparkEntry {
     // dyadic Count-Min quantiles: mergeable rank/quantile sketch (the CM
     // paper's range-query application) — fixed-size per-level cells, then
     // an L-step integer dyadic descent the oracle replays bit-for-bit
-    "q143_cm_quantiles"     -> (graft.analytics.CmQuantiles.cmQuantilesQuery _)
+    "q143_cm_quantiles"     -> (graft.analytics.CmQuantiles.cmQuantilesQuery _),
+    // per-file min/max + Bloom skipping index at the clustered file
+    // grain: side-by-side proof that stats can't skip uncorrelated point
+    // probes and bloom can (no false negatives; oracle replays the bits)
+    "q144_file_skipping"    -> (graft.operators.SkippingIndex.fileSkippingQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
