@@ -3728,7 +3728,43 @@ object OracleSql {
         |LEFT JOIN bp ON bp.key = pr.key
         |LEFT JOIN tr ON tr.key = pr.key
         |ORDER BY probe_key""".stripMargin
-    }
+    },
+
+    // q145: Adamic–Adar over the q69 projection (cp/capped/edges CTEs
+    // identical to the q69 oracle). True degrees from the full
+    // adjacency, hub cap on the middle vertex, canonical wedge pairs,
+    // NOT-EXISTS edge screen, 1/ln weights rounded to 6 before ranking.
+    "q145_link_prediction" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |capped AS (
+        |  SELECT c, p FROM (
+        |    SELECT c, p, count(*) OVER (PARTITION BY p) AS df FROM cp)
+        |  WHERE df <= 18),
+        |edges AS (
+        |  SELECT DISTINCT x.c AS u, y.c AS v
+        |  FROM capped x JOIN capped y ON x.p = y.p AND x.c < y.c),
+        |und AS (
+        |  SELECT u AS z, v AS n FROM edges
+        |  UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT z, count(*) AS d FROM und GROUP BY 1),
+        |adj AS (
+        |  SELECT und.z, und.n, deg.d FROM und JOIN deg USING (z)
+        |  WHERE deg.d <= 40),
+        |wedges AS (
+        |  SELECT a.n AS u, b.n AS v, a.d AS dz
+        |  FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n),
+        |open_w AS (
+        |  SELECT w.u, w.v, w.dz FROM wedges w
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM edges e WHERE e.u = w.u AND e.v = w.v))
+        |SELECT u, v, count(*) AS common_neighbors,
+        |  round(sum(1.0 / ln(dz)), 6) AS aa_score
+        |FROM open_w
+        |GROUP BY u, v
+        |ORDER BY aa_score DESC, u, v
+        |LIMIT 20""".stripMargin
   )
 }
 

@@ -324,7 +324,10 @@ object SparkEntry {
     // per-file min/max + Bloom skipping index at the clustered file
     // grain: side-by-side proof that stats can't skip uncorrelated point
     // probes and bloom can (no false negatives; oracle replays the bits)
-    "q144_file_skipping"    -> (graft.operators.SkippingIndex.fileSkippingQuery _)
+    "q144_file_skipping"    -> (graft.operators.SkippingIndex.fileSkippingQuery _),
+    // Adamic-Adar link prediction over the q69 co-purchase projection:
+    // hub-capped wedge enumeration, existing-edge anti-join, top-20
+    "q145_link_prediction"  -> (graft.graph.LinkPrediction.linkPredictionQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
