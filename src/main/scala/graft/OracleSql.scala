@@ -3764,7 +3764,47 @@ object OracleSql {
         |FROM open_w
         |GROUP BY u, v
         |ORDER BY aa_score DESC, u, v
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // q146: Bellman–Ford replayed as exactly ROUNDS unrolled relax
+    // steps (the q121/q57 fixed-iteration pattern). Weights and every
+    // accumulation round to 6, so each path length is the same ordered
+    // fold in both engines and min-plus picks identical envelopes.
+    "q146_weighted_paths" -> {
+      val rounds = graft.graph.WeightedPaths.Rounds
+      def relax(k: Int): String =
+        s"""d$k AS (
+        |  SELECT seed, id, min(dist) AS dist FROM (
+        |    SELECT seed, id, dist FROM d${k - 1}
+        |    UNION ALL
+        |    SELECT d.seed, e.dst AS id, round(d.dist + e.w, 6) AS dist
+        |    FROM d${k - 1} d JOIN und e ON e.src = d.id) s
+        |  GROUP BY 1, 2)"""
+      val steps = (1 to rounds).map(relax).mkString(",\n")
+      s"""WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |capped AS (
+        |  SELECT c, p FROM (
+        |    SELECT c, p, count(*) OVER (PARTITION BY p) AS df FROM cp)
+        |  WHERE df <= 18),
+        |ew AS (
+        |  SELECT x.c AS u, y.c AS v, round(1.0 / count(*), 6) AS w
+        |  FROM capped x JOIN capped y ON x.p = y.p AND x.c < y.c
+        |  GROUP BY 1, 2),
+        |und AS (
+        |  SELECT u AS src, v AS dst, w FROM ew
+        |  UNION ALL SELECT v, u, w FROM ew),
+        |sd AS (
+        |  SELECT id FROM (
+        |    SELECT src AS id FROM und UNION SELECT dst FROM und)
+        |  ORDER BY id LIMIT 3),
+        |d0 AS (
+        |  SELECT id AS seed, id, CAST(0.0 AS DOUBLE) AS dist FROM sd),
+        |$steps
+        |SELECT seed, id AS cust_id, dist
+        |FROM d$rounds ORDER BY seed, cust_id""".stripMargin
+    }
   )
 }
 

@@ -327,7 +327,10 @@ object SparkEntry {
     "q144_file_skipping"    -> (graft.operators.SkippingIndex.fileSkippingQuery _),
     // Adamic-Adar link prediction over the q69 co-purchase projection:
     // hub-capped wedge enumeration, existing-edge anti-join, top-20
-    "q145_link_prediction"  -> (graft.graph.LinkPrediction.linkPredictionQuery _)
+    "q145_link_prediction"  -> (graft.graph.LinkPrediction.linkPredictionQuery _),
+    // bounded-round Bellman-Ford over the weighted co-purchase graph:
+    // min-plus distances (oracle: 4 unrolled relax rounds)
+    "q146_weighted_paths"   -> (graft.graph.WeightedPaths.weightedPathsQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
