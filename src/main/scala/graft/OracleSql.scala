@@ -3804,7 +3804,20 @@ object OracleSql {
         |$steps
         |SELECT seed, id AS cust_id, dist
         |FROM d$rounds ORDER BY seed, cust_id""".stripMargin
-    }
+    },
+
+    // q147: q59's join LEFT OUTER — unconverted impressions surface with
+    // a NULL click side. Null click ids sort FIRST by explicit direction
+    // (Spark defaults nulls-first ascending; DuckDB defaults nulls-last).
+    "q147_attribution_outer" ->
+      """SELECT i.user_id, i.event_id AS imp_id, i.ts AS imp_ts,
+        |       c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') i
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = i.user_id
+        | AND c.ts >= i.ts
+        | AND c.ts <= i.ts + INTERVAL 1 HOUR
+        |ORDER BY imp_id, click_id NULLS FIRST""".stripMargin
   )
 }
 

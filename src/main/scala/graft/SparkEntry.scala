@@ -330,7 +330,11 @@ object SparkEntry {
     "q145_link_prediction"  -> (graft.graph.LinkPrediction.linkPredictionQuery _),
     // bounded-round Bellman-Ford over the weighted co-purchase graph:
     // min-plus distances (oracle: 4 unrolled relax rounds)
-    "q146_weighted_paths"   -> (graft.graph.WeightedPaths.weightedPathsQuery _)
+    "q146_weighted_paths"   -> (graft.graph.WeightedPaths.weightedPathsQuery _),
+    // LEFT OUTER stream-stream attribution, batch twin: q59 plus the
+    // unconverted impressions (streaming null-emission-on-expiry proven
+    // in StreamJoinSpec)
+    "q147_attribution_outer" -> (graft.stream.StreamJoins.attributionOuterQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

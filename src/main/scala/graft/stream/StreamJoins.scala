@@ -62,6 +62,51 @@ object StreamJoins {
       .orderBy(col("imp_id"), col("click_id"))
   }
 
+  /** LEFT OUTER attribution: every impression row surfaces — matched
+    * impressions with their click(s), unconverted ones with a NULL click
+    * side. In streaming this is the semantically hard case: the null row
+    * can only be emitted once the WATERMARK passes imp_ts + within
+    * (before that a matching click could still arrive), so Spark holds
+    * the impression in state exactly that long and emits the null on
+    * expiry — outer results are late by one horizon, by design, and the
+    * same state bound as the inner join still applies. In batch the
+    * watermarks are no-ops and this is a plain left outer join, which is
+    * what makes the q147 twin oracle-checkable while StreamJoinSpec
+    * separately proves the expiry-emission behavior on MemoryStreams.
+    */
+  def attributionOuter(
+      impressions: DataFrame, clicks: DataFrame, within: String): DataFrame = {
+    val i = impressions.withWatermark("imp_ts", within)
+      .select(col("imp_id"), col("user_id").as("imp_user"), col("imp_ts"))
+    val c = clicks.withWatermark("click_ts", within)
+      .select(col("click_id"), col("user_id").as("click_user"), col("click_ts"))
+    i.join(c,
+        col("imp_user") === col("click_user")
+          && col("click_ts") >= col("imp_ts")
+          && col("click_ts") <= col("imp_ts") + expr(s"interval $within"),
+        "left_outer")
+      .select(col("imp_user").as("user_id"), col("imp_id"), col("imp_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
+  /** q147: the outer attribution's batch twin — q59 plus the
+    * unconverted-impression rows (the funnel's denominator, which the
+    * inner join silently drops). Null click ids sort FIRST on both
+    * engines by explicit direction.
+    */
+  def attributionOuterQuery(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val imps = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("imp_id"), col("user_id"),
+        col("ts").as("imp_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    attributionOuter(imps, clicks, "1 hour")
+      .orderBy(col("imp_id"), col("click_id").asc_nulls_first)
+  }
+
   /** Watermarked streaming deduplication: drop re-deliveries of the same
     * `idCol` (at-least-once sources re-send), holding only ids younger
     * than the watermark in state. Without the watermark the seen-id state

@@ -89,6 +89,47 @@ class StreamJoinSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("outer attribution: null rows emit only after the watermark closes the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Impression]
+    val clicks = MemoryStream[Click]
+    val joined = StreamJoins.attributionOuter(
+      imps.toDF(), clicks.toDF(), "10 minutes")
+    val query = joined.writeStream
+      .format("memory").queryName("attr_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(
+        Impression(1L, 100L, ts("2024-01-01 10:00:00")), // converts
+        Impression(2L, 200L, ts("2024-01-01 10:00:00"))) // never converts
+      clicks.addData(Click(11L, 100L, ts("2024-01-01 10:05:00")))
+      query.processAllAvailable()
+      // the match emits promptly; imp 2's null row must NOT exist yet —
+      // its horizon (10:10) is still ahead of the watermark, a click
+      // could still arrive
+      val first = spark.table("attr_outer").collect()
+      assert(first.length == 1 && first.head.getAs[Long]("imp_id") == 1L)
+      // advance BOTH streams to 11:00 (wm 10:50 > 10:10), then nudge a
+      // second batch to 12:00 — outer-state eviction runs a batch behind
+      // the watermark update, and the nudge also closes imp 3's horizon
+      imps.addData(Impression(3L, 300L, ts("2024-01-01 11:00:00")))
+      clicks.addData(Click(12L, 998L, ts("2024-01-01 11:00:00")))
+      query.processAllAvailable()
+      imps.addData(Impression(4L, 400L, ts("2024-01-01 12:00:00")))
+      clicks.addData(Click(13L, 997L, ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      val rows = spark.table("attr_outer").collect()
+      val nulls = rows.filter(r => r.isNullAt(r.fieldIndex("click_id")))
+        .map(_.getAs[Long]("imp_id")).toSet
+      assert(nulls === Set(2L, 3L),
+        s"expected expiry-emitted nulls for imps 2 and 3, got $nulls")
+      // imp 4's horizon is still open; the matched imp 1 never gets a
+      // null sibling
+      assert(rows.count(_.getAs[Long]("imp_id") == 1L) === 1)
+      assert(!nulls.contains(4L))
+    } finally query.stop()
+  }
+
   test("streaming dedup: re-delivered ids dropped, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Click]
