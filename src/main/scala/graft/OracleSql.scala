@@ -3817,7 +3817,97 @@ object OracleSql {
         |  ON c.user_id = i.user_id
         | AND c.ts >= i.ts
         | AND c.ts <= i.ts + INTERVAL 1 HOUR
-        |ORDER BY imp_id, click_id NULLS FIRST""".stripMargin
+        |ORDER BY imp_id, click_id NULLS FIRST""".stripMargin,
+
+    // q148: the IVF k-NN classifier replayed — seed-hash codebook over
+    // the EVEN train ids, raw-cosine list/probe argmaxes (the q37
+    // mirrors), rounded-cosine top-5 with the (c desc, neighbor asc)
+    // pin, vote argmax (count desc, label asc), confusion matrix.
+    "q148_knn_classify" -> {
+      import graft.functions.VectorHash._
+      def cos(dv: String, nrm: String, cdv: String, cnrm: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, len($dv) + 1), i -> $dv[i] * $cdv[i])), " +
+          s"(s, x) -> s + x) / ($nrm * $cnrm)"
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding AS v, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, dv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(dv, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM e),
+        |tr AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+        |te AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+        |sh2 AS (
+        |  SELECT vec_id,
+        |    (($PlaneA2 * ((m1 * m1) % $PlaneP) + m1) % $PlaneP) AS h
+        |  FROM (
+        |    SELECT vec_id,
+        |      (($PlaneA1 * (vec_id % $PlaneP) + $PlaneB1) % $PlaneP) AS m1
+        |    FROM tr) s),
+        |nl AS (
+        |  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nlist
+        |  FROM tr),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY sh2.h, sh2.vec_id) - 1
+        |      AS BIGINT) AS cid,
+        |    e.v AS c
+        |  FROM sh2 JOIN e ON e.vec_id = sh2.vec_id
+        |  QUALIFY row_number() OVER (ORDER BY sh2.h, sh2.vec_id)
+        |    <= (SELECT nlist FROM nl)),
+        |c0n AS (
+        |  SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)) AS cdv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (s, x) -> s + x)) AS cnrm
+        |  FROM c0),
+        |lists AS (
+        |  SELECT vec_id, label, cid FROM (
+        |    SELECT t.vec_id, t.label, c.cid,
+        |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+        |        (${cos("t.dv", "t.nrm", "c.cdv", "c.cnrm")})
+        |        DESC NULLS LAST, c.cid) AS rn
+        |    FROM tr t, c0n c) s
+        |  WHERE rn = 1),
+        |pr AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT t.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+        |        (${cos("t.dv", "t.nrm", "c.cdv", "c.cnrm")})
+        |        DESC NULLS LAST, c.cid) AS rn
+        |    FROM te t, c0n c) s
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT pr.query_id, l.vec_id AS neighbor_id, l.label,
+        |    round(${cos("q.dv", "q.nrm", "x.dv", "x.nrm")}, 6) AS c
+        |  FROM pr
+        |  JOIN lists l USING (cid)
+        |  JOIN n q ON q.vec_id = pr.query_id
+        |  JOIN n x ON x.vec_id = l.vec_id),
+        |tk AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT query_id, label,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY c DESC, neighbor_id) AS rn
+        |    FROM cand) s
+        |  WHERE rn <= 5),
+        |votes AS (
+        |  SELECT query_id, label, count(*) AS nv
+        |  FROM tk GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT query_id, label AS pred_label FROM (
+        |    SELECT query_id, label,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY nv DESC, label) AS rn
+        |    FROM votes) s
+        |  WHERE rn = 1)
+        |SELECT te.label AS true_label, pred.pred_label, count(*) AS n
+        |FROM te JOIN pred ON pred.query_id = te.vec_id
+        |GROUP BY 1, 2
+        |ORDER BY true_label, pred_label""".stripMargin
+    }
   )
 }
 

@@ -334,7 +334,11 @@ object SparkEntry {
     // LEFT OUTER stream-stream attribution, batch twin: q59 plus the
     // unconverted impressions (streaming null-emission-on-expiry proven
     // in StreamJoinSpec)
-    "q147_attribution_outer" -> (graft.stream.StreamJoins.attributionOuterQuery _)
+    "q147_attribution_outer" -> (graft.stream.StreamJoins.attributionOuterQuery _),
+    // IVF-probed k-NN label classifier: even/odd holdout, list-keyed
+    // candidate join (query side is half the corpus - no broadcast),
+    // TopK-aggregate collapse, pinned vote ties; confusion matrix out
+    "q148_knn_classify"     -> (graft.similarity.KnnClassify.knnConfusionQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
