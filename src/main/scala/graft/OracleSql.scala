@@ -3907,7 +3907,32 @@ object OracleSql {
         |FROM te JOIN pred ON pred.query_id = te.vec_id
         |GROUP BY 1, 2
         |ORDER BY true_label, pred_label""".stripMargin
-    }
+    },
+
+    // q149: native session_window semantics — gaps-and-islands breaking
+    // when diff > gap (measured: an EXACT-gap pair merges, the same
+    // boundary as q45's engine cut — SessionWindowSpec pins it);
+    // session_end = last event + gap.
+    "q149_session_window" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
 

@@ -338,7 +338,10 @@ object SparkEntry {
     // IVF-probed k-NN label classifier: even/odd holdout, list-keyed
     // candidate join (query side is half the corpus - no broadcast),
     // TopK-aggregate collapse, pinned vote ties; confusion matrix out
-    "q148_knn_classify"     -> (graft.similarity.KnnClassify.knnConfusionQuery _)
+    "q148_knn_classify"     -> (graft.similarity.KnnClassify.knnConfusionQuery _),
+    // Spark's NATIVE session_window aggregation - the declarative twin
+    // of the q45/q122 sessionizers (exclusive-end boundary semantics)
+    "q149_session_window"   -> (graft.stream.WindowedAggs.sessionWindowQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -151,4 +151,26 @@ object WindowedAggs {
           }
       }
   }
+
+  /** Spark's NATIVE `session_window` aggregation — the declarative
+    * API-surface twin of the engine's [[sessionize]]/[[Sessionize]]
+    * state machines, usable in batch AND streaming with the same line.
+    * Boundary semantics MATCH the engine's `diff > gap` cut — measured,
+    * not assumed: a planted pair exactly `gap` apart MERGES into one
+    * window (SessionWindowSpec pins it against both implementations),
+    * so the q149 oracle breaks strictly on diff > gap. The reported
+    * window end is last event + gap.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(col("user_id"),
+        session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** q149: per-user 30-minute native session windows over events. */
+  def sessionWindowQuery(s: SparkSession, dir: String): DataFrame =
+    sessionWindowAgg(graft.Tables.events(s, dir), "30 minutes")
 }
