@@ -3932,7 +3932,35 @@ object OracleSql {
         |  count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM g GROUP BY user_id, grp
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // q150: time-decay MTA replayed — integer raw weights (µs
+    // arithmetic), per-click share as a division of identical integers
+    // rounded to 6, per-view accumulation rounded to 6.
+    "q150_mta_credit" ->
+      """WITH v AS (
+        |  SELECT event_id AS imp_id, user_id, ts AS imp_ts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT v.user_id, v.imp_id, c.click_id,
+        |    3600000000 - (epoch_us(c.click_ts) - epoch_us(v.imp_ts)) AS raw
+        |  FROM v JOIN c ON c.user_id = v.user_id
+        |  WHERE c.click_ts >= v.imp_ts
+        |    AND epoch_us(c.click_ts) - epoch_us(v.imp_ts) <= 3600000000),
+        |pf AS (SELECT * FROM p WHERE raw > 0),
+        |pc AS (SELECT click_id, sum(raw) AS sum_raw FROM pf GROUP BY 1),
+        |sh AS (
+        |  SELECT pf.user_id, pf.imp_id,
+        |    round(CAST(pf.raw AS DOUBLE) / sum_raw, 6) AS share
+        |  FROM pf JOIN pc USING (click_id))
+        |SELECT user_id, imp_id, count(*) AS n_clicks,
+        |  round(sum(share), 6) AS credit
+        |FROM sh GROUP BY user_id, imp_id
+        |ORDER BY credit DESC, imp_id
+        |LIMIT 50""".stripMargin
   )
 }
 

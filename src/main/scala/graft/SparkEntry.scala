@@ -341,7 +341,10 @@ object SparkEntry {
     "q148_knn_classify"     -> (graft.similarity.KnnClassify.knnConfusionQuery _),
     // Spark's NATIVE session_window aggregation - the declarative twin
     // of the q45/q122 sessionizers (exclusive-end boundary semantics)
-    "q149_session_window"   -> (graft.stream.WindowedAggs.sessionWindowQuery _)
+    "q149_session_window"   -> (graft.stream.WindowedAggs.sessionWindowQuery _),
+    // time-decay multi-touch attribution: each click splits one unit of
+    // credit across its in-horizon views (integer linear-decay weights)
+    "q150_mta_credit"       -> (graft.analytics.Attribution.timeDecayQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
