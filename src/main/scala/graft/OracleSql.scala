@@ -3960,7 +3960,60 @@ object OracleSql {
         |  round(sum(share), 6) AS credit
         |FROM sh GROUP BY user_id, imp_id
         |ORDER BY credit DESC, imp_id
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    // q151: the q82 HLL lifted to a rollup lattice — day registers
+    // built once, week and whole-range estimates by register-wise max
+    // over the register table only. Same mixer, same estimator, same
+    // shortest-roundtrip AlphaNum embed.
+    "q151_hll_rollup" ->
+      s"""WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id, ts FROM events
+        |  WHERE user_id IS NOT NULL),
+        |h AS (
+        |  SELECT day,
+        |    (1566083941 * ((m1 * m1) % 2147483647) + m1) % 2147483647 AS hh
+        |  FROM (
+        |    SELECT day,
+        |      (506952114 * ((user_id % 2147483647 + 2147483647) % 2147483647)
+        |        + 1013904223) % 2147483647 AS m1
+        |    FROM e)),
+        |dregs AS (
+        |  SELECT day, hh & 1023 AS bucket,
+        |    max(22 - CASE WHEN (hh >> 10) = 0 THEN 0
+        |                  ELSE length(bin(hh >> 10)) END) AS reg
+        |  FROM h GROUP BY 1, 2),
+        |wregs AS (
+        |  SELECT strftime(date_trunc('week', day), '%Y-%m-%d') AS period,
+        |    bucket, max(reg) AS reg
+        |  FROM dregs GROUP BY 1, 2),
+        |aregs AS (
+        |  SELECT '__all__' AS period, bucket, max(reg) AS reg
+        |  FROM dregs GROUP BY 2),
+        |sk AS (
+        |  SELECT period, count(*) AS used,
+        |    sum(1 << (22 - reg)) AS s_part
+        |  FROM (SELECT * FROM wregs UNION ALL SELECT * FROM aregs)
+        |  GROUP BY 1),
+        |est AS (
+        |  SELECT period, used,
+        |    ${java.lang.Double.toString(graft.analytics.Hll.AlphaNum)}
+        |      / CAST(s_part + (1024 - used) * 4194304 AS DOUBLE) AS raw
+        |  FROM sk),
+        |ex AS (
+        |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS period,
+        |    count(DISTINCT user_id) AS exact_users
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__all__', count(DISTINCT user_id)
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT est.period,
+        |  CAST(round(CASE WHEN raw <= 2560.0 AND used < 1024
+        |       THEN 1024.0 * ln(1024.0 / CAST(1024 - used AS DOUBLE))
+        |       ELSE raw END) AS BIGINT) AS est_users,
+        |  CAST(exact_users AS BIGINT) AS exact_users
+        |FROM est JOIN ex ON ex.period = est.period
+        |ORDER BY est.period""".stripMargin
   )
 }
 

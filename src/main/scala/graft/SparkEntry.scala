@@ -344,7 +344,10 @@ object SparkEntry {
     "q149_session_window"   -> (graft.stream.WindowedAggs.sessionWindowQuery _),
     // time-decay multi-touch attribution: each click splits one unit of
     // credit across its in-horizon views (integer linear-decay weights)
-    "q150_mta_credit"       -> (graft.analytics.Attribution.timeDecayQuery _)
+    "q150_mta_credit"       -> (graft.analytics.Attribution.timeDecayQuery _),
+    // OLAP rollup by sketch merge: day HLL registers -> week/whole-range
+    // estimates without re-touching the facts (q82's sketch, lifted)
+    "q151_hll_rollup"       -> (graft.analytics.HllRollup.weeklyRollupQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
