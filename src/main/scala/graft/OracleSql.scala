@@ -4013,7 +4013,36 @@ object OracleSql {
         |       ELSE raw END) AS BIGINT) AS est_users,
         |  CAST(exact_users AS BIGINT) AS exact_users
         |FROM est JOIN ex ON ex.period = est.period
-        |ORDER BY est.period""".stripMargin
+        |ORDER BY est.period""".stripMargin,
+
+    // q152: the Z-set maintenance algebra replayed — base partials,
+    // signed delta aggregation, the ⊕ merge, zero-count elimination.
+    "q152_ivm_maintain" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS key, o_orderkey AS okey,
+        |    o_totalprice AS value
+        |  FROM orders),
+        |v AS (
+        |  SELECT key, count(*) AS n, sum(value) AS total
+        |  FROM o WHERE okey % 10 <> 0 GROUP BY 1),
+        |d AS (
+        |  SELECT key, CAST(sum(sign) AS BIGINT) AS n,
+        |    sum(sign * value) AS total
+        |  FROM (
+        |    SELECT key, 1 AS sign, value FROM o WHERE okey % 10 = 0
+        |    UNION ALL
+        |    SELECT key, -1, value FROM o
+        |    WHERE okey % 10 <> 0 AND okey % 7 = 0) s
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT key, CAST(sum(n) AS BIGINT) AS n, sum(total) AS total
+        |  FROM (SELECT * FROM v UNION ALL SELECT * FROM d) u
+        |  GROUP BY 1)
+        |SELECT key AS o_custkey, n AS n_orders,
+        |  round(total, 2) AS total_spend,
+        |  round(round(total, 2) / n, 6) AS avg_spend
+        |FROM m WHERE n > 0
+        |ORDER BY o_custkey""".stripMargin
   )
 }
 

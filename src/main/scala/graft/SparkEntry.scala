@@ -347,7 +347,10 @@ object SparkEntry {
     "q150_mta_credit"       -> (graft.analytics.Attribution.timeDecayQuery _),
     // OLAP rollup by sketch merge: day HLL registers -> week/whole-range
     // estimates without re-touching the facts (q82's sketch, lifted)
-    "q151_hll_rollup"       -> (graft.analytics.HllRollup.weeklyRollupQuery _)
+    "q151_hll_rollup"       -> (graft.analytics.HllRollup.weeklyRollupQuery _),
+    // Z-set incremental view maintenance: signed delta batch merged into
+    // stored partial aggregates, zero-count groups eliminated
+    "q152_ivm_maintain"     -> (graft.etl.Ivm.ivmQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

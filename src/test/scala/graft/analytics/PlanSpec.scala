@@ -78,6 +78,32 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache() // the pair miners cache intermediates
   }
 
+  test("q145/q146/q148: the round-10 graph/ANN operators never plan a raw cartesian") {
+    // Same 100 TB-safety property as the dedup-family pin: wedges come
+    // from the z-keyed self-join, relax candidates from the vertex-keyed
+    // edge join, k-NN candidates from the list-keyed index join — a
+    // CartesianProduct anywhere means all-pairs crept back in. (q148's
+    // broadcast of the √n-sized codebook is a hinted BroadcastNestedLoop
+    // by construction, so only the raw cartesian is banned there.)
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val strict = Seq(
+      "q145" -> graft.graph.LinkPrediction.linkPredictionQuery(spark, dir),
+      "q146" -> graft.graph.WeightedPaths.weightedPathsQuery(spark, dir))
+    strict.foreach { case (name, df) =>
+      val bad = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec => b
+      }
+      assert(bad.isEmpty, s"$name planned ${bad.map(_.nodeName)}:\n"
+        + df.queryExecution.executedPlan.toString)
+    }
+    val knn = graft.similarity.KnnClassify.knnConfusionQuery(spark, dir)
+    val raw = PlanWalk.collectPlan(knn.queryExecution.executedPlan) {
+      case c: CartesianProductExec => c
+    }
+    assert(raw.isEmpty, knn.queryExecution.executedPlan.toString)
+  }
+
   test("q94: the k-core peel joins hash, never sort-merge, even when the " +
     "survivor side cannot broadcast") {
     // The 100× regression this pins: once the survivor set outgrew the

@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** IVM contracts: maintained state equals a from-scratch rebuild of
+  * the post-delta world, zero-count groups vanish, and an update
+  * modeled as a −/+ pair adjusts the sum without touching the count.
+  */
+class IvmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("maintained view equals the from-scratch rebuild (testdata)") {
+    val dir = "/root/testdata/sf0.001"
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_custkey").as("key"), col("o_orderkey").as("okey"),
+        col("o_totalprice").as("value"))
+    val maintained = Ivm.ivmQuery(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // post-delta world: base minus the %7 deletions, plus the %10 rows
+    val world = o.filter(col("okey") % 10 =!= 0 && col("okey") % 7 =!= 0)
+      .unionByName(o.filter(col("okey") % 10 === 0))
+    val rebuilt = world.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(maintained.keySet === rebuilt.keySet)
+    // counts are exact; totals compare with a cent tolerance because the
+    // maintained total sums PARTIALS while the rebuild sums raw rows —
+    // different fp association, same value up to ulps
+    maintained.foreach { case (k, (n, total, avg)) =>
+      val (rn, rtotal) = rebuilt(k)
+      assert(n === rn, s"count diverged for key $k")
+      assert(math.abs(total - rtotal) <= 0.011, s"total diverged for key $k")
+      assert(math.abs(avg - total / n) <= 0.011, s"avg inconsistent for key $k")
+    }
+  }
+
+  test("a delete to zero eliminates the group; an update pair keeps the count") {
+    val view = Seq((1L, 1L, 10.0), (2L, 2L, 30.0)).toDF("key", "n", "total")
+    val delta = Seq(
+      (1L, -1L, 10.0),          // key 1: deleted to zero
+      (2L, -1L, 20.0), (2L, 1L, 25.0)) // key 2: update 20 -> 25
+      .toDF("key", "sign", "value")
+    val out = Ivm.maintain(view, delta).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("key") === 2L)
+    assert(out.head.getAs[Long]("n") === 2L)
+    assert(math.abs(out.head.getAs[Double]("total") - 35.0) < 1e-9)
+  }
+}
