@@ -91,12 +91,22 @@ object ThetaSketch {
         when(col("n_h") < k, lit(PlaneP)).otherwise(element_at(col("hs"), k)))
   }
 
-  /** Pairwise estimated overlap between sources, with q117's exact
-    * distinct-shingle common count joined in as ground truth:
-    * (source_a, source_b, est_common, est_union, est_jaccard,
-    * exact_common), all pairs a < b.
+  /** Pairwise estimated overlap between sources — and, when `exactCheck`
+    * is on, q117's exact distinct-shingle common count joined in as
+    * ground truth: (source_a, source_b, est_common, est_union,
+    * est_jaccard[, exact_common]), all pairs a < b.
+    *
+    * `exactCheck = false` is the production-scale mode: it skips the
+    * q117-shape corpus-scale shingle self-join entirely, so the whole
+    * query after the sketch build is arithmetic on |sources|×k frames —
+    * the flat curve the sketch exists to buy (PlanSpec pins that the
+    * sketch-only plan contains exactly one corpus-side exchange: the
+    * distinct; SCALING.md carries its 10×/100× legs). The default stays
+    * `true` because the driver-gated q142 row deliberately publishes the
+    * sketch error against measured truth each round (the q82 discipline).
     */
-  def thetaOverlap(docs: DataFrame, k: Int = K, shingleK: Int = 5): DataFrame = {
+  def thetaOverlap(docs: DataFrame, k: Int = K, shingleK: Int = 5,
+                   exactCheck: Boolean = true): DataFrame = {
     import graft.functions.VectorHash.PlaneP
     val sk = sourceSketches(docs, k, shingleK)
       .withColumn("sample", filter(col("hs"), x => x < col("theta")))
@@ -118,15 +128,21 @@ object ThetaSketch {
         when(col("n_u") === 0L, lit(0.0))
           .otherwise(round(col("n_i").cast("double") / col("n_u"), 4))
           .as("est_jaccard"))
-    // exact twin (q117 shape); pairs sharing no shingle are absent there
-    val exact = graft.dedup.SourceOverlap.sourceOverlap(docs, shingleK)
-      .select(col("source_a"), col("source_b"),
-        col("n_common").as("exact_common"))
-    pairs.join(exact, Seq("source_a", "source_b"), "left")
-      .select(col("source_a"), col("source_b"), col("est_common"),
-        col("est_union"), col("est_jaccard"),
-        coalesce(col("exact_common"), lit(0L)).as("exact_common"))
-      .orderBy(col("source_a"), col("source_b"))
+    if (!exactCheck)
+      pairs.select(col("source_a"), col("source_b"), col("est_common"),
+          col("est_union"), col("est_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    else {
+      // exact twin (q117 shape); pairs sharing no shingle are absent there
+      val exact = graft.dedup.SourceOverlap.sourceOverlap(docs, shingleK)
+        .select(col("source_a"), col("source_b"),
+          col("n_common").as("exact_common"))
+      pairs.join(exact, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), col("est_common"),
+          col("est_union"), col("est_jaccard"),
+          coalesce(col("exact_common"), lit(0L)).as("exact_common"))
+        .orderBy(col("source_a"), col("source_b"))
+    }
   }
 
   def thetaOverlapQuery(s: SparkSession, dir: String): DataFrame =

@@ -26,6 +26,17 @@ object Ivm {
 
   /** Merge a signed delta into a (key, n, total) view: new state =
     * state ⊕ aggregated deltas, zero-count groups eliminated.
+    *
+    * PRECONDITION: the delta must be consistent with the view — a delete
+    * (sign −1) must refer to a row the view's count actually contains, so
+    * no maintained count can go below zero. A negative maintained count is
+    * not a Z-set state; it means the caller fed a delete for a row the
+    * view never absorbed (a torn batch, a replayed delete, an upstream
+    * bug). Folding such groups into zero-elimination would silently mask
+    * the corruption, so instead the merge RAISES on the first negative
+    * group (distributed-side `raise_error`, no driver collect). Callers
+    * that expect dirty deltas should pre-screen them through the
+    * quarantine path (`etl.Quarantine`) rather than suppress the check.
     */
   def maintain(view: DataFrame, delta: DataFrame): DataFrame = {
     val d = delta.groupBy(col("key"))
@@ -35,6 +46,12 @@ object Ivm {
       .unionByName(d)
       .groupBy(col("key"))
       .agg(sum(col("n")).cast("long").as("n"), sum(col("total")).as("total"))
+      .withColumn("n",
+        when(col("n") < 0, raise_error(concat(
+          lit("Ivm.maintain: maintained count went negative for key "),
+          col("key").cast("string"),
+          lit(" — delta deletes a row the view never contained"))))
+          .otherwise(col("n")))
       .filter(col("n") > 0)
   }
 

@@ -37,11 +37,16 @@ object LinkPrediction {
     * undirected edge set: (u, v, common_neighbors, aa_score).
     */
   def adamicAdar(edges: DataFrame, maxHub: Int, topK: Int): DataFrame = {
+    // the edge plan feeds four branches (both undirected directions, the
+    // degree aggregate, the open-pair anti-join) — cache it like the
+    // Triangles caching contract, or an expensive upstream projection
+    // (q69's join + distinct + window) recomputes per branch
+    val e = edges.cache()
     // full adjacency (both directions) + true degrees — degrees are
     // computed BEFORE the hub cap so the weight is the vertex's real
     // 1/ln(deg), not an artifact of the cap
-    val und = edges.select(col("u").as("z"), col("v").as("n"))
-      .unionByName(edges.select(col("v").as("z"), col("u").as("n")))
+    val und = e.select(col("u").as("z"), col("v").as("n"))
+      .unionByName(e.select(col("v").as("z"), col("u").as("n")))
     val deg = und.groupBy(col("z")).agg(count(lit(1)).as("d"))
     val adj = und.join(deg, Seq("z")).filter(col("d") <= maxHub)
     // wedges through z: unordered neighbor pairs, canonical n1 < n2
@@ -50,7 +55,7 @@ object LinkPrediction {
       .select(col("a.n").as("u"), col("b.n").as("v"), col("a.d").as("dz"))
     // keep only NON-adjacent pairs (the wedge endpoints are already
     // canonical u < v, matching the edge set's orientation)
-    val open = wedges.join(edges, Seq("u", "v"), "left_anti")
+    val open = wedges.join(e, Seq("u", "v"), "left_anti")
     open.groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("common_neighbors"),
         round(sum(lit(1.0) / log(col("dz"))), 6).as("aa_score"))

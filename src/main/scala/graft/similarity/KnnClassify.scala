@@ -105,7 +105,8 @@ object KnnClassify {
   }
 
   /** q148: the embeddings-table confusion matrix at the stack's default
-    * knobs (nlist 16, nprobe 4, k 5).
+    * knobs (nlist = max(16, ⌈√n_train⌉) — data-derived, so it exceeds 16
+    * beyond ~256 train vectors; nprobe 4, k 5).
     *
     * Honest data note: the driver testdata's `label` column carries no
     * geometric signal (measured: mean within-label cosine 0.0012 vs

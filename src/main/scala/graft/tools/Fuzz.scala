@@ -1,0 +1,173 @@
+package graft.tools
+
+import java.sql.Timestamp
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.Random
+
+/** Seeded random-corpus DIFFERENTIAL FUZZ harness — the verification tier
+  * above the fixed-dataset oracle gate. The driver's correctness gate
+  * proves every query on ONE dataset per scale factor; boundary-heavy
+  * operators (as-of tolerance edges, interval-overlap endpoints, session
+  * gap ties, MERGE key collisions, IVM delete consistency) are exactly
+  * where a single dataset under-samples the input space. This harness
+  * generates K seeded corpora whose value distributions are CONCENTRATED
+  * ON THE BOUNDARIES — inter-event gaps that land exactly on the 30-minute
+  * session cut (and 1 µs past it), duplicate timestamps within a user,
+  * order dates on the 7-day interval lattice (end_a == start_b), dates
+  * straddling q104's snapshot split, timestamps equal to as-of keys — then
+  * runs the REAL driver-gated queries (`SparkEntry.queries`, unmodified)
+  * over each corpus and dumps results + the same oracle SQL the driver
+  * replays, so `tools/fuzz_diff.py` can diff engine vs DuckDB per corpus.
+  *
+  * Reference tie: generalizes the reference's recomputation-assert test
+  * pattern (`/root/reference/test_cases/` — recompute the pipeline's
+  * claim independently and compare) from fixed fixtures to generated
+  * inputs.
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.Fuzz /tmp/graft-fuzz 20"
+  *   python3 tools/fuzz_diff.py /tmp/graft-fuzz      # → FUZZ summary
+  *
+  * Any divergence gets its seed pinned as a regression case in FuzzSpec
+  * (none found in the round-11 sweep: 20 seeds × 11 families, zero diffs;
+  * FuzzSpec additionally runs the engine-side triple-parity — window-lag
+  * q45 vs typed-state q122 vs native session_window q149 — on every seed,
+  * three independent implementations of the same cut rule).
+  */
+object Fuzz {
+
+  /** The boundary-heavy families under differential fuzz. */
+  val Families: Seq[String] = Seq(
+    "q39_asof_last_order", "q84_next_event",            // as-of joins
+    "q43_events_after_order", "q64_overlapping_orders", // interval joins
+    "q45_event_sessions", "q122_typed_sessions",        // sessionization
+    "q135_ttl_sessions", "q149_session_window",
+    "q127_merge_upsert", "q104_snapshot_diff",          // merge / diff
+    "q152_ivm_maintain")                                // IVM
+
+  private val MicrosPerDay = 86400L * 1000000L
+  private def midnightUs(d: LocalDate): Long =
+    d.atStartOfDay(ZoneOffset.UTC).toInstant.getEpochSecond * 1000000L
+  private def tsOf(us: Long): Timestamp =
+    Timestamp.from(Instant.ofEpochSecond(us / 1000000L,
+      (us % 1000000L) * 1000L))
+
+  /** Seeded orders corpus (~240 rows, 32 users). Date mix: 40% straddle
+    * the q104 snapshot cut (1997–1999, around 1998-06-01); 60% live in
+    * the events era (2024-01) ON THE 7-DAY LATTICE with probability 1/2,
+    * so interval ends coincide exactly (end_a == start_b — the half-open
+    * vs closed overlap boundary) and forward-as-of tolerances (7 days)
+    * land exactly on their edge. Keys are 0..n−1 (unique, dense — the
+    * %5/%3/%7/%10/%89/%97 branches of q127/q152/q104 all populate).
+    */
+  def genOrders(spark: SparkSession, seed: Int): DataFrame = {
+    val rnd = new Random(seed * 7919 + 1)
+    val statuses = Array("F", "O", "P")
+    val prios = Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val oldBase = LocalDate.of(1997, 1, 1)
+    val newBase = LocalDate.of(2024, 1, 1)
+    val rows = (0 until 240).map { i =>
+      val dateUs =
+        if (rnd.nextInt(5) < 2)
+          midnightUs(oldBase.plusDays(rnd.nextInt(1095).toLong)) // straddles 1998-06-01
+        else {
+          val d =
+            if (rnd.nextBoolean()) rnd.nextInt(5) * 7              // exact 7-day lattice
+            else rnd.nextInt(5) * 7 + 1 + rnd.nextInt(6)           // off-lattice
+          midnightUs(newBase.plusDays(d.toLong))
+        }
+      (i.toLong, rnd.nextInt(32).toLong, statuses(rnd.nextInt(3)),
+        (rnd.nextInt(40000000) + 100) / 100.0, tsOf(dateUs),
+        prios(rnd.nextInt(5)))
+    }
+    spark.createDataFrame(rows).toDF("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+  }
+
+  /** Seeded events corpus (~900 rows, 32 users): per-user random walks
+    * from 2024-01-01 whose increments hit the session-cut boundary hard —
+    * 25% exactly 30 min (MERGES: the cut is diff > gap), 10% 30 min + 1 µs
+    * (SPLITS), 10% zero (duplicate ts within a user — the (t, event_id)
+    * tie-break), 10% snap-to-next-midnight (as-of equality with order
+    * dates), rest uniform in (0, 45 min] at µs grain. event_ids are
+    * assigned in global ts order like the driver corpus.
+    */
+  def genEvents(spark: SparkSession, seed: Int): DataFrame = {
+    val rnd = new Random(seed * 104729 + 2)
+    val types = Array("click", "purchase", "signup", "error", "view")
+    val base = midnightUs(LocalDate.of(2024, 1, 1))
+    val gapUs = 30L * 60L * 1000000L
+    val raw = (0 until 32).flatMap { user =>
+      var t = base + rnd.nextInt(7 * 24 * 60).toLong * 60L * 1000000L
+      val n = 12 + rnd.nextInt(34)
+      (0 until n).map { _ =>
+        val inc = rnd.nextInt(20) match {
+          case x if x < 5 => gapUs                       // exact boundary
+          case x if x < 7 => gapUs + 1L                  // 1 µs past it
+          case x if x < 9 => 0L                          // duplicate ts
+          case x if x < 11 =>                            // snap to midnight
+            ((t / MicrosPerDay) + 1L) * MicrosPerDay - t
+          case _ => 1000000L + rnd.nextLong(45L * 60L * 1000000L)
+        }
+        t += inc
+        (tsOf(t), user.toLong, types(rnd.nextInt(5)),
+          (rnd.nextInt(20000) + 1) / 100.0, s"""{"k": ${rnd.nextInt(100)}}""")
+      }
+    }
+    val ordered = raw.sortBy(_._1.getTime).zipWithIndex.map {
+      case ((ts, u, ty, v, p), i) => (i.toLong, ts, u, ty, v, p)
+    }
+    spark.createDataFrame(ordered).toDF("event_id", "ts", "user_id",
+      "event_type", "value", "props")
+  }
+
+  def writeCorpus(spark: SparkSession, seed: Int, dir: String): Unit = {
+    genOrders(spark, seed).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    genEvents(spark, seed).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = if (args.nonEmpty) args(0) else "/tmp/graft-fuzz"
+    val nSeeds = if (args.length > 1) args(1).toInt else 20
+    val spark = graft.SessionDefaults(SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val queries = graft.SparkEntry.queries.filter(q => Families.contains(q._1))
+    require(queries.size == Families.size, "unknown family name")
+    (0 until nSeeds).foreach { seed =>
+      val dir = s"$root/s$seed"
+      writeCorpus(spark, seed, dir)
+      queries.foreach { case (name, fn) =>
+        fn(spark, dir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/out/$name")
+      }
+      spark.catalog.clearCache()
+      println(s"[fuzz] seed $seed done")
+    }
+    // one oracle_sql.json at the root (the SQL is corpus-independent)
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql
+      .filter(kv => Families.contains(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

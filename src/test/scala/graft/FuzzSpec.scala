@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Engine-side half of the differential fuzz harness
+  * ([[graft.tools.Fuzz]]): the DuckDB replay (`tools/fuzz_diff.py`, 20
+  * seeds × 11 families, archived in FUZZ_r11.json) is the cross-engine
+  * leg; this spec holds the legs that don't need a second engine —
+  *
+  *   - generator determinism (a fuzz harness whose corpora aren't
+  *     reproducible can't pin a found divergence as a regression case);
+  *   - boundary coverage floors (the generator's entire value is its
+  *     concentration on the cut/tolerance/tie edges — if a refactor
+  *     dilutes that, the harness keeps "passing" while testing nothing);
+  *   - the sessionization TRIPLE PARITY on every corpus: q45 (window
+  *     lag/running-sum), q122 (typed flatMapGroups state machine) and
+  *     q149 (Spark's native session_window) are three independent
+  *     implementations of the same `diff > gap` cut rule, and on every
+  *     generated corpus all three must agree on the session set.
+  */
+class FuzzSpec extends SparkSpec {
+
+  import graft.tools.Fuzz
+
+  private val seeds = Seq(0, 7, 19)
+
+  test("generator is seed-deterministic and seed-sensitive") {
+    val a = Fuzz.genEvents(spark, 5).collect().toSeq
+    val b = Fuzz.genEvents(spark, 5).collect().toSeq
+    assert(a == b, "same seed must reproduce the identical events corpus")
+    val c = Fuzz.genEvents(spark, 6).collect().toSeq
+    assert(a != c, "different seeds must differ")
+    val oa = Fuzz.genOrders(spark, 5).collect().toSeq
+    val ob = Fuzz.genOrders(spark, 5).collect().toSeq
+    assert(oa == ob, "same seed must reproduce the identical orders corpus")
+  }
+
+  test("corpora stay boundary-concentrated") {
+    val gapUs = 30L * 60L * 1000000L
+    val e = Fuzz.genEvents(spark, 0)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val d = e.withColumn("d", col("t") - lag(col("t"), 1).over(w))
+    def n(cond: org.apache.spark.sql.Column): Long = d.filter(cond).count()
+    assert(n(col("d") === gapUs) > 50, "exact-gap increments must be dense")
+    assert(n(col("d") === gapUs + 1L) > 20, "gap+1µs increments must exist")
+    assert(n(col("d") === 0L) > 20, "duplicate timestamps must exist")
+    val o = Fuzz.genOrders(spark, 0)
+    val lattice = o.as("a").join(o.as("b"),
+      col("a.o_custkey") === col("b.o_custkey") &&
+        col("b.o_orderdate") === col("a.o_orderdate") + expr("INTERVAL 7 DAYS") &&
+        col("a.o_orderkey") < col("b.o_orderkey")).count()
+    assert(lattice > 5, "exact 7-day interval-lattice pairs must exist")
+    assert(o.filter(to_date(col("o_orderdate")) < lit("1998-06-01").cast("date"))
+      .count() > 20, "q104's snapshot cut must split the corpus")
+  }
+
+  test("sessionization triple parity holds on every fuzz corpus") {
+    for (seed <- seeds) {
+      val dir = s"/tmp/graft-fuzz-spec/s$seed"
+      Fuzz.writeCorpus(spark, seed, dir)
+      val q45 = graft.analytics.CoreQueries.eventSessions(spark, dir)
+        .select("user_id", "session_id", "n_events", "start_us", "end_us",
+          "duration_sec").collect().toSet
+      val q122 = graft.stream.Sessionize.typedSessionsQuery(spark, dir)
+        .select("user_id", "session_id", "n_events", "start_us", "end_us",
+          "duration_sec").collect().toSet
+      assert(q45 == q122, s"seed $seed: window-lag vs typed state machine")
+      val q149 = graft.stream.WindowedAggs.sessionWindowQuery(spark, dir)
+        .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+          col("n_events")).collect().toSet
+      val q45k = graft.analytics.CoreQueries.eventSessions(spark, dir)
+        .select(col("user_id"), col("start_us"), col("n_events"))
+        .collect().toSet
+      assert(q45k == q149, s"seed $seed: window-lag vs native session_window")
+      spark.catalog.clearCache()
+    }
+  }
+}

@@ -510,6 +510,67 @@ class PlanSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("q142 sketch-only: no corpus scan, no corpus-scale join — only the " +
+    "|sources|² pair join survives") {
+    // The scale contract of exactCheck=false: after the sketch build
+    // (materialized into the localCheckpoint — the one corpus-side pass),
+    // the remaining plan touches only |sources|×k frames. No parquet scan
+    // and no equi-join may appear; the only join is the |sources|²-bounded
+    // broadcast pair join.
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    val df = graft.analytics.ThetaSketch.thetaOverlap(
+      graft.Tables.documents(spark, dir), exactCheck = false)
+    assert(scans(df).isEmpty,
+      s"sketch-only plan re-scans the corpus:\n${df.queryExecution.executedPlan}")
+    val joins = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case j: BaseJoinExec => j
+    }
+    assert(joins.nonEmpty && joins.forall(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"unexpected joins ${joins.map(_.nodeName)}:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q148: the candidate join stays keyed on centroid_id — the " +
+    "half-corpus query side never broadcast-flips") {
+    // The shape that made the 100× leg pass (SCALING.md round-10): both
+    // candidate sides exchange on the list id. Auto-broadcast off (the
+    // q114 discipline) so any BroadcastExchange left comes from an
+    // explicit hint — and none may carry the query side's q_embedding;
+    // the candidate join must be a shuffle join keyed on centroid_id.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val plan = try {
+      spark.conf.set(key, "-1")
+      graft.similarity.KnnClassify.knnConfusionQuery(spark, dir)
+        .queryExecution.executedPlan
+    } finally spark.conf.set(key, prev)
+    val badBroadcast = PlanWalk.collectPlan(plan) {
+      case b: BroadcastExchangeLike if b.output.exists(_.name == "q_embedding") => b
+    }
+    assert(badBroadcast.isEmpty,
+      s"query side broadcast: ${badBroadcast.map(_.nodeName)}\n$plan")
+    def keyedOnList(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                    out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) =
+      keys.exists(_.references.exists(_.name == "centroid_id")) &&
+        out.exists(_.name == "q_embedding")
+    val keyed = PlanWalk.collectPlan(plan) {
+      case j: SortMergeJoinExec if keyedOnList(j.leftKeys, j.output) => j
+      case j: ShuffledHashJoinExec if keyedOnList(j.leftKeys, j.output) => j
+    }
+    assert(keyed.nonEmpty, s"no centroid_id-keyed shuffle candidate join:\n$plan")
+  }
+
+  test("q149: native session_window plans exactly one exchange before the " +
+    "session merge (plus only the output sort)") {
+    // the groupBy(user_id, session_window) distribution is satisfied by a
+    // single user_id hash exchange feeding the in-partition session merge;
+    // the only other exchange is the deterministic output ORDER BY
+    val df = graft.stream.WindowedAggs.sessionWindowQuery(spark, dir)
+    assert(graft.operators.Bucketing.numShuffles(df) == 2,
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate

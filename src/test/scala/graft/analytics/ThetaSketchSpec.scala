@@ -97,4 +97,14 @@ class ThetaSketchSpec extends SparkSpec {
       .collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("sketch-only mode (exactCheck=false) drops the exact twin but " +
+    "preserves every estimate bit-for-bit") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val skOnly = ThetaSketch.thetaOverlap(docs, exactCheck = false)
+    assert(skOnly.columns.toSeq ==
+      Seq("source_a", "source_b", "est_common", "est_union", "est_jaccard"))
+    val full = ThetaSketch.thetaOverlap(docs).drop("exact_common")
+    assert(skOnly.collect().toSeq == full.collect().toSeq)
+  }
 }

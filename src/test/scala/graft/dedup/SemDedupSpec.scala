@@ -218,4 +218,27 @@ class SemDedupSpec extends SparkSpec {
       assert(kept.count(id => id >= g * 5 && id < g * 5 + 5) == 1,
         s"group $g should keep exactly one representative")
   }
+
+  test("q106 router: exact leg bit-for-bit at the boundary, trained leg " +
+    "one step past it") {
+    import graft.similarity.Similarity
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // 500 vecs → nlist = max(8, 500/64) = 8 = maxNlistExact: EXACT side
+    val routed = SemDedup.semDedupAuto(e, tau = 0.4, maxNlistExact = 8)
+      .collect().toSeq
+    val fixedCentroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val exact = SemDedup.semDedup(e, fixedCentroids, tau = 0.4).collect().toSeq
+    assert(routed == exact, "router must reproduce the exact leg bit-for-bit")
+    // doubled corpus → nlist = 15 > 8: TRAINED side, same bit-for-bit law
+    val big = e.select(col("vec_id"), col("embedding")).unionByName(
+      e.select((col("vec_id") + 500L).as("vec_id"), col("embedding")))
+    val routedBig = SemDedup.semDedupAuto(big, tau = 0.4, maxNlistExact = 8)
+      .collect().toSeq
+    val (supers, children) = Similarity.hierQuantizer(big, nlist = 15, iters = 2)
+    val trained = SemDedup.screenAssigned(
+      Similarity.hierAssign(big, supers, children), tau = 0.4).collect().toSeq
+    assert(routedBig == trained,
+      "router must reproduce the trained leg bit-for-bit")
+  }
 }

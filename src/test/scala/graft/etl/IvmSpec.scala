@@ -50,4 +50,20 @@ class IvmSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n") === 2L)
     assert(math.abs(out.head.getAs[Double]("total") - 35.0) < 1e-9)
   }
+
+  test("an inconsistent delta (delete of a never-contained row) raises, not masks") {
+    // a delete for a key the view doesn't hold would drive the maintained
+    // count negative — folding that into zero-elimination would silently
+    // mask the corrupt delta, so maintain must raise (distributed-side)
+    val view = Seq((1L, 1L, 10.0)).toDF("key", "n", "total")
+    val delta = Seq((2L, -1L, 3.0)).toDF("key", "sign", "value")
+    val e = intercept[Exception] { Ivm.maintain(view, delta).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("went negative")), messages(e).mkString(" | "))
+    // while a CONSISTENT delete straight to zero still just eliminates
+    val ok = Ivm.maintain(view, Seq((1L, -1L, 10.0)).toDF("key", "sign", "value"))
+      .collect()
+    assert(ok.isEmpty)
+  }
 }
