@@ -3528,69 +3528,7 @@ object OracleSql {
     // (P in exact mode), strict-θ samples, then pairwise ∩/∪ counts and
     // the |S|·P/θ estimates in BIGINT×BIGINT / DOUBLE arithmetic both
     // engines evaluate identically. Exact common is the q117 mirror.
-    "q142_theta_overlap" -> {
-      import graft.functions.VectorHash._
-      val k = graft.analytics.ThetaSketch.K
-      s"""WITH tk AS (
-        |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |shg AS (
-        |  SELECT source, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS s
-        |  FROM tk, unnest(range(0, len(t) - 4)) AS g(i)
-        |  WHERE len(t) >= 5),
-        |hx AS (
-        |  SELECT DISTINCT source,
-        |    (($PlaneA2 * ((m1 * m1) % $PlaneP) + m1) % $PlaneP) AS h
-        |  FROM (
-        |    SELECT source, (($PlaneA1 * f + $PlaneB1) % $PlaneP) AS m1
-        |    FROM (
-        |      SELECT source,
-        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(range(1, length(s) + 1),
-        |            j -> CAST(ascii(substring(s, j, 1)) AS BIGINT))),
-        |          (h, c) -> (h * 31 + c) % 1000000007) AS f
-        |      FROM shg) q0) q1),
-        |samp AS (
-        |  SELECT source, h,
-        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
-        |    count(*) OVER (PARTITION BY source) AS n_h
-        |  FROM hx),
-        |th AS (
-        |  SELECT source,
-        |    CASE WHEN max(n_h) < $k THEN CAST($PlaneP AS BIGINT)
-        |         ELSE max(CASE WHEN rn = $k THEN h END) END AS theta
-        |  FROM samp GROUP BY source),
-        |sm AS (
-        |  SELECT s.source, s.h
-        |  FROM samp s JOIN th ON th.source = s.source
-        |  WHERE s.rn <= $k AND s.h < th.theta),
-        |pairs AS (
-        |  SELECT a.source AS source_a, b.source AS source_b,
-        |    least(a.theta, b.theta) AS th
-        |  FROM th a JOIN th b ON a.source < b.source),
-        |ints AS (
-        |  SELECT p.source_a, p.source_b, count(*) AS n_i
-        |  FROM pairs p
-        |  JOIN sm x ON x.source = p.source_a AND x.h < p.th
-        |  JOIN sm y ON y.source = p.source_b AND y.h = x.h
-        |  GROUP BY 1, 2),
-        |unis AS (
-        |  SELECT p.source_a, p.source_b, count(DISTINCT s.h) AS n_u
-        |  FROM pairs p JOIN sm s
-        |    ON s.source IN (p.source_a, p.source_b) AND s.h < p.th
-        |  GROUP BY 1, 2),
-        |est AS (
-        |  SELECT p.source_a, p.source_b,
-        |    CAST(round(CAST(coalesce(i.n_i, 0) * $PlaneP AS DOUBLE) / p.th)
-        |      AS BIGINT) AS est_common,
-        |    CAST(round(CAST(coalesce(u.n_u, 0) * $PlaneP AS DOUBLE) / p.th)
-        |      AS BIGINT) AS est_union,
-        |    CASE WHEN coalesce(u.n_u, 0) = 0 THEN 0.0
-        |         ELSE round(CAST(coalesce(i.n_i, 0) AS DOUBLE) / u.n_u, 4)
-        |    END AS est_jaccard
-        |  FROM pairs p
-        |  LEFT JOIN ints i ON i.source_a = p.source_a AND i.source_b = p.source_b
-        |  LEFT JOIN unis u ON u.source_a = p.source_a AND u.source_b = p.source_b),
+    "q142_theta_overlap" -> (thetaEstCtes + """,
         |shd AS (SELECT DISTINCT source, s FROM shg),
         |ex AS (
         |  SELECT a.source AS source_a, b.source AS source_b,
@@ -3602,8 +3540,15 @@ object OracleSql {
         |  coalesce(ex.n_common, CAST(0 AS BIGINT)) AS exact_common
         |FROM est e
         |LEFT JOIN ex ON ex.source_a = e.source_a AND ex.source_b = e.source_b
-        |ORDER BY e.source_a, e.source_b""".stripMargin
-    },
+        |ORDER BY e.source_a, e.source_b""".stripMargin),
+
+    // q153: q142's sketch-only production mode — identical estimate CTEs,
+    // no q117-shape exact twin anywhere in the query (the scale contract
+    // PlanSpec pins on the Spark side).
+    "q153_theta_sketch_only" -> (thetaEstCtes + """
+        |SELECT source_a, source_b, est_common, est_union, est_jaccard
+        |FROM est ORDER BY source_a, source_b""".stripMargin),
+
 
     // q143: the dyadic CM quantile sketch replayed end-to-end — cents
     // saturation, per-level dyadic nodes, the q141 affine cells, then
@@ -4044,6 +3989,81 @@ object OracleSql {
         |FROM m WHERE n > 0
         |ORDER BY o_custkey""".stripMargin
   )
+
+  /** The shared estimate half of the q142/q153 theta-sketch oracles:
+    * shingle rolling hash → quadratic mixer (VectorHash constants
+    * interpolated), DISTINCT on the MIXED hash (the mixer is not
+    * injective, so dedup placement matters), per-source k smallest via
+    * row_number, θ = k-th minimum (P in exact mode), strict-θ samples,
+    * then pairwise ∩/∪ counts and the |S|·P/θ estimates in
+    * BIGINT×BIGINT / DOUBLE arithmetic both engines evaluate
+    * identically. Ends with the `est` CTE; callers append either the
+    * q117 exact-twin mirror (q142) or a bare projection (q153).
+    */
+  private def thetaEstCtes: String = {
+    import graft.functions.VectorHash._
+    val k = graft.analytics.ThetaSketch.K
+    s"""WITH tk AS (
+      |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |shg AS (
+      |  SELECT source, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS s
+      |  FROM tk, unnest(range(0, len(t) - 4)) AS g(i)
+      |  WHERE len(t) >= 5),
+      |hx AS (
+      |  SELECT DISTINCT source,
+      |    (($PlaneA2 * ((m1 * m1) % $PlaneP) + m1) % $PlaneP) AS h
+      |  FROM (
+      |    SELECT source, (($PlaneA1 * f + $PlaneB1) % $PlaneP) AS m1
+      |    FROM (
+      |      SELECT source,
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(s) + 1),
+      |            j -> CAST(ascii(substring(s, j, 1)) AS BIGINT))),
+      |          (h, c) -> (h * 31 + c) % 1000000007) AS f
+      |      FROM shg) q0) q1),
+      |samp AS (
+      |  SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n_h
+      |  FROM hx),
+      |th AS (
+      |  SELECT source,
+      |    CASE WHEN max(n_h) < $k THEN CAST($PlaneP AS BIGINT)
+      |         ELSE max(CASE WHEN rn = $k THEN h END) END AS theta
+      |  FROM samp GROUP BY source),
+      |sm AS (
+      |  SELECT s.source, s.h
+      |  FROM samp s JOIN th ON th.source = s.source
+      |  WHERE s.rn <= $k AND s.h < th.theta),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    least(a.theta, b.theta) AS th
+      |  FROM th a JOIN th b ON a.source < b.source),
+      |ints AS (
+      |  SELECT p.source_a, p.source_b, count(*) AS n_i
+      |  FROM pairs p
+      |  JOIN sm x ON x.source = p.source_a AND x.h < p.th
+      |  JOIN sm y ON y.source = p.source_b AND y.h = x.h
+      |  GROUP BY 1, 2),
+      |unis AS (
+      |  SELECT p.source_a, p.source_b, count(DISTINCT s.h) AS n_u
+      |  FROM pairs p JOIN sm s
+      |    ON s.source IN (p.source_a, p.source_b) AND s.h < p.th
+      |  GROUP BY 1, 2),
+      |est AS (
+      |  SELECT p.source_a, p.source_b,
+      |    CAST(round(CAST(coalesce(i.n_i, 0) * $PlaneP AS DOUBLE) / p.th)
+      |      AS BIGINT) AS est_common,
+      |    CAST(round(CAST(coalesce(u.n_u, 0) * $PlaneP AS DOUBLE) / p.th)
+      |      AS BIGINT) AS est_union,
+      |    CASE WHEN coalesce(u.n_u, 0) = 0 THEN 0.0
+      |         ELSE round(CAST(coalesce(i.n_i, 0) AS DOUBLE) / u.n_u, 4)
+      |    END AS est_jaccard
+      |  FROM pairs p
+      |  LEFT JOIN ints i ON i.source_a = p.source_a AND i.source_b = p.source_b
+      |  LEFT JOIN unis u ON u.source_a = p.source_a AND u.source_b = p.source_b)""".stripMargin
+  }
 }
 
 /** Builders for oracle-SQL fragments whose constants must track the

@@ -350,7 +350,10 @@ object SparkEntry {
     "q151_hll_rollup"       -> (graft.analytics.HllRollup.weeklyRollupQuery _),
     // Z-set incremental view maintenance: signed delta batch merged into
     // stored partial aggregates, zero-count groups eliminated
-    "q152_ivm_maintain"     -> (graft.etl.Ivm.ivmQuery _)
+    "q152_ivm_maintain"     -> (graft.etl.Ivm.ivmQuery _),
+    // q142's sketch-only production mode: estimates without the exact
+    // twin — the flat-curve path (PlanSpec pins no corpus-scale join)
+    "q153_theta_sketch_only" -> (graft.analytics.ThetaSketch.thetaSketchOnlyQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -54,9 +54,15 @@ object ThetaSketch {
     * A₁·fp < 5.1e17 and every later intermediate < P² ≈ 4.6e18 — Spark
     * longs and DuckDB BIGINTs agree exactly.
     */
-  def thetaHash(s: Column): Column = {
+  def thetaHash(s: Column): Column =
+    mixFingerprint(GraftFunctions.fingerprint(s))
+
+  /** The quadratic-congruential spread over an ALREADY-computed rolling-
+    * hash fingerprint — split out so the sketch build can ride the
+    * one-pass window-fingerprint kernel (`graft_shingle_fps`).
+    */
+  def mixFingerprint(fp: Column): Column = {
     import graft.functions.VectorHash._
-    val fp = GraftFunctions.fingerprint(s)
     val m1 = (lit(PlaneA1) * fp + lit(PlaneB1)) % lit(PlaneP)
     val m2 = (m1 * m1) % lit(PlaneP)
     (lit(PlaneA2) * m2 + m1) % lit(PlaneP)
@@ -73,13 +79,15 @@ object ThetaSketch {
     import graft.functions.VectorHash.PlaneP
     GraftFunctions.register(docs.sparkSession)
     val toks = graft.text.TextOps.tokens(col("text"))
+    // window fingerprints in one compiled pass (the q27 shingle-layer
+    // discipline — ShingleFingerprintSpec pins equality with the
+    // fingerprint-of-concat shape the oracle replays), mixer on top
     val hashes = docs
       .select(col("source"), toks.as("toks"))
       .filter(size(col("toks")) >= shingleK)
       .select(col("source"),
-        explode(graft.text.TextOps.tokenWindows(col("toks"), shingleK))
-          .as("shingle"))
-      .select(col("source"), thetaHash(col("shingle")).as("h"))
+        explode(GraftFunctions.shingleFps(col("toks"), shingleK)).as("fp"))
+      .select(col("source"), mixFingerprint(col("fp")).as("h"))
       .distinct()
     hashes
       .groupBy(col("source"))
@@ -147,4 +155,11 @@ object ThetaSketch {
 
   def thetaOverlapQuery(s: SparkSession, dir: String): DataFrame =
     thetaOverlap(Tables.documents(s, dir))
+
+  /** q153: the sketch-only production mode — same estimates, no exact
+    * twin, so the whole post-sketch query is |sources|×k arithmetic
+    * (SCALING.md carries its flat 10×/100× curve next to q142's).
+    */
+  def thetaSketchOnlyQuery(s: SparkSession, dir: String): DataFrame =
+    thetaOverlap(Tables.documents(s, dir), exactCheck = false)
 }

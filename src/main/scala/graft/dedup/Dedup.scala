@@ -193,9 +193,12 @@ object Dedup {
     docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= k)
+      // one compiled pass over the token array — value-identical to
+      // fingerprint(concat_ws(" ", window)) per window, but without the
+      // per-window string build or the O(k·chars) re-hash
+      // (ShingleFingerprintSpec pins the equality)
       .select(col("doc_id"),
-        explode(transform(shingleArray(col("toks"), k),
-          s => graft.functions.GraftFunctions.fingerprint(s)))
+        explode(graft.functions.GraftFunctions.shingleFps(col("toks"), k))
           .as("shingle"))
       .distinct() // dedup on the 8-byte hash, not the string — that IS the point
   }

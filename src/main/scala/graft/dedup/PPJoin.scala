@@ -93,9 +93,13 @@ object PPJoin {
 
     // prefix: first |x| − ⌈τ|x|⌉ + 1 tokens in rarity order — cached: the
     // volume guard and the candidate join both consume it (same
-    // clearCache contract as `tok`, see the object Scaladoc)
+    // clearCache contract as `tok`, see the object Scaladoc). Narrowed to
+    // the three columns those consumers read BEFORE caching — df/pos are
+    // filter-only, and dropping them roughly halves what the guard's
+    // materializing action serializes into the cache.
     val prefix = ranked.filter(
       col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("token"), col("sz"))
       .cache()
 
     // ×2 upper bound as decimal(38,0): per-token counts can reach corpus

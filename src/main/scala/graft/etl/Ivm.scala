@@ -55,6 +55,27 @@ object Ivm {
       .filter(col("n") > 0)
   }
 
+  /** A continuously-maintained view: the Z-set merge COMPOSED with the
+    * versioned-snapshot commit protocol ([[graft.stream.Ingest
+    * .advanceSnapshot]]) — each signed delta batch reads the latest
+    * committed view state, merges through [[maintain]], and commits the
+    * next version manifest-last. The lifecycle this buys at 100 TB: the
+    * base facts are read once ever; every subsequent commit costs
+    * O(|delta| + |view|), survives writer crashes (torn versions are
+    * invisible and their numbers re-used), and `vacuumSnapshots` bounds
+    * storage. IvmSpec's multi-batch case asserts maintained ≡ rebuilt
+    * after EVERY commit, through crash debris.
+    *
+    * Returns the committed snapshot path; read the view back from it.
+    */
+  def maintainChain(s: SparkSession, tablePath: String,
+                    delta: DataFrame): String =
+    graft.stream.Ingest.advanceSnapshot(s, tablePath,
+      delta.select(col("key"), lit(0L).as("n"),
+        (col("value") * lit(0.0)).as("total")).limit(0)) {
+      base => maintain(base, delta)
+    }
+
   /** q152: per-customer order count/spend maintained through a
     * deterministic change batch — base view = orders with key % 10 ≠ 0;
     * delta inserts the % 10 = 0 rows and deletes the % 7 = 0 rows the

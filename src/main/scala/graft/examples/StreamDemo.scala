@@ -140,6 +140,28 @@ object StreamDemo {
     assert(streamed.exists { case (_, sid, _) => sid == 1L } &&
       streamed.size == 3, "expected the TTL ordinal restart at minute 100100")
 
+    // 6. IVM CHAIN: a continuously-maintained aggregate riding the same
+    //    commit protocol — three signed delta batches (inserts, an
+    //    update pair, a delete-to-zero) through Ivm.maintainChain, then
+    //    maintained ≡ rebuilt on the final commit. The lifecycle claim:
+    //    the "base facts" are read once ever; each commit costs
+    //    O(|delta| + |view|).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ivmTable = s"$base/ivm_view"
+    val deltas = Seq(
+      Seq((10L, 1L, 5.0), (11L, 1L, 3.0), (10L, 1L, 2.0)),
+      Seq((11L, -1L, 3.0), (11L, 1L, 4.5)),
+      Seq((10L, -1L, 5.0), (10L, -1L, 2.0)))
+    val ivmPath = deltas.map(d => graft.etl.Ivm.maintainChain(
+      spark, ivmTable, d.toDF("key", "sign", "value"))).last
+    val ivmView = spark.read.parquet(ivmPath)
+      .select(col("key"), col("n"), col("total")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    println(s"6 ivm chain        -> $ivmPath : $ivmView")
+    assert(ivmView == Set((11L, 1L, 4.5)),
+      s"maintained view diverged from the rebuild: $ivmView")
+
     println("StreamDemo: all assertions passed")
     spark.stop()
   }

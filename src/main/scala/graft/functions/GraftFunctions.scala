@@ -43,6 +43,24 @@ object GraftFunctions {
     SimHash62(args(0))
   }
 
+  private def shingleFpsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"graft_shingle_fps expects 2 arguments (tokens, k), got ${args.length}")
+    val kExpr = args(1)
+    require(kExpr.foldable,
+      "graft_shingle_fps' k argument must be a constant integer")
+    val k = kExpr.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_shingle_fps' k argument must be a constant integer, got $other")
+    }
+    require(k >= 1, s"graft_shingle_fps' k must be >= 1, got $k")
+    ShingleFingerprints(args(0), k)
+  }
+
   private def lshBucketBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, s"graft_lsh_bucket expects 2 arguments, got ${args.length}")
     // any constant-foldable integer works (bare literal, negated literal,
@@ -128,6 +146,9 @@ object GraftFunctions {
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHash62].getCanonicalName, "graft_simhash"),
       simhashBuilder _),
+    ("graft_shingle_fps",
+      new ExpressionInfo(classOf[ShingleFingerprints].getCanonicalName, "graft_shingle_fps"),
+      shingleFpsBuilder _),
     ("graft_lsh_bucket",
       new ExpressionInfo(classOf[HyperplaneSketch].getCanonicalName, "graft_lsh_bucket"),
       lshBucketBuilder _),
@@ -161,6 +182,9 @@ object GraftFunctions {
   def sentiment(text: Column): Column = call_function("graft_sentiment", text)
   def fingerprint(text: Column): Column = call_function("graft_fingerprint", text)
   def simhash62(tokens: Column): Column = call_function("graft_simhash", tokens)
+  def shingleFps(tokens: Column, k: Int): Column =
+    call_function("graft_shingle_fps", tokens,
+      org.apache.spark.sql.functions.lit(k))
   def lshBucket(v: Column, bits: Int): Column =
     call_function("graft_lsh_bucket", v, org.apache.spark.sql.functions.lit(bits))
   def topk(v: Column, k: Int): Column =

@@ -78,6 +78,60 @@ object TextHash {
     h
   }
 
+  /** All k-token-window fingerprints of a token array in ONE compiled
+    * pass — value-identical to `fingerprint(concat_ws(" ", window))` per
+    * window (ShingleFingerprintSpec pins the equality on the real
+    * corpus), but computed compositionally: per token t, H = fp(t) and
+    * PW = 31^len(t) mod P are built once (O(total chars)); a window then
+    * combines in O(k) modular ops via
+    * fp(x ∘ " t") = (fp(x)·31^(len(t)+1) + (32·31^len(t) + fp(t))) mod P
+    * (32 = ' '). The naive shape evaluates O(k · total chars) character
+    * steps AND allocates a concatenated string per window — on the
+    * minhash path (q27) the shingle layer was the measured hot spot
+    * (BENCH_SELF_r11). Precondition: no null elements (the engine's
+    * tokenizers never emit them).
+    */
+  def shingleFingerprints(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                          k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val fp = new Array[Long](n)
+    val pw = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val str = arr.getUTF8String(i).toString
+      var h = 0L
+      var p = 1L
+      var j = 0
+      while (j < str.length) {
+        h = (h * Base + str.charAt(j)) % Modulus
+        p = (p * Base) % Modulus
+        j += 1
+      }
+      fp(i) = h
+      pw(i) = p
+      i += 1
+    }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = fp(i)
+      var j = i + 1
+      while (j < i + k) {
+        // every factor < Modulus ≈ 1e9+7, so products stay < P² < 2⁶³
+        h = ((h * ((pw(j) * Base) % Modulus)) % Modulus
+          + (32L * pw(j) + fp(j)) % Modulus) % Modulus
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** SimHash bit parameters: bit j of the signature is derived from the
     * affine hash yⱼ(x) = (SimA(j)·x + SimB(j)) mod SimP of the token's
     * rolling-hash fingerprint x — each bit its own member of the
@@ -157,6 +211,36 @@ case class SimHash62(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash62 =
+    copy(child = newChild)
+}
+
+/** Native codegen window-fingerprint generator: array<string> tokens →
+  * array<long> of all k-window rolling-hash fingerprints (see
+  * [[TextHash.shingleFingerprints]] for the composition law and why it
+  * beats fingerprint-over-concat_ws on the hashed-shingle paths).
+  */
+case class ShingleFingerprints(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_shingle_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.shingleFingerprints(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = TextHash.getClass.getName
+    defineCodeGen(ctx, ev, c => s"$kernel.MODULE$$.shingleFingerprints($c, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleFingerprints =
     copy(child = newChild)
 }
 

@@ -270,6 +270,35 @@ object Ingest {
     doomed.map(_.getPath.getName).sorted
   }
 
+  /** Generic snapshot TRANSACTION on a versioned table — the commit
+    * protocol detached from the MERGE sink so any state-evolution step
+    * can ride it (the IVM chain, [[graft.etl.Ivm.maintainChain]], is the
+    * first composer): read the latest committed state (or `empty` for a
+    * fresh table), apply `step`, write the next version, commit by
+    * writing the manifest LAST. Crash-safe exactly like the MERGE drain:
+    * a torn write without its manifest PUT is invisible as a base, and
+    * its version number is re-used by the retry (single-writer
+    * assumption, as documented on [[drainMergeToParquet]]).
+    *
+    * Returns the committed snapshot path.
+    */
+  def advanceSnapshot(
+      spark: SparkSession,
+      tablePath: String,
+      empty: => DataFrame)(step: DataFrame => DataFrame): String = {
+    val (fs, table) = fsFor(spark, tablePath)
+    val cur = latestVersion(fs, table)
+    val base = cur match {
+      case Some(v) => spark.read.parquet(versionPath(table, v).toString)
+      case None    => empty
+    }
+    val next = cur.getOrElse(-1L) + 1L
+    step(base).write.mode("overwrite")
+      .parquet(versionPath(table, next).toString)
+    writeManifest(fs, table, next)
+    versionPath(table, next).toString
+  }
+
   /** foreachBatch variant for sinks that need batch-side logic (e.g. the
     * unified-join recompute after each micro-batch, `README.md:217-223`).
     */

@@ -66,4 +66,60 @@ class IvmSpec extends SparkSpec {
       .collect()
     assert(ok.isEmpty)
   }
+
+  test("multi-batch chain: maintained ≡ rebuilt after every commit, " +
+    "through crash debris") {
+    // the engine's two lifecycle abstractions composed: Z-set maintenance
+    // riding the versioned-snapshot commit protocol. Four delta batches
+    // (inserts, delete+insert, an update pair, a delete-to-zero), with a
+    // torn uncommitted version injected AHEAD of the manifest before
+    // batch 2 — the retry must reuse its number and stay correct.
+    val dir = java.nio.file.Files.createTempDirectory("ivm-chain").toString
+    val batches = Seq(
+      Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (1L, 1L, 5.0)),
+      Seq((1L, -1L, 10.0), (3L, 1L, 7.0)),
+      Seq((2L, -1L, 20.0), (2L, 1L, 22.0)),
+      Seq((3L, -1L, 7.0)))
+    var world = Vector.empty[(Long, Double)]
+    val paths = batches.zipWithIndex.map { case (b, i) =>
+      if (i == 2) {
+        // crash debris: a fully-written (parquet + _SUCCESS) version the
+        // manifest never pointed at — invisible as a base by protocol
+        Seq((99L, 99L, 9999.0)).toDF("key", "n", "total")
+          .write.parquet(s"$dir/v000002")
+      }
+      val path = Ivm.maintainChain(spark, dir, b.toDF("key", "sign", "value"))
+      b.foreach { case (k, s, v) =>
+        if (s > 0) world :+= ((k, v))
+        else {
+          val idx = world.indexOf((k, v))
+          assert(idx >= 0, "test bookkeeping: delete of absent row")
+          world = world.patch(idx, Nil, 1)
+        }
+      }
+      val maintained = spark.read.parquet(path).collect()
+        .map(r => r.getAs[Long]("key") ->
+          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+      val rebuilt = world.groupBy(_._1).map { case (k, vs) =>
+        k -> (vs.size.toLong, vs.map(_._2).sum)
+      }
+      assert(maintained.keySet == rebuilt.keySet, s"after batch $i")
+      rebuilt.foreach { case (k, (n, total)) =>
+        assert(maintained(k)._1 == n, s"count for key $k after batch $i")
+        assert(math.abs(maintained(k)._2 - total) < 1e-9,
+          s"total for key $k after batch $i")
+      }
+      path
+    }
+    // the debris version number was reused by batch 2's commit
+    assert(paths(2).endsWith("v000002"))
+    val debris = spark.read.parquet(paths(2)).collect()
+    assert(!debris.exists(_.getAs[Long]("key") == 99L),
+      "debris payload leaked into the committed chain")
+    // vacuum keeps the manifest-pointed tail readable
+    graft.stream.Ingest.vacuumSnapshots(spark, dir, keep = 1)
+    val after = spark.read.parquet(paths.last).collect()
+      .map(r => r.getAs[Long]("key")).toSet
+    assert(after == Set(1L, 2L), "post-vacuum view must remain readable")
+  }
 }
