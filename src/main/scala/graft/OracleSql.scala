@@ -3549,6 +3549,93 @@ object OracleSql {
         |SELECT source_a, source_b, est_common, est_union, est_jaccard
         |FROM est ORDER BY source_a, source_b""".stripMargin),
 
+    // q154: SCD2 history replayed — the stacked-snapshot construction
+    // (rotating %11 deletions, one-shot %13 price changes), change/gap
+    // detection via lag, run segmentation via running sum, run collapse.
+    // IS DISTINCT FROM mirrors Spark's null-safe <=> on the payload.
+    "q154_scd2_history" ->
+      """WITH v AS (SELECT CAST(r AS BIGINT) AS version FROM range(1, 5) t(r)),
+        |snaps AS (
+        |  SELECT v.version, o.o_orderkey,
+        |    CASE WHEN o.o_orderkey % 13 BETWEEN 2 AND 4
+        |           AND o.o_orderkey % 13 <= v.version
+        |         THEN round(o.o_totalprice + 100.0, 2)
+        |         ELSE o.o_totalprice END AS o_totalprice,
+        |    o.o_orderstatus
+        |  FROM orders o CROSS JOIN v
+        |  WHERE v.version = 1 OR o.o_orderkey % 11 <> v.version),
+        |m AS (
+        |  SELECT snaps.*, lag(version) OVER w AS prev_v,
+        |    lag(o_totalprice) OVER w AS prev_p1,
+        |    lag(o_orderstatus) OVER w AS prev_p2
+        |  FROM snaps WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)),
+        |mk AS (
+        |  SELECT m.*,
+        |    CASE WHEN prev_v IS NULL OR prev_v <> version - 1
+        |           OR prev_p1 IS DISTINCT FROM o_totalprice
+        |           OR prev_p2 IS DISTINCT FROM o_orderstatus
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM m),
+        |sg AS (
+        |  SELECT mk.*,
+        |    sum(is_start) OVER (PARTITION BY o_orderkey ORDER BY version
+        |      ROWS UNBOUNDED PRECEDING) AS seg
+        |  FROM mk),
+        |h AS (
+        |  SELECT o_orderkey, seg, o_totalprice, o_orderstatus,
+        |    min(version) AS valid_from, max(version) AS last_v
+        |  FROM sg GROUP BY 1, 2, 3, 4)
+        |SELECT o_orderkey, o_totalprice, o_orderstatus, valid_from,
+        |  CASE WHEN last_v = 4 THEN NULL ELSE last_v + 1 END AS valid_to,
+        |  last_v = 4 AS is_current
+        |FROM h ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    // q155: the round-trip law AS the oracle — the engine reconstructs
+    // version 3 from the SCD2 history; the oracle builds the version-3
+    // snapshot DIRECTLY (deletion filter + price rule), never touching
+    // the history algebra. Agreement proves reconstruct(v) ≡ snapshot(v)
+    // on an independent derivation, not a mirrored one.
+    "q155_scd2_asof" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 BETWEEN 2 AND 3
+        |       THEN round(o_totalprice + 100.0, 2)
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey % 11 <> 3
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q156: binned PSI — fixed [0,200)/20 equal-width bins with
+    // clamp-to-edge, add-one smoothing over the FULL bin grid, per-bin
+    // (p−q)·ln(p/q) rounded to 6 (the libm-ulp discipline).
+    "q156_psi_drift" ->
+      """WITH e AS (SELECT event_id, value FROM events),
+        |mid AS (SELECT max(event_id) / 2 AS m FROM e),
+        |grid AS (SELECT CAST(r AS INTEGER) AS bin FROM range(0, 20) t(r)),
+        |b AS (
+        |  SELECT least(19, greatest(0, CAST(floor((value - 0.0) / 10.0)
+        |    AS INTEGER))) AS bin, count(*) AS c_base
+        |  FROM e, mid WHERE event_id <= m GROUP BY 1),
+        |c AS (
+        |  SELECT least(19, greatest(0, CAST(floor((value - 0.0) / 10.0)
+        |    AS INTEGER))) AS bin, count(*) AS c_cur
+        |  FROM e, mid WHERE event_id > m GROUP BY 1),
+        |j AS (
+        |  SELECT g.bin, coalesce(b.c_base, 0) AS n_base,
+        |    coalesce(c.c_cur, 0) AS n_cur
+        |  FROM grid g LEFT JOIN b ON b.bin = g.bin
+        |  LEFT JOIN c ON c.bin = g.bin),
+        |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+        |  CAST(sum(n_cur) AS BIGINT) AS t_cur FROM j)
+        |SELECT j.bin, round(0.0 + j.bin * 10.0, 6) AS bin_lo,
+        |  CAST(j.n_base AS BIGINT) AS n_base, CAST(j.n_cur AS BIGINT) AS n_cur,
+        |  round(((j.n_base + 1) / CAST(t.t_base + 20 AS DOUBLE)
+        |       - (j.n_cur + 1) / CAST(t.t_cur + 20 AS DOUBLE))
+        |    * ln(((j.n_base + 1) / CAST(t.t_base + 20 AS DOUBLE))
+        |        / ((j.n_cur + 1) / CAST(t.t_cur + 20 AS DOUBLE))), 6)
+        |      AS psi_contrib
+        |FROM j, tot t ORDER BY j.bin""".stripMargin,
+
 
     // q143: the dyadic CM quantile sketch replayed end-to-end — cents
     // saturation, per-level dyadic nodes, the q141 affine cells, then

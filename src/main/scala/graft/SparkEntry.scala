@@ -353,7 +353,16 @@ object SparkEntry {
     "q152_ivm_maintain"     -> (graft.etl.Ivm.ivmQuery _),
     // q142's sketch-only production mode: estimates without the exact
     // twin — the flat-curve path (PlanSpec pins no corpus-scale join)
-    "q153_theta_sketch_only" -> (graft.analytics.ThetaSketch.thetaSketchOnlyQuery _)
+    "q153_theta_sketch_only" -> (graft.analytics.ThetaSketch.thetaSketchOnlyQuery _),
+    // Type-2 SCD history from stacked snapshots: change/delete/reappear
+    // runs with [valid_from, valid_to) validity (Kimball SCD2)
+    "q154_scd2_history"     -> (graft.etl.Scd2.scd2HistoryQuery _),
+    // time travel: version 3 reconstructed from the history; the oracle
+    // is the INDEPENDENT direct snapshot — the round-trip law itself
+    "q155_scd2_asof"        -> (graft.etl.Scd2.scd2AsOfQuery _),
+    // binned Population Stability Index with add-one smoothing: the
+    // shape-sensitive drift gate next to q125's moment/TVD report
+    "q156_psi_drift"        -> (graft.quality.DriftReport.psiDriftQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
