@@ -31,7 +31,8 @@ import scala.util.Random
   *   python3 tools/fuzz_diff.py /tmp/graft-fuzz      # → FUZZ summary
   *
   * Any divergence gets its seed pinned as a regression case in FuzzSpec
-  * (none found in the round-11 sweep: 20 seeds × 11 families, zero diffs;
+  * (none found in the round-11 sweep: 20 seeds × 20 families — the
+  * session/join set plus the text/dedup set — 400/400 exact;
   * FuzzSpec additionally runs the engine-side triple-parity — window-lag
   * q45 vs typed-state q122 vs native session_window q149 — on every seed,
   * three independent implementations of the same cut rule).
@@ -45,7 +46,13 @@ object Fuzz {
     "q45_event_sessions", "q122_typed_sessions",        // sessionization
     "q135_ttl_sessions", "q149_session_window",
     "q127_merge_upsert", "q104_snapshot_diff",          // merge / diff
-    "q152_ivm_maintain")                                // IVM
+    "q152_ivm_maintain",                                // IVM
+    // text/dedup families over the generated documents corpus (round 11):
+    // tokenization edges (empty/short/single-token docs), planted exact +
+    // near dups, repeated-token set collapse, per-doc repetition
+    "q21_text_stats", "q24_dedup_exact", "q25_jaccard_pairs",
+    "q27_minhash_lsh", "q28_simhash_pairs", "q92_token_jaccard_pairs",
+    "q110_repeated_spans", "q142_theta_overlap", "q153_theta_sketch_only")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
@@ -123,11 +130,58 @@ object Fuzz {
       "event_type", "value", "props")
   }
 
+  /** Seeded documents corpus (~300 docs, 8 sources, 5 langs) over a
+    * small shared vocabulary, concentrated on the text/dedup boundaries:
+    * ~1/12 exact duplicates, ~1/8 near duplicates (~15% word mutations
+    * of an earlier doc), ~1/10 SHORT docs (0–4 tokens — straddles every
+    * `size(toks) >= k` shingle filter), ~1/12 heavy-repetition docs
+    * (one word repeated — the Jaccard set-collapse and repeated-span
+    * edge), plus docs sharing a long common prefix (span boundary).
+    */
+  def genDocuments(spark: SparkSession, seed: Int): DataFrame = {
+    val rnd = new Random(seed * 15485863 + 3)
+    val vocab = Array("spark", "query", "row", "data", "join", "filter",
+      "window", "scan", "merge", "sort", "table", "key", "order", "agg",
+      "group", "hash", "vector", "fast", "slow", "small", "large", "part",
+      "line", "customer", "stream", "column", "the", "a", "of", "and")
+    val langs = Array("en", "es", "de", "fr", "zh")
+    def fresh(len: Int): String =
+      Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until 300).foreach { i =>
+      val t = rnd.nextInt(24) match {
+        case 0 | 1 if texts.nonEmpty =>                 // exact duplicate
+          texts(rnd.nextInt(texts.length))
+        case 2 | 3 | 4 if texts.nonEmpty =>             // near duplicate
+          texts(rnd.nextInt(texts.length)).split(" ").map(w =>
+            if (rnd.nextInt(7) == 0) vocab(rnd.nextInt(vocab.length)) else w)
+            .mkString(" ")
+        case 5 | 6 => fresh(rnd.nextInt(5))             // short (0-4 tokens)
+        case 7 =>                                        // heavy repetition
+          val w = vocab(rnd.nextInt(vocab.length))
+          Seq.fill(8 + rnd.nextInt(40))(w).mkString(" ")
+        case 8 | 9 if texts.nonEmpty =>                 // shared long prefix
+          val base = texts(rnd.nextInt(texts.length))
+          base.split(" ").take(12).mkString(" ") + " " + fresh(6 + rnd.nextInt(20))
+        case _ => fresh(5 + rnd.nextInt(80))
+      }
+      texts += t
+    }
+    val rows = texts.toSeq.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, langs(rnd.nextInt(5)), s"src${rnd.nextInt(8)}",
+        t.length.toLong)
+    }
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   def writeCorpus(spark: SparkSession, seed: Int, dir: String): Unit = {
     genOrders(spark, seed).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/orders.parquet")
     genEvents(spark, seed).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/events.parquet")
+    genDocuments(spark, seed).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
   }
 
   def main(args: Array[String]): Unit = {
