@@ -3605,6 +3605,27 @@ object OracleSql {
         |WHERE o_orderkey % 11 <> 3
         |ORDER BY o_orderkey""".stripMargin,
 
+    // q157: fact-to-SCD2 enrichment — the oracle never touches the
+    // history algebra: it joins lineitem straight to orders and applies
+    // the deletion (%11 = tv, tv >= 2) and price (%13 in [2,4], <= tv)
+    // rules AT the fact's transaction version. Agreement proves the
+    // enrich join resolves validity intervals correctly.
+    "q157_scd2_enrich" ->
+      """SELECT l.l_orderkey AS o_orderkey, l.l_linenumber,
+        |  CAST(l.l_linenumber % 4 + 1 AS BIGINT) AS tv,
+        |  CASE WHEN l.l_linenumber % 4 + 1 >= 2
+        |         AND o.o_orderkey % 11 = l.l_linenumber % 4 + 1
+        |       THEN NULL
+        |       WHEN o.o_orderkey % 13 BETWEEN 2 AND 4
+        |         AND o.o_orderkey % 13 <= l.l_linenumber % 4 + 1
+        |       THEN round(o.o_totalprice + 100.0, 2)
+        |       ELSE o.o_totalprice END AS o_totalprice,
+        |  CASE WHEN l.l_linenumber % 4 + 1 >= 2
+        |         AND o.o_orderkey % 11 = l.l_linenumber % 4 + 1
+        |       THEN NULL ELSE o.o_orderstatus END AS o_orderstatus
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o_orderkey, l.l_linenumber""".stripMargin,
+
     // q156: binned PSI — fixed [0,200)/20 equal-width bins with
     // clamp-to-edge, add-one smoothing over the FULL bin grid, per-bin
     // (p−q)·ln(p/q) rounded to 6 (the libm-ulp discipline).

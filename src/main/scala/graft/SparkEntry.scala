@@ -362,7 +362,11 @@ object SparkEntry {
     "q155_scd2_asof"        -> (graft.etl.Scd2.scd2AsOfQuery _),
     // binned Population Stability Index with add-one smoothing: the
     // shape-sensitive drift gate next to q125's moment/TVD report
-    "q156_psi_drift"        -> (graft.quality.DriftReport.psiDriftQuery _)
+    "q156_psi_drift"        -> (graft.quality.DriftReport.psiDriftQuery _),
+    // fact-to-SCD2 enrichment: each lineitem joined to the dimension
+    // payload valid AT ITS transaction version; deleted members surface
+    // as nulls (oracle: independent direct-rule derivation)
+    "q157_scd2_enrich"      -> (graft.etl.Scd2.scd2EnrichQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

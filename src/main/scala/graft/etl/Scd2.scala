@@ -126,4 +126,48 @@ object Scd2 {
         maxVersion = 4L),
       "o_orderkey", Payload, version = 3L)
       .orderBy(col("o_orderkey"))
+
+  /** Fact enrichment against the history — THE warehouse join: each fact
+    * row carries a transaction version, and the lookup attaches the
+    * dimension payload that was valid AT THAT VERSION (not the current
+    * one — the difference between "what the customer's segment is" and
+    * "what it was when the order shipped"). A fact whose dimension
+    * member was deleted at its version keeps the row with a null payload
+    * (left join — the missing-member case is surfaced, never dropped).
+    *
+    * 100 TB shape: one equi-join keyed on the dimension key with the
+    * validity predicate as a residual condition — the fact side shuffles
+    * (or bucket-joins) on the key exactly once; the history side is
+    * dimension-sized × runs-per-key and broadcasts when it fits. No
+    * per-version fan-out, no window over the facts.
+    */
+  def enrichFacts(facts: DataFrame, history: DataFrame, key: String,
+                  versionCol: String, payload: Seq[String]): DataFrame = {
+    val h = history.select(
+      (col(key) +: col("valid_from") +: col("valid_to") +:
+        payload.map(col)): _*)
+    facts.join(h,
+      facts(key) === h(key)
+        && h("valid_from") <= facts(versionCol)
+        && (h("valid_to").isNull || h("valid_to") > facts(versionCol)),
+      "left")
+      .select(facts.columns.map(facts(_)) ++ payload.map(h(_)): _*)
+  }
+
+  /** q157: lineitem facts enriched with the orders-dimension payload
+    * as-of each line's transaction version tv = (l_linenumber % 4) + 1.
+    * The oracle is again an INDEPENDENT derivation — orders joined
+    * directly with the deletion/price rules evaluated at tv, never
+    * touching the history algebra — so the driver gate proves the
+    * enrichment semantics end to end.
+    */
+  def scd2EnrichQuery(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        (col("l_linenumber") % 4 + 1).cast("long").as("tv"))
+    val hist = buildHistory(versionedOrders(s, dir), "o_orderkey", Payload,
+      maxVersion = 4L)
+    enrichFacts(facts, hist, "o_orderkey", "tv", Payload)
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
+  }
 }

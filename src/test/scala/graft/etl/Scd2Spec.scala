@@ -61,6 +61,32 @@ class Scd2Spec extends SparkSpec {
       (4L, 10.0, "A", 1L, None, true)), h.toSeq.sortBy(x => (x._1, x._4)))
   }
 
+  test("fact enrichment resolves validity boundaries exactly; deleted " +
+    "members surface as nulls") {
+    // dimension: key 1 has payload A on [1,3), B on [3,null); key 2 is
+    // deleted at version 2 ([1,2) only). Facts probe the boundaries:
+    // version 2 (last of run A), 3 (first of run B), and the deleted slot.
+    val snaps = Seq(
+      (1L, 1L, 10.0, "A"), (2L, 1L, 10.0, "A"), (3L, 1L, 20.0, "B"),
+      (4L, 1L, 20.0, "B"),
+      (1L, 2L, 99.0, "Z"))
+      .toDF("version", "key", "price", "status")
+    val hist = Scd2.buildHistory(snaps, "key", payload, maxVersion = 4L)
+    val facts = Seq((1L, 100L, 2L), (1L, 101L, 3L), (2L, 102L, 1L),
+      (2L, 103L, 3L))
+      .toDF("key", "fact_id", "tv")
+    val out = Scd2.enrichFacts(facts, hist, "key", "tv", payload)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.getString(4)))).toMap
+    assert(out(100L) == (Some(10.0), Some("A")), "last version of run A")
+    assert(out(101L) == (Some(20.0), Some("B")), "first version of run B")
+    assert(out(102L) == (Some(99.0), Some("Z")), "present version")
+    assert(out(103L) == (None, None), "deleted member must null, not drop")
+    assert(Scd2.enrichFacts(facts, hist, "key", "tv", payload).count() == 4,
+      "enrichment must be row-preserving")
+  }
+
   test("is_current holds exactly on open-validity rows; intervals per key " +
     "never overlap") {
     val dir = "/root/testdata/sf0.001"
