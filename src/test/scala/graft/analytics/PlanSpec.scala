@@ -571,6 +571,31 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("q154: the whole SCD2 build (3 windows + 2 aggregates) rides ONE " +
+    "key exchange") {
+    // lag/lag/running-sum windows and the run-collapse groupBy all share
+    // the o_orderkey distribution; the only other exchange is the output
+    // ORDER BY. A refactor that re-keys the aggregate or splits the
+    // window specs shows up as exchange #3.
+    val df = graft.etl.Scd2.scd2HistoryQuery(spark, dir)
+    assert(graft.operators.Bucketing.numShuffles(df) == 2,
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("q157: the fact side of the enrichment join never shuffles — the " +
+    "dimension history broadcasts") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.etl.Scd2.scd2EnrichQuery(spark, dir)
+    val bhj = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, df.queryExecution.executedPlan.toString)
+    // history-build exchange + output sort only: the lineitem fact scan
+    // feeds the join directly
+    assert(graft.operators.Bucketing.numShuffles(df) == 2,
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
