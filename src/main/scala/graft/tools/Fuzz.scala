@@ -31,8 +31,8 @@ import scala.util.Random
   *   python3 tools/fuzz_diff.py /tmp/graft-fuzz      # → FUZZ summary
   *
   * Any divergence gets its seed pinned as a regression case in FuzzSpec
-  * (none found in the round-11 sweep: 20 seeds × 20 families — the
-  * session/join set plus the text/dedup set — 400/400 exact;
+  * (none found in the round-11 sweep: 20 seeds × 24 families — the
+  * session/join, text/dedup, and SCD2/PSI sets — 480/480 exact;
   * FuzzSpec additionally runs the engine-side triple-parity — window-lag
   * q45 vs typed-state q122 vs native session_window q149 — on every seed,
   * three independent implementations of the same cut rule).
@@ -52,7 +52,11 @@ object Fuzz {
     // near dups, repeated-token set collapse, per-doc repetition
     "q21_text_stats", "q24_dedup_exact", "q25_jaccard_pairs",
     "q27_minhash_lsh", "q28_simhash_pairs", "q92_token_jaccard_pairs",
-    "q110_repeated_spans", "q142_theta_overlap", "q153_theta_sketch_only")
+    "q110_repeated_spans", "q142_theta_overlap", "q153_theta_sketch_only",
+    // SCD2 family (validity boundaries: change/delete/reappear runs at
+    // every %11/%13 residue the random keys populate) + PSI drift
+    "q154_scd2_history", "q155_scd2_asof", "q157_scd2_enrich",
+    "q156_psi_drift")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
@@ -175,6 +179,19 @@ object Fuzz {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Seeded lineitem facts for the q157 enrichment family: 1–8 lines per
+    * order (l_linenumber 1..8 ⇒ transaction versions 1..4 twice over, so
+    * every validity boundary of the SCD2 history is probed), minimal
+    * two-column schema (all the family reads).
+    */
+  def genLineitem(spark: SparkSession, seed: Int): DataFrame = {
+    val rnd = new Random(seed * 32452843 + 4)
+    val rows = (0 until 240).flatMap { ok =>
+      (1 to 1 + rnd.nextInt(8)).map(ln => (ok.toLong, ln))
+    }
+    spark.createDataFrame(rows).toDF("l_orderkey", "l_linenumber")
+  }
+
   def writeCorpus(spark: SparkSession, seed: Int, dir: String): Unit = {
     genOrders(spark, seed).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/orders.parquet")
@@ -182,6 +199,8 @@ object Fuzz {
       .parquet(s"$dir/events.parquet")
     genDocuments(spark, seed).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
+    genLineitem(spark, seed).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
   }
 
   def main(args: Array[String]): Unit = {
