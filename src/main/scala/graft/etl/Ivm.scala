@@ -76,6 +76,42 @@ object Ivm {
       base => maintain(base, delta)
     }
 
+  /** The STREAMING leg of the maintained view: a stream of signed
+    * deltas (key, sign, value) drains through foreachBatch into the
+    * fenced snapshot chain — each micro-batch commits exactly once even
+    * under at-least-once redelivery, because the batchId rides the
+    * manifest's atomic PUT as the fencing epoch
+    * ([[graft.stream.Ingest.advanceSnapshotFenced]]). This is the
+    * composition that kills the batch/streaming split for aggregates at
+    * 100 TB: the facts stream in as deltas, the view is always
+    * view-sized, and a crash anywhere replays into a no-op instead of a
+    * double-count (MERGE upserts converge under replay by idempotence;
+    * signed deltas MUST be fenced — they accumulate).
+    *
+    * Contract (inherited from the fence): one writer, one checkpoint
+    * lineage per table. Returns the latest committed snapshot path.
+    */
+  def maintainStream(deltas: DataFrame, tablePath: String,
+                     checkpoint: String): Option[String] = {
+    val spark = deltas.sparkSession
+    val q = deltas.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          graft.stream.Ingest.advanceSnapshotFenced(spark, tablePath, id,
+            batch.toDF().select(col("key"), lit(0L).as("n"),
+              (col("value") * lit(0.0)).as("total")).limit(0)) {
+            base => maintain(base, batch.toDF())
+          }
+          ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.stream.Ingest.latestSnapshotPath(spark, tablePath)
+  }
+
   /** q152: per-customer order count/spend maintained through a
     * deterministic change batch — base view = orders with key % 10 ≠ 0;
     * delta inserts the % 10 = 0 rows and deletes the % 7 = 0 rows the

@@ -112,17 +112,23 @@ object Ingest {
     * so corruption implies tampering or a torn local write, and either
     * repair choice (resurrect vs drop) is wrong to make silently.
     */
-  private[stream] def latestVersion(fs: FileSystem, table: Path): Option[Long] = {
+  /** Manifest format: `"<version>"` (legacy) or `"<version> <epoch>"`
+    * (epoch-fenced writers, [[advanceSnapshotFenced]]) — one line, one
+    * atomic object PUT either way. Parsing takes the first whitespace
+    * token as the version, so legacy manifests and readers interoperate.
+    */
+  private def readManifest(fs: FileSystem, table: Path): Option[(Long, Option[Long])] = {
     val manifest = new Path(table, ManifestName)
-    if (!fs.exists(manifest)) committedVersions(fs, table).maxOption
+    if (!fs.exists(manifest)) None
     else {
       val in = fs.open(manifest)
       val txt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      txt.toLongOption match {
-        case Some(v) if isCommittedDir(fs, versionPath(table, v)) => Some(v)
-        case Some(v) => committedVersions(fs, table).filter(_ <= v).maxOption
+      val toks = txt.split("\\s+")
+      toks.headOption.flatMap(_.toLongOption) match {
+        case Some(v) =>
+          Some((v, toks.lift(1).flatMap(_.toLongOption)))
         case None => throw new IllegalStateException(
           s"unparseable snapshot manifest $manifest (contents: " +
             s"'${txt.take(64)}'): refusing to guess the commit point — " +
@@ -133,9 +139,36 @@ object Ingest {
     }
   }
 
-  private def writeManifest(fs: FileSystem, table: Path, v: Long): Unit = {
+  private[stream] def latestVersion(fs: FileSystem, table: Path): Option[Long] =
+    readManifest(fs, table) match {
+      case None => committedVersions(fs, table).maxOption
+      case Some((v, _)) if isCommittedDir(fs, versionPath(table, v)) => Some(v)
+      case Some((v, _)) => committedVersions(fs, table).filter(_ <= v).maxOption
+    }
+
+  /** The epoch recorded by the last committed fenced write, if any. Only
+    * meaningful while the manifest's version is itself committed (the
+    * epoch rides the same atomic PUT).
+    */
+  private[graft] def latestEpoch(spark: SparkSession, tablePath: String): Option[Long] = {
+    val (fs, table) = fsFor(spark, tablePath)
+    readManifest(fs, table).flatMap(_._2)
+  }
+
+  /** The latest COMMITTED snapshot path (manifest-first resolution) —
+    * the public read handle for snapshot-chain composers outside this
+    * package (e.g. [[graft.etl.Ivm.maintainStream]]).
+    */
+  def latestSnapshotPath(spark: SparkSession, tablePath: String): Option[String] = {
+    val (fs, table) = fsFor(spark, tablePath)
+    latestVersion(fs, table).map(v => versionPath(table, v).toString)
+  }
+
+  private def writeManifest(fs: FileSystem, table: Path, v: Long,
+                            epoch: Option[Long] = None): Unit = {
     val out = fs.create(new Path(table, ManifestName), true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val txt = epoch.fold(v.toString)(e => s"$v $e")
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
   }
 
   /** Apply one MERGE batch to the snapshot chain: read the latest
@@ -285,9 +318,44 @@ object Ingest {
   def advanceSnapshot(
       spark: SparkSession,
       tablePath: String,
-      empty: => DataFrame)(step: DataFrame => DataFrame): String = {
+      empty: => DataFrame)(step: DataFrame => DataFrame): String =
+    advanceSnapshotImpl(spark, tablePath, empty, None)(step)
+
+  /** [[advanceSnapshot]] with EPOCH FENCING — the idempotent-commit
+    * pattern a NON-idempotent step (a Z-set delta merge, a counter
+    * increment) needs under at-least-once delivery: the caller tags each
+    * attempt with a monotonically increasing epoch (a foreachBatch
+    * batchId), the commit records it in the manifest's atomic PUT, and a
+    * re-delivered epoch ≤ the last committed one is SKIPPED — the crash-
+    * replayed batch was already absorbed, applying it again would
+    * double-count. (MERGE upserts don't need this: re-applying them
+    * converges. Signed deltas don't converge — they accumulate.)
+    *
+    * Contract: one writer, one monotone epoch sequence per table — a
+    * foreachBatch lineage on ONE checkpoint. Losing the checkpoint
+    * restarts batchIds at 0, which the fence reads as already-applied:
+    * rebuild the view (or move the table) rather than re-pointing a
+    * fresh query at it.
+    *
+    * Returns the committed (or already-committed, when fenced) snapshot
+    * path.
+    */
+  def advanceSnapshotFenced(
+      spark: SparkSession,
+      tablePath: String,
+      epoch: Long,
+      empty: => DataFrame)(step: DataFrame => DataFrame): String =
+    advanceSnapshotImpl(spark, tablePath, empty, Some(epoch))(step)
+
+  private def advanceSnapshotImpl(
+      spark: SparkSession,
+      tablePath: String,
+      empty: => DataFrame,
+      epoch: Option[Long])(step: DataFrame => DataFrame): String = {
     val (fs, table) = fsFor(spark, tablePath)
     val cur = latestVersion(fs, table)
+    for (e <- epoch; prev <- latestEpoch(spark, tablePath); v <- cur)
+      if (prev >= e) return versionPath(table, v).toString // fenced replay
     val base = cur match {
       case Some(v) => spark.read.parquet(versionPath(table, v).toString)
       case None    => empty
@@ -295,7 +363,7 @@ object Ingest {
     val next = cur.getOrElse(-1L) + 1L
     step(base).write.mode("overwrite")
       .parquet(versionPath(table, next).toString)
-    writeManifest(fs, table, next)
+    writeManifest(fs, table, next, epoch)
     versionPath(table, next).toString
   }
 

@@ -122,4 +122,63 @@ class IvmSpec extends SparkSpec {
       .map(r => r.getAs[Long]("key")).toSet
     assert(after == Set(1L, 2L), "post-vacuum view must remain readable")
   }
+
+  test("epoch fence: a crash-replayed delta batch is a no-op, not a " +
+    "double count") {
+    import graft.stream.Ingest
+    val dir = java.nio.file.Files.createTempDirectory("ivm-fence").toString
+    val d1 = Seq((1L, 1L, 10.0)).toDF("key", "sign", "value")
+    val d2 = Seq((1L, 1L, 5.0)).toDF("key", "sign", "value")
+    def apply(delta: org.apache.spark.sql.DataFrame, epoch: Long): String =
+      Ingest.advanceSnapshotFenced(spark, dir, epoch,
+        delta.limit(0).select(col("key"), lit(0L).as("n"),
+          lit(0.0).as("total"))) { base => Ivm.maintain(base, delta) }
+    val p0 = apply(d1, epoch = 0L)
+    val p1 = apply(d2, epoch = 1L)
+    // the at-least-once crash case: epoch 1 re-delivered after commit
+    val p1again = apply(d2, epoch = 1L)
+    assert(p1again == p1, "fenced replay must return the committed path")
+    val st = spark.read.parquet(p1again).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"),
+        r.getAs[Double]("total"))).toSet
+    assert(st == Set((1L, 2L, 15.0)),
+      s"replay double-counted: $st (p0=$p0)")
+    // a stale epoch (0) after epoch 1 is also fenced
+    assert(apply(d1, epoch = 0L) == p1)
+    assert(Ingest.latestEpoch(spark, dir).contains(1L))
+  }
+
+  test("streaming IVM: JSON delta files drain exactly-once into the " +
+    "fenced chain; a second drain picks up only new files") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("ivm-stream").toString
+    val in = s"$root/in"; val table = s"$root/view"; val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val schema = StructType(Seq(StructField("key", LongType),
+      StructField("sign", LongType), StructField("value", DoubleType)))
+    def drop(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(in, name), lines.mkString("\n"))
+    def drain(): String = {
+      val deltas = spark.readStream.schema(schema).json(in)
+      Ivm.maintainStream(deltas, table, ckpt)
+        .getOrElse(sys.error("no committed snapshot"))
+    }
+    drop("b1.json", """{"key":1,"sign":1,"value":10.0}""",
+      """{"key":2,"sign":1,"value":20.0}""")
+    val v1 = drain()
+    val s1 = spark.read.parquet(v1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(s1 == Set((1L, 1L, 10.0), (2L, 1L, 20.0)))
+    // second drain, SAME checkpoint: only the new file applies
+    drop("b2.json", """{"key":1,"sign":-1,"value":10.0}""",
+      """{"key":2,"sign":1,"value":2.5}""")
+    val v2 = drain()
+    val s2 = spark.read.parquet(v2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(s2 == Set((2L, 2L, 22.5)), s"got $s2")
+    // idempotent tail: a drain with nothing new commits nothing
+    val v3 = drain()
+    assert(spark.read.parquet(v3).collect().length == 1)
+  }
 }
