@@ -4095,8 +4095,71 @@ object OracleSql {
         |  round(total, 2) AS total_spend,
         |  round(round(total, 2) / n, 6) AS avg_spend
         |FROM m WHERE n > 0
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    // q158-q160 share the spatial fixture: two points per customer
+    // (hash-scattered home + offset work point), all coordinates
+    // INTEGER-VALUED — differences/squares/sums/means stay exact IEEE
+    // integer arithmetic, so no rounding is needed anywhere and the
+    // engines must agree bit-for-bit (graft.operators.Spatial
+    // .spatialPoints mirrors this CTE verbatim).
+    "q158_cell_density" ->
+      s"""WITH $SpatialPts
+        |SELECT CAST(floor(x / 256.0) AS BIGINT) AS cell_x,
+        |  CAST(floor(y / 256.0) AS BIGINT) AS cell_y,
+        |  count(*) AS n, avg(x) AS avg_x, avg(y) AS avg_y
+        |FROM pts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q159: the oracle is the O(n²) brute-force distance join —
+    // agreement proves the engine's 5-replica grid blocking generates
+    // every within-radius pair (the q28-style exhaustiveness proof).
+    "q159_radius_pairs" ->
+      s"""WITH $SpatialPts
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |  <= 40000.0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q160: closed-edge containment counts with zero-count boxes kept
+    // (LEFT JOIN + count(p.id)).
+    "q160_box_join" ->
+      s"""WITH $SpatialPts,
+        |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name FROM nation),
+        |boxes AS (
+        |  SELECT nk AS n_nationkey, n_name,
+        |    CAST((nk * 9973) % 60000 AS DOUBLE) AS x_lo,
+        |    CAST((nk * 9973) % 60000 + 4000 + (nk % 7) * 1000
+        |      AS DOUBLE) AS x_hi,
+        |    CAST((nk * 12007) % 60000 AS DOUBLE) AS y_lo,
+        |    CAST((nk * 12007) % 60000 + 4000 + (nk % 5) * 1500
+        |      AS DOUBLE) AS y_hi
+        |  FROM n)
+        |SELECT b.n_nationkey, b.n_name, count(p.id) AS n_pts
+        |FROM boxes b LEFT JOIN pts p
+        |  ON p.x >= b.x_lo AND p.x <= b.x_hi
+        | AND p.y >= b.y_lo AND p.y <= b.y_hi
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   )
+
+  /** The spatial fixture CTE (q158-q160): mirrors
+    * [[graft.operators.Spatial.spatialPoints]] — integer arithmetic
+    * throughout, CAST to DOUBLE only at the end.
+    */
+  private def SpatialPts: String =
+    """c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+      |pts AS (
+      |  SELECT k * 2 AS id,
+      |    CAST((k * 2654435761) % 65536 AS DOUBLE) AS x,
+      |    CAST((k * 40503) % 65536 AS DOUBLE) AS y
+      |  FROM c
+      |  UNION ALL
+      |  SELECT k * 2 + 1,
+      |    CAST((k * 2654435761) % 65536 + (k * 48271) % 401 - 200
+      |      AS DOUBLE),
+      |    CAST((k * 40503) % 65536 + (k * 16807) % 401 - 200 AS DOUBLE)
+      |  FROM c)""".stripMargin
 
   /** The shared estimate half of the q142/q153 theta-sketch oracles:
     * shingle rolling hash → quadratic mixer (VectorHash constants

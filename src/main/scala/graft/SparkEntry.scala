@@ -366,7 +366,16 @@ object SparkEntry {
     // fact-to-SCD2 enrichment: each lineitem joined to the dimension
     // payload valid AT ITS transaction version; deleted members surface
     // as nulls (oracle: independent direct-rule derivation)
-    "q157_scd2_enrich"      -> (graft.etl.Scd2.scd2EnrichQuery _)
+    "q157_scd2_enrich"      -> (graft.etl.Scd2.scd2EnrichQuery _),
+    // spatial suite over integer-valued hash-derived points (exact IEEE
+    // arithmetic — no rounding anywhere): map-tile density rollup
+    "q158_cell_density"     -> (graft.operators.Spatial.cellDensityQuery _),
+    // grid-blocked radius self-join, cs >= r no-false-negative cover;
+    // oracle is the O(n^2) brute-force join (exhaustiveness proof)
+    "q159_radius_pairs"     -> (graft.operators.Spatial.radiusPairsQuery _),
+    // points-in-rectangle containment counts, boxes broadcast,
+    // zero-count boxes kept
+    "q160_box_join"         -> (graft.operators.Spatial.boxJoinQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -56,7 +56,11 @@ object Fuzz {
     // SCD2 family (validity boundaries: change/delete/reappear runs at
     // every %11/%13 residue the random keys populate) + PSI drift
     "q154_scd2_history", "q155_scd2_asof", "q157_scd2_enrich",
-    "q156_psi_drift")
+    "q156_psi_drift",
+    // spatial family (round 11): grid/floor/modulo arithmetic under
+    // boundary-concentrated keys — work-offset distances straddling the
+    // r² = 40000 cut, home points sitting exactly on cell corners
+    "q158_cell_density", "q159_radius_pairs", "q160_box_join")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
@@ -192,6 +196,45 @@ object Fuzz {
     spark.createDataFrame(rows).toDF("l_orderkey", "l_linenumber")
   }
 
+  /** Seeded customer keys for the spatial family (~350 unique keys),
+    * concentrated on the spatial fixture's boundaries. The work-point
+    * offset pair is a pure function of k mod 401 (both offset hashes
+    * share the modulus), and NO residue lands exactly on dist² = 40000 —
+    * the closest are r ≡ 91 (39978, just inside) and r ≡ 126 (40042,
+    * just outside), so ~40% of keys concentrate on those two residues to
+    * hammer both sides of the radius cut. ~15% are ≡ 0 mod 256: both
+    * home coordinates then land exactly on a 256-grid cell corner (the
+    * floor boundary). ~10% are ~1e9-scale (big-modulus arithmetic,
+    * still far from BIGINT-multiply overflow, where the engines'
+    * wrap-vs-raise semantics would legitimately diverge). Rest uniform.
+    */
+  def genCustomer(spark: SparkSession, seed: Int): DataFrame = {
+    val rnd = new Random(seed * 49979687 + 5)
+    val keys = scala.collection.mutable.LinkedHashSet.empty[Long]
+    while (keys.size < 350) {
+      val k = rnd.nextInt(20) match {
+        case x if x < 4 => rnd.nextInt(250).toLong * 401L + 91L
+        case x if x < 8 => rnd.nextInt(250).toLong * 401L + 126L
+        case x if x < 11 => (1L + rnd.nextInt(400).toLong) * 256L
+        case x if x < 13 => 1000000000L + rnd.nextInt(100000).toLong
+        case _ => 1L + rnd.nextInt(100000).toLong
+      }
+      keys += k
+    }
+    spark.createDataFrame(keys.toSeq.map(Tuple1(_))).toDF("c_custkey")
+  }
+
+  /** Seeded nation dimension for the q160 box family: 10–30 geofence
+    * keys (the box corners are a pure function of the key, so varying
+    * the key set varies the box layout per seed).
+    */
+  def genNation(spark: SparkSession, seed: Int): DataFrame = {
+    val rnd = new Random(seed * 86028121 + 6)
+    val n = 10 + rnd.nextInt(21)
+    spark.createDataFrame((0 until n).map(i => (i, f"N$i%02d")))
+      .toDF("n_nationkey", "n_name")
+  }
+
   def writeCorpus(spark: SparkSession, seed: Int, dir: String): Unit = {
     genOrders(spark, seed).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/orders.parquet")
@@ -201,6 +244,10 @@ object Fuzz {
       .parquet(s"$dir/documents.parquet")
     genLineitem(spark, seed).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/lineitem.parquet")
+    genCustomer(spark, seed).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    genNation(spark, seed).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/nation.parquet")
   }
 
   def main(args: Array[String]): Unit = {

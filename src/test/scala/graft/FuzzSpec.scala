@@ -77,4 +77,24 @@ class FuzzSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("spatial corpus stays boundary-concentrated: offsets straddle the " +
+    "radius cut tightly, homes sit on cell corners, keys are unique") {
+    val keys = Fuzz.genCustomer(spark, 0).collect().map(_.getLong(0))
+    assert(keys.length == keys.distinct.length, "c_custkey must be unique")
+    // the two straddling residues of the mod-401 offset lattice: 91 →
+    // dist² 39978 (inside r²=40000), 126 → 40042 (outside)
+    assert(keys.count(_ % 401L == 91L) > 30, "just-inside offsets must be dense")
+    assert(keys.count(_ % 401L == 126L) > 30, "just-outside offsets must be dense")
+    val d2 = (k: Long) => {
+      val dx = (k * 48271L) % 401L - 200L; val dy = (k * 16807L) % 401L - 200L
+      dx * dx + dy * dy
+    }
+    assert(keys.filter(_ % 401L == 91L).forall(d2(_) == 39978L))
+    assert(keys.filter(_ % 401L == 126L).forall(d2(_) == 40042L))
+    // cell-corner homes: k ≡ 0 (mod 256) puts BOTH hash coordinates on a
+    // multiple of 256 (odd multipliers preserve the 2-adic valuation)
+    assert(keys.count(_ % 256L == 0L) > 15, "cell-corner homes must exist")
+    assert(keys.exists(_ > 1000000000L), "big-modulus keys must exist")
+  }
 }

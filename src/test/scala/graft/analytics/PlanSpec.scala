@@ -596,6 +596,44 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("q159: the radius join shuffles on the grid cell — never a " +
+    "nested-loop over the corpus") {
+    // The scale contract of grid blocking: both self-join sides exchange
+    // on (jx, jy). Auto-broadcast off so the tiny-SF sides can't flip the
+    // test into a broadcast join that would hide a lost cell key.
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val plan = try {
+      spark.conf.set(key, "-1")
+      graft.operators.Spatial.radiusPairsQuery(spark, dir)
+        .queryExecution.executedPlan
+    } finally spark.conf.set(key, prev)
+    val bnlj = PlanWalk.collectPlan(plan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.isEmpty, s"corpus nested-loop join:\n$plan")
+    def cellKeyed(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      Seq("jx", "jy").forall(n => keys.exists(_.references.exists(_.name == n)))
+    val keyed = PlanWalk.collectPlan(plan) {
+      case j: SortMergeJoinExec if cellKeyed(j.leftKeys) => j
+      case j: ShuffledHashJoinExec if cellKeyed(j.leftKeys) => j
+    }
+    assert(keyed.nonEmpty, s"no (jx, jy)-keyed shuffle join:\n$plan")
+  }
+
+  test("q160: the box containment join broadcasts the boxes — the point " +
+    "side's only exchanges are the box-keyed aggregate and output sort") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = graft.operators.Spatial.boxJoinQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    val bnlj = PlanWalk.collectPlan(plan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.nonEmpty, s"containment join is not broadcast-driven:\n$plan")
+    assert(graft.operators.Bucketing.numShuffles(df) == 2, plan.toString)
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
