@@ -4140,7 +4140,187 @@ object OracleSql {
         |FROM boxes b LEFT JOIN pts p
         |  ON p.x >= b.x_lo AND p.x <= b.x_hi
         | AND p.y >= b.y_lo AND p.y <= b.y_hi
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // q161: the oracle proves the MSF by the CUT PROPERTY, not by
+    // replaying Borůvka — under the (w, u, v) lexicographic total order
+    // the forest is unique, and an edge belongs to it iff its endpoints
+    // are disconnected in the strictly-lighter subgraph. The recursive
+    // CTE walks, per candidate edge, the component of u under edges
+    // ranked below it; NOT EXISTS(v reached) is membership. A completely
+    // different algorithm from the engine's component-contraction, so
+    // agreement is a two-algorithm proof. Edge CTEs = q146's verbatim.
+    "q161_mst_backbone" ->
+      """WITH RECURSIVE cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |capped AS (
+        |  SELECT c, p FROM (
+        |    SELECT c, p, count(*) OVER (PARTITION BY p) AS df FROM cp)
+        |  WHERE df <= 18),
+        |ew AS (
+        |  SELECT x.c AS u, y.c AS v, round(1.0 / count(*), 6) AS w
+        |  FROM capped x JOIN capped y ON x.p = y.p AND x.c < y.c
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT u, v, w, row_number() OVER (ORDER BY w, u, v) AS eid
+        |  FROM ew),
+        |r(eid, node) AS (
+        |  SELECT eid, u FROM e
+        |  UNION
+        |  SELECT r.eid, CASE WHEN x.u = r.node THEN x.v ELSE x.u END
+        |  FROM r JOIN e x ON x.eid < r.eid
+        |    AND (x.u = r.node OR x.v = r.node))
+        |SELECT e.u AS cust_u, e.v AS cust_v, e.w FROM e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM r WHERE r.eid = e.eid AND r.node = e.v)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q162: the K greedy max-coverage rounds unrolled (the Lloyd-unroll
+    // discipline): each round recomputes per-doc marginal gain against
+    // the covered set, argmaxes with the (gain DESC, doc_id) tie-break,
+    // and extends the covered set. Tokenization mirrors the q40 CTE.
+    "q162_greedy_cover" -> {
+      val k = graft.pipeline.Coverage.K
+      def round(i: Int): String =
+        s"""m$i AS (
+        |  SELECT t.doc_id, count(*) AS g FROM tk t
+        |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} c WHERE c.token = t.token)
+        |  GROUP BY 1),
+        |p$i AS (
+        |  SELECT doc_id, g FROM m$i WHERE g > 0
+        |  ORDER BY g DESC, doc_id LIMIT 1),
+        |c$i AS (
+        |  SELECT token FROM c${i - 1}
+        |  UNION
+        |  SELECT t.token FROM tk t JOIN p$i USING (doc_id))"""
+      val rounds = (1 to k).map(round).mkString(",\n")
+      val emit = (1 to k).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS rank, doc_id, g AS gain,
+        |  (SELECT count(*) FROM c$i) AS covered_total FROM p$i""")
+        .mkString("\nUNION ALL\n")
+      s"""WITH tk AS (
+        |  SELECT DISTINCT doc_id, t AS token
+        |  FROM (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |  FROM documents)),
+        |c0 AS (SELECT token FROM tk WHERE 1 = 0),
+        |$rounds
+        |SELECT * FROM (
+        |$emit)
+        |ORDER BY rank""".stripMargin
+    },
+
+    // q163: both CM sketches replayed cell-exactly (the q141 build,
+    // constants interpolated from CountMin), the inner-product estimate
+    // min'd over rows, and the exact frequency-vector inner product as
+    // the twin. BIGINT casts guard the HUGEINT sum trap.
+    "q163_join_size_sketch" -> {
+      val P = graft.analytics.CountMin.P
+      val W = graft.analytics.CountMin.W
+      def sk(pfx: String, table: String, key: String): String = {
+        val cells = graft.analytics.CountMin.Hashes.map { case (i, a, b) =>
+          s"SELECT $i AS r, (($a * x + $b) % $P) % $W AS bucket, n FROM f$pfx"
+        }.mkString("\n  UNION ALL ")
+        s"""f$pfx AS (
+        |  SELECT CAST($key AS BIGINT) AS key,
+        |    (CAST($key AS BIGINT) % $P + $P) % $P AS x,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM $table GROUP BY 1, 2),
+        |m$pfx AS (
+        |  SELECT r, bucket, sum(n) AS c FROM (
+        |  $cells) GROUP BY 1, 2)"""
+      }
+      def pair(name: String, a: String, b: String): String =
+        s"""SELECT CAST('$name' AS VARCHAR) AS join_name,
+        |  (SELECT CAST(coalesce(sum(x.n * y.n), 0) AS BIGINT)
+        |   FROM f$a x JOIN f$b y USING (key)) AS exact_n,
+        |  (SELECT CAST(min(s) AS BIGINT) FROM (
+        |    SELECT ca.r, sum(ca.c * cb.c) AS s
+        |    FROM m$a ca JOIN m$b cb
+        |      ON ca.r = cb.r AND ca.bucket = cb.bucket
+        |    GROUP BY 1)) AS cms_est"""
+      s"""WITH ${sk("o", "orders", "o_custkey")},
+        |${sk("e", "events", "user_id")},
+        |${sk("l", "lineitem", "l_partkey")},
+        |pairs AS (
+        |${pair("orders_events_cust", "o", "e")}
+        |UNION ALL
+        |${pair("lineitem_self_part", "l", "l")})
+        |SELECT join_name, exact_n, cms_est,
+        |  round((cms_est - exact_n) * 100.0 / exact_n, 4) AS err_pct
+        |FROM pairs ORDER BY join_name""".stripMargin
+    },
+
+    // q164: the dirty registry rebuilt, pairwise email/phone matches,
+    // q40-style recursive-CTE connected components for the transitive
+    // identity, then each survivorship rule as its own window argmax —
+    // a different mechanism from the engine's struct-max/min aggregates,
+    // so agreement proves the RULES, not the plumbing.
+    "q164_golden_record" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name, c_acctbal,
+        |    c_mktsegment
+        |  FROM customer),
+        |recs AS (
+        |  SELECT k * 4 AS rid, 'e' || CAST(k AS VARCHAR) AS email,
+        |    'p' || CAST(k AS VARCHAR) AS phone, c_name AS name,
+        |    c_acctbal AS acctbal, c_mktsegment AS mktsegment,
+        |    CAST(1 AS BIGINT) AS version
+        |  FROM c
+        |  UNION ALL
+        |  SELECT k * 4 + 1, 'e' || CAST(k AS VARCHAR),
+        |    'px' || CAST(k AS VARCHAR), upper(c_name),
+        |    CAST(NULL AS DOUBLE), c_mktsegment, 2
+        |  FROM c WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k * 4 + 2, 'ex' || CAST(k AS VARCHAR),
+        |    'px' || CAST(k AS VARCHAR), c_name || ' JR',
+        |    round(c_acctbal + 5.0, 2), 'MACHINERY', 3
+        |  FROM c WHERE k % 6 = 0),
+        |p AS (
+        |  SELECT a.rid AS id_a, b.rid AS id_b
+        |  FROM recs a JOIN recs b ON a.email = b.email AND a.rid < b.rid
+        |  UNION
+        |  SELECT a.rid, b.rid
+        |  FROM recs a JOIN recs b ON a.phone = b.phone AND a.rid < b.rid),
+        |ed AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |walk(id, lbl) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT e.src, w.lbl FROM ed e JOIN walk w ON w.id = e.dst),
+        |lab AS (SELECT id AS rid, min(lbl) AS cluster_id FROM walk GROUP BY id),
+        |cl AS (
+        |  SELECT r.*, coalesce(l.cluster_id, r.rid) AS cluster_id
+        |  FROM recs r LEFT JOIN lab l ON l.rid = r.rid),
+        |nm AS (
+        |  SELECT cluster_id, name FROM (
+        |    SELECT cluster_id, name, row_number() OVER (
+        |      PARTITION BY cluster_id ORDER BY version DESC) AS rn FROM cl)
+        |  WHERE rn = 1),
+        |ab AS (
+        |  SELECT cluster_id, acctbal FROM (
+        |    SELECT cluster_id, acctbal, row_number() OVER (
+        |      PARTITION BY cluster_id ORDER BY version DESC) AS rn
+        |    FROM cl WHERE acctbal IS NOT NULL)
+        |  WHERE rn = 1),
+        |sg AS (
+        |  SELECT cluster_id, mktsegment FROM (
+        |    SELECT cluster_id, mktsegment, row_number() OVER (
+        |      PARTITION BY cluster_id ORDER BY cnt DESC, mktsegment) AS rn
+        |    FROM (SELECT cluster_id, mktsegment, count(*) AS cnt
+        |      FROM cl GROUP BY 1, 2))
+        |  WHERE rn = 1),
+        |nn AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_records
+        |  FROM cl GROUP BY 1)
+        |SELECT nn.cluster_id, nn.n_records, nm.name, ab.acctbal,
+        |  sg.mktsegment
+        |FROM nn JOIN nm USING (cluster_id) JOIN ab USING (cluster_id)
+        |  JOIN sg USING (cluster_id)
+        |ORDER BY cluster_id""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

@@ -375,7 +375,21 @@ object SparkEntry {
     "q159_radius_pairs"     -> (graft.operators.Spatial.radiusPairsQuery _),
     // points-in-rectangle containment counts, boxes broadcast,
     // zero-count boxes kept
-    "q160_box_join"         -> (graft.operators.Spatial.boxJoinQuery _)
+    "q160_box_join"         -> (graft.operators.Spatial.boxJoinQuery _),
+    // Borůvka minimum spanning forest of the weighted co-purchase graph
+    // (single-linkage backbone); oracle proves membership by the CUT
+    // PROPERTY — a two-algorithm agreement, not a replay
+    "q161_mst_backbone"     -> (graft.graph.Mst.mstQuery _),
+    // greedy max-coverage document selection (submodular curation
+    // seed set); oracle unrolls the same K deterministic rounds
+    "q162_greedy_cover"     -> (graft.pipeline.Coverage.greedyCoverQuery _),
+    // CM-sketch join-cardinality estimation (inner-product estimator):
+    // the will-this-join-explode planning primitive from per-table
+    // sketch metadata, exact frequency inner product as the twin
+    "q163_join_size_sketch" -> (graft.analytics.CountMin.joinSizeQuery _),
+    // entity resolution to golden records: transitive email/phone
+    // identity (CC) + recency/presence/frequency survivorship rules
+    "q164_golden_record"    -> (graft.dedup.GoldenRecord.goldenQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

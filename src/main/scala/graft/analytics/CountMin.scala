@@ -85,4 +85,57 @@ object CountMin {
       .agg(max(col("n")).as("exact_n"), min(col("c")).as("cms_est"))
       .orderBy(col("exact_n").desc, col("o_custkey"))
   }
+
+  /** Equi-join CARDINALITY estimate from two Count–Min sketches — the
+    * inner-product estimator [Cormode & Muthukrishnan, "An improved data
+    * stream summary: the count-min sketch and its applications", §4.2]:
+    * |A ⋈ₖ B| = Σₖ fₐ(k)·f_b(k), estimated per sketch row as
+    * Σ_bucket cmA[r][b]·cmB[r][b] and min'd over rows. Always an
+    * OVERESTIMATE (hash collisions only add non-negative cross terms),
+    * within ε·N_A·N_B with probability 1−δ — so the optimizer-style
+    * question ("will this join explode?") is answered from two d×w
+    * counter matrices that were built independently, stream-mergeable,
+    * and never see each other's keys. This is the planning primitive a
+    * 100 TB engine runs BEFORE committing to a join strategy: the
+    * sketches are per-table metadata (built at ingest, one pass), and
+    * the estimate itself is d×w arithmetic — no data touched.
+    *
+    * The join of the two sparse matrices is inner on (r, bucket):
+    * a bucket missing from either side contributes a zero product.
+    */
+  def joinSizeEstimate(countsA: DataFrame, countsB: DataFrame): DataFrame = {
+    val inner = sketch(countsA).withColumnRenamed("c", "ca")
+      .join(sketch(countsB).withColumnRenamed("c", "cb"), Seq("r", "bucket"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("est"))
+    inner.agg(min(col("est")).as("cms_est"))
+  }
+
+  /** q163: sketch-estimated vs exact join cardinality for two join
+    * shapes the optimizer actually fears — the orders⋈events key overlap
+    * (partial-domain match: how much of the fact table will survive?)
+    * and the lineitem SELF-join on part (Σf² — the skew-explosion
+    * number, F₂ of the key distribution). The exact twin is the
+    * frequency-vector inner product, computed join-free from the same
+    * count tables. `err_pct` makes the one-sided error visible in-row.
+    */
+  def joinSizeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def freqs(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).cast("long").as("key")).agg(count(lit(1)).as("n"))
+    val custOrders = freqs(Tables.orders(s, dir), "o_custkey")
+    val userEvents = freqs(Tables.events(s, dir), "user_id")
+    val partLines = freqs(Tables.lineitem(s, dir), "l_partkey")
+    def one(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+      val exact = a.join(b.select(col("key"), col("n").as("nb")), Seq("key"))
+        .agg(coalesce(sum(col("n") * col("nb")), lit(0L)).as("exact_n"))
+      joinSizeEstimate(a, b).crossJoin(exact)
+        .select(lit(name).as("join_name"), col("exact_n"),
+          col("cms_est").as("cms_est"),
+          round((col("cms_est") - col("exact_n")) * 100.0 / col("exact_n"), 4)
+            .as("err_pct"))
+    }
+    one("orders_events_cust", custOrders, userEvents)
+      .unionByName(one("lineitem_self_part", partLines, partLines))
+      .orderBy(col("join_name"))
+  }
 }

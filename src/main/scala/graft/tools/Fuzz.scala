@@ -60,7 +60,11 @@ object Fuzz {
     // spatial family (round 11): grid/floor/modulo arithmetic under
     // boundary-concentrated keys — work-offset distances straddling the
     // r² = 40000 cut, home points sitting exactly on cell corners
-    "q158_cell_density", "q159_radius_pairs", "q160_box_join")
+    "q158_cell_density", "q159_radius_pairs", "q160_box_join",
+    // MST under dense weight ties (40-part domain → shared-count
+    // collisions): the lexicographic tie-break diffed against the
+    // cut-property oracle on every random graph
+    "q161_mst_backbone")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
@@ -183,17 +187,21 @@ object Fuzz {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
-  /** Seeded lineitem facts for the q157 enrichment family: 1–8 lines per
-    * order (l_linenumber 1..8 ⇒ transaction versions 1..4 twice over, so
-    * every validity boundary of the SCD2 history is probed), minimal
-    * two-column schema (all the family reads).
+  /** Seeded lineitem facts: 1–8 lines per order (l_linenumber 1..8 ⇒
+    * transaction versions 1..4 twice over, so every validity boundary of
+    * the q157 SCD2 history is probed) plus an l_partkey from a SMALL
+    * domain (40 parts), so the q161 co-purchase projection gets dense
+    * shared-part collisions — weight ties everywhere, the MST
+    * tie-break's hard case.
     */
   def genLineitem(spark: SparkSession, seed: Int): DataFrame = {
     val rnd = new Random(seed * 32452843 + 4)
     val rows = (0 until 240).flatMap { ok =>
-      (1 to 1 + rnd.nextInt(8)).map(ln => (ok.toLong, ln))
+      (1 to 1 + rnd.nextInt(8)).map(ln =>
+        (ok.toLong, ln, rnd.nextInt(40).toLong))
     }
-    spark.createDataFrame(rows).toDF("l_orderkey", "l_linenumber")
+    spark.createDataFrame(rows)
+      .toDF("l_orderkey", "l_linenumber", "l_partkey")
   }
 
   /** Seeded customer keys for the spatial family (~350 unique keys),

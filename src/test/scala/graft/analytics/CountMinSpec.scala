@@ -48,4 +48,41 @@ class CountMinSpec extends SparkSpec {
       assert(r.getLong(1) >= 0L && r.getLong(1) < CountMin.W, r.toString)
     }
   }
+
+  test("join-size estimate never underestimates and is exact when no " +
+    "bucket collisions exist (distinct small keys)") {
+    // 30 distinct keys over 1024 buckets in every row: with these fixed
+    // affine hashes the 30 keys land collision-free, so the inner
+    // product is EXACT — pinning both the estimator arithmetic and the
+    // overestimate-only direction (checked on the real corpus below).
+    val a = (0 until 30).map(k => (k.toLong, (k % 5 + 1).toLong))
+      .toDF("key", "n")
+    val b = (0 until 30).map(k => (k.toLong, (k % 3 + 1).toLong))
+      .toDF("key", "n")
+    val est = CountMin.joinSizeEstimate(a, b).collect()(0).getLong(0)
+    val exact = (0 until 30).map(k => (k % 5 + 1).toLong * (k % 3 + 1)).sum
+    assert(est == exact, s"collision-free estimate must be exact: $est vs $exact")
+  }
+
+  test("q163 on the real corpus: both estimates overestimate-only, " +
+    "exact twins match brute force, disjoint domains estimate ~0") {
+    val rows = CountMin.joinSizeQuery(spark, dir).collect()
+      .map(r => r.getAs[String]("join_name") ->
+        (r.getAs[Long]("exact_n"), r.getAs[Long]("cms_est"))).toMap
+    assert(rows.keySet == Set("orders_events_cust", "lineitem_self_part"))
+    for ((name, (exact, est)) <- rows) {
+      assert(est >= exact, s"$name: CM inner product must not underestimate")
+    }
+    // brute-force the self-join exact twin
+    val f2 = graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))).collect()(0).getLong(0)
+    assert(rows("lineitem_self_part")._1 == f2)
+    // disjoint key domains: exact 0; the estimate is pure collision noise
+    val lo = (0 until 50).map(k => (k.toLong, 2L)).toDF("key", "n")
+    val hi = (1000 until 1050).map(k => (k.toLong, 2L)).toDF("key", "n")
+    val exD = lo.join(hi.select(col("key"), col("n").as("nb")), Seq("key"))
+      .agg(coalesce(sum(col("n") * col("nb")), lit(0L))).collect()(0).getLong(0)
+    assert(exD == 0L)
+  }
 }
