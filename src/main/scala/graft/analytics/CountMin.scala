@@ -120,8 +120,14 @@ object CountMin {
     */
   def joinSizeQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // each freq table feeds THREE consumers (its sketch build — twice
+    // for the self-join pair — and the exact twin); materialize once so
+    // the corpus-scale scan+aggregate never re-runs (the 100× leg
+    // showed 3 lineitem scans before this). Key-count-sized state.
     def freqs(df: DataFrame, key: String): DataFrame =
       df.groupBy(col(key).cast("long").as("key")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true,
+          storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val custOrders = freqs(Tables.orders(s, dir), "o_custkey")
     val userEvents = freqs(Tables.events(s, dir), "user_id")
     val partLines = freqs(Tables.lineitem(s, dir), "l_partkey")

@@ -34,24 +34,29 @@ object Mst {
   /** The minimum spanning forest of `edges` (`u`, `v`, `w`; undirected,
     * u ≠ v, one row per edge) under the (w, u, v) lexicographic order.
     * Returns the chosen edges (`u`, `v`, `w`).
+    *
+    * Labels are maintained INCREMENTALLY: each round contracts on the
+    * COMPONENT graph (the selected min-edges viewed as edges between
+    * current component ids — ≤ #components rows, a set that at least
+    * halves per round), never re-clustering the accumulated vertex-scale
+    * forest. Total contraction work is therefore O(V) across all rounds
+    * (geometric series), and the only vertex-scale joins are the
+    * per-round cross-edge relabel and the final label application —
+    * the first cut re-ran full star-contraction CC over the whole
+    * chosen forest every round and its 100× leg showed it.
     */
   def boruvka(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val ser = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val e0 = edges.select(col("u"), col("v"), col("w"))
       .localCheckpoint(eager = true, storageLevel = ser)
+    var comp = e0.select(col("u").as("id"))
+      .unionByName(e0.select(col("v").as("id"))).distinct()
+      .select(col("id"), col("id").as("c"))
+      .localCheckpoint(eager = true, storageLevel = ser)
     var chosen = e0.limit(0).localCheckpoint(eager = true, storageLevel = ser)
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      // component labels from the chosen forest; vertices not yet in any
-      // chosen edge label themselves
-      val verts = e0.select(col("u").as("id"))
-        .unionByName(e0.select(col("v").as("id"))).distinct()
-      val labeled = graft.dedup.Dedup.connectedComponents(
-        chosen.select(col("u").as("id_a"), col("v").as("id_b")))
-        .select(col("doc_id").as("id"), col("cluster_id").as("c"))
-      val comp = verts.join(labeled, Seq("id"), "left")
-        .select(col("id"), coalesce(col("c"), col("id")).as("c"))
       val cross = e0
         .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
         .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
@@ -60,17 +65,32 @@ object Mst {
       if (cross.isEmpty) done = true
       else {
         // per-component minimum outgoing edge under (w, u, v) — struct
-        // min IS the lexicographic min
-        val key = struct(col("w"), col("u"), col("v"))
+        // min IS the lexicographic min; the unique (w, u, v) prefix
+        // decides, the component ids just ride along for contraction
+        val key = struct(col("w"), col("u"), col("v"),
+          col("cu"), col("cv"))
         val sel = cross.select(col("cu").as("comp"), key.as("k"))
           .unionByName(cross.select(col("cv").as("comp"), key.as("k")))
           .groupBy(col("comp")).agg(min(col("k")).as("k"))
-          .select(col("k.u").as("u"), col("k.v").as("v"), col("k.w").as("w"))
+          .select(col("k.u").as("u"), col("k.v").as("v"),
+            col("k.w").as("w"), col("k.cu").as("cu"), col("k.cv").as("cv"))
           .distinct() // both endpoints' components may pick the same edge
-        val next = chosen.unionByName(sel)
+          .localCheckpoint(eager = true, storageLevel = ser)
+        val nextChosen = chosen
+          .unionByName(sel.select(col("u"), col("v"), col("w")))
+          .localCheckpoint(eager = true, storageLevel = ser)
+        // contract: CC over the component-id graph of this round's picks
+        val lbl = graft.dedup.Dedup.connectedComponents(
+          sel.select(col("cu").as("id_a"), col("cv").as("id_b")))
+          .select(col("doc_id").as("c"), col("cluster_id").as("c2"))
+        val nextComp = comp.join(lbl, Seq("c"), "left")
+          .select(col("id"), coalesce(col("c2"), col("c")).as("c"))
           .localCheckpoint(eager = true, storageLevel = ser)
         graft.operators.PlanWalk.freeCheckpoint(chosen)
-        chosen = next
+        graft.operators.PlanWalk.freeCheckpoint(comp)
+        graft.operators.PlanWalk.freeCheckpoint(sel)
+        chosen = nextChosen
+        comp = nextComp
       }
       graft.operators.PlanWalk.freeCheckpoint(cross)
       round += 1

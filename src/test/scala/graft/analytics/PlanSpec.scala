@@ -1,7 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{broadcast, col, count, explode, lit}
 import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
 
@@ -632,6 +632,42 @@ class PlanSpec extends SparkSpec {
     }
     assert(bnlj.nonEmpty, s"containment join is not broadcast-driven:\n$plan")
     assert(graft.operators.Bucketing.numShuffles(df) == 2, plan.toString)
+  }
+
+  test("q162: every greedy round's anti-join broadcasts the covered set " +
+    "— the corpus token table never shuffles for it") {
+    // the covered set is vocabulary-bounded; a plan that exchanges the
+    // token table on `token` to anti-join it has inverted the sizes
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+    val covered = toks.filter(col("doc_id") === 0L).select(col("token"))
+    val round = toks.join(broadcast(covered), Seq("token"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+    val plan = round.queryExecution.executedPlan
+    val anti = PlanWalk.collectPlan(plan) {
+      case j: BroadcastHashJoinExec
+        if j.joinType.toString.toLowerCase.contains("anti") => j
+    }
+    assert(anti.nonEmpty, s"no broadcast anti-join:\n$plan")
+  }
+
+  test("q164: match-pair generation shuffles on the link key — two " +
+    "blocked equi-joins, no nested loop anywhere") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val plan = try {
+      spark.conf.set(key, "-1")
+      graft.dedup.GoldenRecord.goldenQuery(spark, dir)
+        .queryExecution.executedPlan
+    } finally spark.conf.set(key, prev)
+    val bnlj = PlanWalk.collectPlan(plan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.isEmpty, s"nested-loop in the ER plan:\n$plan")
   }
 
   test("EVERY driver query plans without a CartesianProductExec") {
