@@ -4320,7 +4320,134 @@ object OracleSql {
         |  sg.mktsegment
         |FROM nn JOIN nm USING (cluster_id) JOIN ab USING (cluster_id)
         |  JOIN sg USING (cluster_id)
-        |ORDER BY cluster_id""".stripMargin
+        |ORDER BY cluster_id""".stripMargin,
+
+    // q165: the q151 register replay windowed — day registers built once
+    // (identical CTEs), then each trailing-7-day window is a range-join
+    // max-merge over the register table (the oracle's range join and the
+    // engine's explode-to-7-windows equi-join are different formulations
+    // of the same membership). Exact twin from distinct (day, user)
+    // pairs through the same windows.
+    "q165_hll_sliding" ->
+      s"""WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |h AS (
+        |  SELECT day,
+        |    (1566083941 * ((m1 * m1) % 2147483647) + m1) % 2147483647 AS hh
+        |  FROM (
+        |    SELECT day,
+        |      (506952114 * ((user_id % 2147483647 + 2147483647) % 2147483647)
+        |        + 1013904223) % 2147483647 AS m1
+        |    FROM e)),
+        |dregs AS (
+        |  SELECT day, hh & 1023 AS bucket,
+        |    max(22 - CASE WHEN (hh >> 10) = 0 THEN 0
+        |                  ELSE length(bin(hh >> 10)) END) AS reg
+        |  FROM h GROUP BY 1, 2),
+        |ends AS (SELECT DISTINCT day AS window_end FROM e),
+        |wregs AS (
+        |  SELECT w.window_end, r.bucket, max(r.reg) AS reg
+        |  FROM ends w JOIN dregs r
+        |    ON r.day >= w.window_end - INTERVAL 6 DAY
+        |   AND r.day <= w.window_end
+        |  GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT window_end, count(*) AS used,
+        |    sum(1 << (22 - reg)) AS s_part
+        |  FROM wregs GROUP BY 1),
+        |est AS (
+        |  SELECT window_end, used,
+        |    ${java.lang.Double.toString(graft.analytics.Hll.AlphaNum)}
+        |      / CAST(s_part + (1024 - used) * 4194304 AS DOUBLE) AS raw
+        |  FROM sk),
+        |pairs AS (SELECT DISTINCT day, user_id FROM e),
+        |ex AS (
+        |  SELECT w.window_end, count(DISTINCT p.user_id) AS exact_users
+        |  FROM ends w JOIN pairs p
+        |    ON p.day >= w.window_end - INTERVAL 6 DAY
+        |   AND p.day <= w.window_end
+        |  GROUP BY 1),
+        |fin AS (
+        |  SELECT est.window_end,
+        |    CAST(round(CASE WHEN raw <= 2560.0 AND used < 1024
+        |         THEN 1024.0 * ln(1024.0 / CAST(1024 - used AS DOUBLE))
+        |         ELSE raw END) AS BIGINT) AS est_users,
+        |    CAST(ex.exact_users AS BIGINT) AS exact_users
+        |  FROM est JOIN ex USING (window_end))
+        |SELECT window_end, est_users, exact_users,
+        |  round((est_users - exact_users) * 100.0 / exact_users, 4)
+        |    AS err_pct
+        |FROM fin ORDER BY window_end""".stripMargin,
+
+    // q166: the fixed IVF codebook + nprobe=1 assignment replayed (the
+    // q37 oracle's untrained first third), then within-list pairwise
+    // cosine, per-vector top-1 under the (round 6, id) tie-break, and
+    // the reciprocal self-join.
+    "q166_mutual_nn" -> {
+      import graft.functions.VectorHash._
+      def cos(adv: String, anrm: String, bdv: String, bnrm: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, len($adv) + 1), i -> $adv[i] * $bdv[i])), " +
+          s"(s, x) -> s + x) / ($anrm * $bnrm)"
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding AS v,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, dv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(dv, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM e),
+        |sd AS (
+        |  SELECT vec_id,
+        |    (($PlaneA1 * (vec_id % $PlaneP) + $PlaneB1) % $PlaneP) AS m1
+        |  FROM e),
+        |sh2 AS (
+        |  SELECT vec_id,
+        |    (($PlaneA2 * ((m1 * m1) % $PlaneP) + m1) % $PlaneP) AS h
+        |  FROM sd),
+        |nl AS (
+        |  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nlist
+        |  FROM e),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY sh2.h, sh2.vec_id) - 1
+        |      AS BIGINT) AS cid,
+        |    e.v AS c
+        |  FROM sh2 JOIN e ON e.vec_id = sh2.vec_id
+        |  QUALIFY row_number() OVER (ORDER BY sh2.h, sh2.vec_id)
+        |    <= (SELECT nlist FROM nl)),
+        |cn AS (
+        |  SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)) AS cdv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (s, x) -> s + x)) AS cnrm
+        |  FROM c0),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT n.vec_id, t.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (${cos("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n, cn t) s
+        |  WHERE rn = 1),
+        |sc AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    ${cos("na.dv", "na.nrm", "nb.dv", "nb.nrm")} AS cos
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id),
+        |t1 AS (
+        |  SELECT qid, nid, cos FROM (
+        |    SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(cos, 6) DESC, nid) AS rn
+        |    FROM sc) s
+        |  WHERE rn = 1)
+        |SELECT x.qid AS id_a, x.nid AS id_b, round(x.cos, 4) AS cosine
+        |FROM t1 x JOIN t1 y
+        |  ON x.qid = y.nid AND x.nid = y.qid AND x.qid < x.nid
+        |ORDER BY id_a""".stripMargin
+    }
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

@@ -389,7 +389,13 @@ object SparkEntry {
     "q163_join_size_sketch" -> (graft.analytics.CountMin.joinSizeQuery _),
     // entity resolution to golden records: transitive email/phone
     // identity (CC) + recency/presence/frequency survivorship rules
-    "q164_golden_record"    -> (graft.dedup.GoldenRecord.goldenQuery _)
+    "q164_golden_record"    -> (graft.dedup.GoldenRecord.goldenQuery _),
+    // trailing-7-day sliding distinct users by register max-merge:
+    // one corpus pass, 7x metadata explode — never 7x fact rescans
+    "q165_hll_sliding"      -> (graft.analytics.HllRollup.slidingDistinctQuery _),
+    // reciprocal-best-match pair mining within IVF lists (mutual top-1
+    // cosine — the hub-killing high-precision alignment filter)
+    "q166_mutual_nn"        -> (graft.similarity.Similarity.mutualNnQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

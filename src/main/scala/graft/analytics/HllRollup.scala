@@ -89,4 +89,46 @@ object HllRollup {
       .select(col("period"), col("est_users"), col("exact_users"))
       .orderBy(col("period"))
   }
+
+  /** q165: trailing-7-day SLIDING distinct users, answered from the day
+    * register table — the composition sliding windows force on exact
+    * distinct-count: windows overlap, so exact counting re-touches every
+    * fact 7×, while mergeable registers replicate only the
+    * ≤ |days|·1024-cell REGISTER table 7× (a metadata explode) and
+    * max-merge per window. One corpus pass total, identical to q151's;
+    * every window after that is sketch arithmetic. The exact twin rides
+    * the distinct (day, user) pair table — day-grain, not event-grain —
+    * through the same window explode, so even the verification column
+    * never rescans raw facts per window.
+    *
+    * Windows anchor on days that HAVE events (the register days), the
+    * same contract as the oracle's distinct-day grid.
+    */
+  def slidingDistinctQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val regs = dayRegisters(ev).localCheckpoint() // built once, exploded 7x
+    val ends = regs.select(col("day").as("window_end")).distinct()
+    val offs = explode(sequence(lit(0), lit(6))).as("off")
+    val wregs = regs.select(col("day"), col("bucket"), col("reg"), offs)
+      .select(date_add(col("day"), col("off")).as("window_end"),
+        col("bucket"), col("reg"))
+      .join(ends, Seq("window_end"), "left_semi")
+      .groupBy(col("window_end"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    val est = estimate(wregs.withColumnRenamed("window_end", "period"))
+      .withColumnRenamed("period", "window_end")
+    val pairs = ev.filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val exact = pairs.select(col("day"), col("user_id"), offs)
+      .select(date_add(col("day"), col("off")).as("window_end"),
+        col("user_id"))
+      .join(ends, Seq("window_end"), "left_semi")
+      .groupBy(col("window_end"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, Seq("window_end"))
+      .select(col("window_end"), col("est_users"), col("exact_users"),
+        round((col("est_users") - col("exact_users")) * 100.0
+          / col("exact_users"), 4).as("err_pct"))
+      .orderBy(col("window_end"))
+  }
 }

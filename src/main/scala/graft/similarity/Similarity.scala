@@ -68,6 +68,54 @@ object Similarity {
   def cosineTopKQuery(s: SparkSession, dir: String): DataFrame =
     cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
 
+  /** q166: MUTUAL nearest neighbors — pairs where each vector is the
+    * other's top-1 within its IVF list. Reciprocal-best-match is the
+    * high-precision pair miner (entity alignment, translation mining
+    * [Artetxe & Schwenk 2019's margin-based mining starts from exactly
+    * this reciprocal filter], semantic-dup seeding): a one-directional
+    * top-1 is often an asymmetric hub attraction; mutuality kills hubs.
+    *
+    * Scale shape: candidates come from the nprobe=1 IVF co-assignment —
+    * the centroid_id-keyed shuffle join (q148's audited exchange), never
+    * the n² table; per-list pair work is Σ n_c², density-bounded by the
+    * quantizer (the q106/q134 knob). Top-1 is a per-vector window over
+    * list-local candidates; the mutual filter is a self-join of the
+    * vector-sized top-1 table on the reversed pair. Ties pin
+    * (round(cos, 6) DESC, neighbor_id) — the q26 discipline, which is
+    * what lets DuckDB replay the whole trajectory.
+    *
+    * nlist = max(16, ⌈√n⌉) — the q148 balance point: within-list pair
+    * work is n²/nlist and assignment is n·nlist, so √n makes both
+    * n^1.5 (a FIXED nlist is quadratic in the pair term — the 10× leg
+    * showed 13.7× before this; the n count() is the documented 1-row
+    * pattern, and the oracle derives the same nlist by scalar
+    * subquery).
+    */
+  def mutualNnQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    GraftFunctions.register(e.sparkSession)
+    val nlist = math.max(16L, math.ceil(math.sqrt(e.count().toDouble)).toLong)
+    val asg = ivfAssign(e, ivfCentroids(e, nlist.toInt), nprobe = 1)
+    val a = asg.select(col("centroid_id"), col("vec_id").as("qid"),
+      col("embedding").as("qv"))
+    val b = asg.select(col("centroid_id"), col("vec_id").as("nid"),
+      col("embedding").as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos"), 6).desc, col("nid"))
+    val top1 = a.join(b, Seq("centroid_id"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", GraftFunctions.cosine(col("qv"), col("nv")))
+      .select(col("qid"), col("nid"), col("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    top1.as("x").join(top1.as("y"),
+        col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid")
+          && col("x.qid") < col("x.nid"))
+      .select(col("x.qid").as("id_a"), col("x.nid").as("id_b"),
+        round(col("x.cos"), 4).as("cosine"))
+      .orderBy(col("id_a"))
+  }
+
   /** q80: per-vector feature statistics through the higher-order array
     * functions — L2 norm (left-fold of squares), positive-dimension count
     * (filter), and a clip-then-mean (transform folded). Shuffle-free

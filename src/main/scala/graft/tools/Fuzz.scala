@@ -64,7 +64,10 @@ object Fuzz {
     // MST under dense weight ties (40-part domain → shared-count
     // collisions): the lexicographic tie-break diffed against the
     // cut-property oracle on every random graph
-    "q161_mst_backbone")
+    "q161_mst_backbone",
+    // sliding HLL windows: the register replay + the engine-explode vs
+    // oracle-range-join window membership under random day spans
+    "q165_hll_sliding")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

@@ -76,4 +76,48 @@ class SimilaritySpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(_.getDouble(2) >= 0.4))
   }
+
+  test("q166 mutual-NN: every pair is reciprocal-top-1 within its IVF " +
+    "list (in-memory recompute), ordered, duplicate-free, and hubs " +
+    "yield at most one mutual partner") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val nlist = math.max(16L,
+      math.ceil(math.sqrt(e.count().toDouble)).toLong).toInt
+    val asg = Similarity.ivfAssign(e,
+        Similarity.ivfCentroids(e, nlist), nprobe = 1)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("centroid_id"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // in-memory reciprocal-top-1 within each list, same tie-break
+    val byList = asg.groupBy(_._2)
+    val top1 = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    for ((_, vs) <- byList; (id, _, v) <- vs if vs.length > 1) {
+      val best = vs.filter(_._1 != id)
+        .map { case (j, _, u) => (j, cos(v, u)) }
+        .minBy { case (j, c) =>
+          (-BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP), j) }
+      top1(id) = best
+    }
+    val want = (for ((a, (b, c)) <- top1
+      if top1.get(b).exists(_._1 == a) && a < b)
+      yield (a, b, BigDecimal(c).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = Similarity.mutualNnQuery(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    assert(got == want, s"mutual sets differ: extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty, "the planted near-dup corpus must yield mutual pairs")
+    // mutuality means no id appears in two pairs
+    val ids = got.toSeq.flatMap(p => Seq(p._1, p._2))
+    assert(ids.length == ids.distinct.length, "an id can have only one mutual partner")
+  }
 }
