@@ -4447,7 +4447,34 @@ object OracleSql {
         |FROM t1 x JOIN t1 y
         |  ON x.qid = y.nid AND x.nid = y.qid AND x.qid < x.nid
         |ORDER BY id_a""".stripMargin
-    }
+    },
+
+    // q167: the oracle skips the Misra–Gries sketch entirely — it
+    // computes every key's exact per-half counts and applies the same
+    // integer threshold |Δ|·k > n_b + n_c. Agreement proves the
+    // engine's bounded candidate set covered every key above the
+    // threshold (the MG coverage guarantee, tested rather than assumed).
+    "q167_heavy_changers" ->
+      """WITH e AS (SELECT event_id, user_id FROM events),
+        |m AS (SELECT max(event_id) / 2 AS m FROM e),
+        |b AS (
+        |  SELECT user_id, count(*) AS c FROM e, m
+        |  WHERE event_id <= m GROUP BY 1),
+        |c AS (
+        |  SELECT user_id, count(*) AS c FROM e, m
+        |  WHERE event_id > m GROUP BY 1),
+        |t AS (
+        |  SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM b) AS nb,
+        |    (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM c) AS nc),
+        |j AS (
+        |  SELECT coalesce(b.user_id, c.user_id) AS user_id,
+        |    CAST(coalesce(b.c, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(c.c, 0) AS BIGINT) AS n_cur
+        |  FROM b FULL OUTER JOIN c ON b.user_id = c.user_id)
+        |SELECT user_id, n_base, n_cur, n_cur - n_base AS delta
+        |FROM j, t
+        |WHERE abs(n_cur - n_base) * 512 > nb + nc
+        |ORDER BY abs(n_cur - n_base) DESC, user_id""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

@@ -395,7 +395,11 @@ object SparkEntry {
     "q165_hll_sliding"      -> (graft.analytics.HllRollup.slidingDistinctQuery _),
     // reciprocal-best-match pair mining within IVF lists (mutual top-1
     // cosine — the hub-killing high-precision alignment filter)
-    "q166_mutual_nn"        -> (graft.similarity.Similarity.mutualNnQuery _)
+    "q166_mutual_nn"        -> (graft.similarity.Similarity.mutualNnQuery _),
+    // heavy changers between stream halves (Cormode-Muthukrishnan
+    // deltoids): MG candidates + exact recheck; oracle computes deltas
+    // directly, proving the coverage guarantee
+    "q167_heavy_changers"   -> (graft.analytics.HeavyChangers.heavyChangersQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

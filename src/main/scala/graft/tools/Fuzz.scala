@@ -67,7 +67,10 @@ object Fuzz {
     "q161_mst_backbone",
     // sliding HLL windows: the register replay + the engine-explode vs
     // oracle-range-join window membership under random day spans
-    "q165_hll_sliding")
+    "q165_hll_sliding",
+    // heavy changers: MG-candidate coverage vs the oracle's direct
+    // deltas, under planted second-half burst users
+    "q167_heavy_changers")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
@@ -121,6 +124,7 @@ object Fuzz {
     val types = Array("click", "purchase", "signup", "error", "view")
     val base = midnightUs(LocalDate.of(2024, 1, 1))
     val gapUs = 30L * 60L * 1000000L
+    var tMax = base
     val raw = (0 until 32).flatMap { user =>
       var t = base + rnd.nextInt(7 * 24 * 60).toLong * 60L * 1000000L
       val n = 12 + rnd.nextInt(34)
@@ -134,11 +138,25 @@ object Fuzz {
           case _ => 1000000L + rnd.nextLong(45L * 60L * 1000000L)
         }
         t += inc
+        if (t > tMax) tMax = t
         (tsOf(t), user.toLong, types(rnd.nextInt(5)),
           (rnd.nextInt(20000) + 1) / 100.0, s"""{"k": ${rnd.nextInt(100)}}""")
       }
     }
-    val ordered = raw.sortBy(_._1.getTime).zipWithIndex.map {
+    // burst users (~1 in 7): a late activity surge appended past every
+    // walk's end, so the extra events take the TOP event_ids — the
+    // planted second-half heavy-changer signal q167 selects on (and a
+    // late-session tail for the session families)
+    val burst = (0 until 32).filter(_ % 7 == 0).flatMap { user =>
+      var t = tMax + (user + 1).toLong * 60L * 1000000L
+      val n = 25 + rnd.nextInt(20)
+      (0 until n).map { _ =>
+        t += 1000000L + rnd.nextLong(5L * 60L * 1000000L)
+        (tsOf(t), user.toLong, types(rnd.nextInt(5)),
+          (rnd.nextInt(20000) + 1) / 100.0, s"""{"k": ${rnd.nextInt(100)}}""")
+      }
+    }
+    val ordered = (raw ++ burst).sortBy(_._1.getTime).zipWithIndex.map {
       case ((ts, u, ty, v, p), i) => (i.toLong, ts, u, ty, v, p)
     }
     spark.createDataFrame(ordered).toDF("event_id", "ts", "user_id",
