@@ -670,6 +670,22 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.isEmpty, s"nested-loop in the ER plan:\n$plan")
   }
 
+  test("q167: both recheck counts read BROADCAST-semi-joined scans — " +
+    "the raw key universe never shuffles") {
+    // the deltoid contract: the only per-key aggregates run AFTER the
+    // ≤ 2(k−1)-candidate broadcast semi-join; a plan that groupBys the
+    // raw key column first has re-introduced the open-vocabulary
+    // exchange the sketch exists to avoid
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.analytics.HeavyChangers.heavyChangersQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    val semis = PlanWalk.collectPlan(plan) {
+      case j: BroadcastHashJoinExec
+        if j.joinType.toString.toLowerCase.contains("semi") => j
+    }
+    assert(semis.size == 2, s"expected 2 broadcast semi-joins:\n$plan")
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
