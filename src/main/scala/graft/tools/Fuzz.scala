@@ -31,8 +31,9 @@ import scala.util.Random
   *   python3 tools/fuzz_diff.py /tmp/graft-fuzz      # → FUZZ summary
   *
   * Any divergence gets its seed pinned as a regression case in FuzzSpec
-  * (none found in the round-11 sweep: 20 seeds × 24 families — the
-  * session/join, text/dedup, and SCD2/PSI sets — 480/480 exact;
+  * (none found in the round-11 sweep: 20 seeds × 34 families — the
+  * session/join, text/dedup, SCD2/PSI, spatial/MST, sketch, similarity
+  * and survivorship sets — exact across the board;
   * FuzzSpec additionally runs the engine-side triple-parity — window-lag
   * q45 vs typed-state q122 vs native session_window q149 — on every seed,
   * three independent implementations of the same cut rule).
@@ -70,7 +71,18 @@ object Fuzz {
     "q165_hll_sliding",
     // heavy changers: MG-candidate coverage vs the oracle's direct
     // deltas, under planted second-half burst users
-    "q167_heavy_changers")
+    "q167_heavy_changers",
+    // similarity tier over the seeded embeddings corpus: planted
+    // scaled-copy pairs (cosine exactly 1 — the round-6 tie the
+    // (cos, id) rule must break) and negated pairs (cosine −1);
+    // q166 additionally replays the IVF centroid/assignment trajectory
+    "q26_cosine_topk", "q166_mutual_nn",
+    // CMS join-size vs exact twin under fuzz key distributions
+    "q163_join_size_sketch",
+    // survivorship rules (recency/presence/frequency) on the dirty
+    // registry rebuilt from fuzz customers: negative balances, segment
+    // collisions, %3/%6 chain residues over a random key set
+    "q164_golden_record")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
@@ -250,7 +262,46 @@ object Fuzz {
       }
       keys += k
     }
-    spark.createDataFrame(keys.toSeq.map(Tuple1(_))).toDF("c_custkey")
+    // payload columns for the q164 survivorship family: unique names
+    // (the ER link keys are email/phone, derived from the key — names
+    // are pure payload), 2-dp balances incl. negatives, segments from a
+    // small set so the frequency rule sees collisions
+    val segs = Array("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val rows = keys.toSeq.map { k =>
+      (k, f"Customer#$k%09d",
+        (rnd.nextInt(2000000) - 99999) / 100.0, segs(rnd.nextInt(5)))
+    }
+    spark.createDataFrame(rows)
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+  }
+
+  /** Seeded embeddings corpus (200 vectors, dim 16, 3-dp floats in
+    * (−1, 1], no zero vectors) for the similarity families: every 10th
+    * vector is an EXACT 0.5-scaled copy of its predecessor (cosine
+    * exactly 1 up to the shared fold — a planted mutual-NN pair with a
+    * tie the (round 6, id) rule must break), and every 25th is the
+    * NEGATION of its predecessor (cosine −1 — the bottom boundary).
+    */
+  def genEmbeddings(spark: SparkSession, seed: Int): DataFrame = {
+    val rnd = new Random(seed * 67867967 + 7)
+    def fresh(): Array[Float] = {
+      val a = Array.fill(16)((rnd.nextInt(1999) - 999) / 1000.0f)
+      if (a.forall(_ == 0.0f)) { a(0) = 0.001f }
+      a
+    }
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    (0 until 200).foreach { i =>
+      val v =
+        if (i % 10 == 9 && vecs.nonEmpty) vecs(i - 1).map(_ * 0.5f)
+        else if (i % 25 == 24 && vecs.nonEmpty) vecs(i - 1).map(x => -x)
+        else fresh()
+      vecs += v
+    }
+    val rows = vecs.toSeq.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toSeq, rnd.nextInt(5))
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
   }
 
   /** Seeded nation dimension for the q160 box family: 10–30 geofence
@@ -277,6 +328,8 @@ object Fuzz {
       .parquet(s"$dir/customer.parquet")
     genNation(spark, seed).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/nation.parquet")
+    genEmbeddings(spark, seed).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {

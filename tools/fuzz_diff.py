@@ -21,7 +21,8 @@ fails, n_ok = [], 0
 for sd in seeds:
     sdir = f'{root}/{sd}'
     con = duckdb.connect()
-    for t in ['orders', 'events', 'documents', 'lineitem', 'customer', 'nation']:
+    for t in ['orders', 'events', 'documents', 'lineitem', 'customer', 'nation',
+              'embeddings']:
         if os.path.isdir(f'{sdir}/{t}.parquet'):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sdir}/{t}.parquet/*.parquet'")
     for name, sql in sorted(oracle.items()):
