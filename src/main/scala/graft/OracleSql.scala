@@ -4474,7 +4474,126 @@ object OracleSql {
         |SELECT user_id, n_base, n_cur, n_cur - n_base AS delta
         |FROM j, t
         |WHERE abs(n_cur - n_base) * 512 > nb + nc
-        |ORDER BY abs(n_cur - n_base) DESC, user_id""".stripMargin
+        |ORDER BY abs(n_cur - n_base) DESC, user_id""".stripMargin,
+
+    // q168: the CDC log rebuilt, then the textbook row_number()-DESC
+    // winner — a different mechanism from the engine's map-side
+    // struct-max aggregate, so agreement proves the compaction RULES
+    // (per-key (ts, seq) order, tombstone drop, delete-reinsert) and
+    // not the plumbing.
+    "q168_cdc_snapshot" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus,
+        |    o_totalprice, o_orderdate
+        |  FROM orders),
+        |log AS (
+        |  SELECT k, o_orderdate AS ts, CAST(1 AS BIGINT) AS seq,
+        |    'I' AS op, o_orderstatus AS status, o_totalprice AS price
+        |  FROM o
+        |  UNION ALL
+        |  SELECT k, o_orderdate + INTERVAL 3 DAY, 1, 'U', 'O',
+        |    round(o_totalprice + 50.0, 2)
+        |  FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, o_orderdate + INTERVAL 2 DAY, 1, 'U', 'P',
+        |    round(o_totalprice + 10.0, 2)
+        |  FROM o WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, o_orderdate + INTERVAL 2 DAY, 2, 'U', 'F',
+        |    round(o_totalprice + 10.01, 2)
+        |  FROM o WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, o_orderdate + INTERVAL 5 DAY, 1, 'D',
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        |  FROM o WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, o_orderdate + INTERVAL 7 DAY, 1, 'I', 'O',
+        |    round(o_totalprice + 200.0, 2)
+        |  FROM o WHERE k % 15 = 0),
+        |w AS (
+        |  SELECT k, ts, seq, op, status, price,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY ts DESC, seq DESC) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n_ops
+        |  FROM log)
+        |SELECT k AS o_orderkey, ts AS last_ts, seq AS last_seq, status,
+        |  price, CAST(n_ops AS BIGINT) AS n_ops
+        |FROM w WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q169: the oracle states the plan with ONE plain global window
+    // (fine at oracle scale) against the engine's bucketed prefix sum —
+    // boundary def b_i = min{v : cum(v) >= ceil(i*n/16)}, bucket(v) =
+    // #{boundaries < v}, exact integer rank arithmetic in both engines.
+    "q169_partition_plan" ->
+      """WITH c AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |cc AS (SELECT v, n, sum(n) OVER (ORDER BY v) AS cum FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        |ranks AS (
+        |  SELECT CAST(i AS BIGINT) AS i, (i * tot + 15) // 16 AS r
+        |  FROM generate_series(1, 15) s(i), t),
+        |b AS (
+        |  SELECT r.i, cc.v AS bound
+        |  FROM ranks r JOIN cc ON cc.cum - cc.n < r.r AND cc.cum >= r.r),
+        |asg AS (
+        |  SELECT c.v, c.n,
+        |    (SELECT count(*) FROM b WHERE b.bound < c.v) AS bucket_id
+        |  FROM c),
+        |sz AS (
+        |  SELECT bucket_id, CAST(sum(n) AS BIGINT) AS n_rows
+        |  FROM asg GROUP BY 1)
+        |SELECT CAST(g.i AS BIGINT) AS bucket_id, b.bound AS upper_bound,
+        |  coalesce(sz.n_rows, 0) AS n_rows,
+        |  round(coalesce(sz.n_rows, 0) * 100.0 / t.tot, 4) AS pct_rows
+        |FROM generate_series(0, 15) g(i)
+        |LEFT JOIN b ON b.i = g.i + 1
+        |LEFT JOIN sz ON sz.bucket_id = g.i
+        |CROSS JOIN t
+        |ORDER BY bucket_id""".stripMargin,
+
+    // q170: item-item CF mirror — same cap, same cosine, same pinned
+    // tie order (round(cos, 6) DESC, neighbor_id).
+    "q170_item_cf" ->
+      """WITH b AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS basket_id,
+        |    CAST(l_partkey AS BIGINT) AS item_id
+        |  FROM lineitem),
+        |sized AS (
+        |  SELECT basket_id, item_id FROM (
+        |    SELECT basket_id, item_id,
+        |      count(*) OVER (PARTITION BY basket_id) AS bn
+        |    FROM b) s
+        |  WHERE bn <= 16),
+        |deg AS (
+        |  SELECT item_id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sized GROUP BY 1),
+        |co AS (
+        |  SELECT x.item_id AS a, y.item_id AS b,
+        |    CAST(count(*) AS BIGINT) AS co
+        |  FROM sized x JOIN sized y
+        |    ON x.basket_id = y.basket_id AND x.item_id < y.item_id
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT a AS item_id, b AS neighbor_id, co FROM co
+        |  UNION ALL
+        |  SELECT b, a, co FROM co),
+        |sc AS (
+        |  SELECT s.item_id, s.neighbor_id, s.co,
+        |    s.co / sqrt(CAST(da.deg * db.deg AS DOUBLE)) AS cos
+        |  FROM sym s
+        |  JOIN deg da ON da.item_id = s.item_id
+        |  JOIN deg db ON db.item_id = s.neighbor_id),
+        |r AS (
+        |  SELECT item_id, neighbor_id, co, cos,
+        |    CAST(row_number() OVER (PARTITION BY item_id
+        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT item_id, rnk, neighbor_id, round(cos, 4) AS cosine, co
+        |FROM r WHERE rnk <= 5
+        |ORDER BY item_id, rnk""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

@@ -399,7 +399,15 @@ object SparkEntry {
     // heavy changers between stream halves (Cormode-Muthukrishnan
     // deltoids): MG candidates + exact recheck; oracle computes deltas
     // directly, proving the coverage guarantee
-    "q167_heavy_changers"   -> (graft.analytics.HeavyChangers.heavyChangersQuery _)
+    "q167_heavy_changers"   -> (graft.analytics.HeavyChangers.heavyChangersQuery _),
+    // CDC I/U/D log compaction to the current snapshot (map-side
+    // struct-max winner, tombstone drop, delete-reinsert chains)
+    "q168_cdc_snapshot"     -> (graft.etl.Cdc.cdcSnapshotQuery _),
+    // exact equi-depth range-partition planning (boundaries + achieved
+    // balance; bucket-prefix-sum cumulative counts, no global window)
+    "q169_partition_plan"   -> (graft.operators.PartitionPlanner.equiDepthQuery _),
+    // item-item CF: capped-basket co-occurrence cosine, top-5 shelf
+    "q170_item_cf"          -> (graft.similarity.ItemCf.itemCfQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -31,9 +31,10 @@ import scala.util.Random
   *   python3 tools/fuzz_diff.py /tmp/graft-fuzz      # → FUZZ summary
   *
   * Any divergence gets its seed pinned as a regression case in FuzzSpec
-  * (none found in the round-11 sweep: 20 seeds × 34 families — the
-  * session/join, text/dedup, SCD2/PSI, spatial/MST, sketch, similarity
-  * and survivorship sets — exact across the board;
+  * (none found in the round-11 sweep: 20 seeds × 36 families — the
+  * session/join, text/dedup, SCD2/PSI, spatial/MST, sketch, similarity,
+  * survivorship, CDC-compaction and partition-planner sets — exact
+  * across the board;
   * FuzzSpec additionally runs the engine-side triple-parity — window-lag
   * q45 vs typed-state q122 vs native session_window q149 — on every seed,
   * three independent implementations of the same cut rule).
@@ -82,7 +83,15 @@ object Fuzz {
     // survivorship rules (recency/presence/frequency) on the dirty
     // registry rebuilt from fuzz customers: negative balances, segment
     // collisions, %3/%6 chain residues over a random key set
-    "q164_golden_record")
+    "q164_golden_record",
+    // CDC compaction: tombstone/re-insert chains and same-ts seq ties
+    // across whatever %3/%5/%7/%15 residues the random keys populate,
+    // engine struct-max vs oracle row_number winner
+    "q168_cdc_snapshot",
+    // equi-depth planner: random 2-dp price distributions put rank
+    // crossings on duplicate values at every seed; engine bucketed
+    // prefix sum vs oracle global window
+    "q169_partition_plan")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

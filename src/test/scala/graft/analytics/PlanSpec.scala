@@ -686,6 +686,26 @@ class PlanSpec extends SparkSpec {
     assert(semis.size == 2, s"expected 2 broadcast semi-joins:\n$plan")
   }
 
+  test("q168: one orders scan feeds the generated CDC log, and the " +
+    "winner aggregate partial-combines before its single key exchange") {
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = graft.etl.Cdc.cdcSnapshotQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    assert(scans(df).size == 1, s"expected a single orders scan:\n$plan")
+    // key hash exchange + output range sort — nothing else; the
+    // struct-max winner falls back to SortAggregate (immutable buffer),
+    // but BOTH halves must be present: a partial below the exchange
+    // (map-side combine — the property that keeps a million-op key from
+    // shipping a million rows) and a final above it
+    val shuffles = PlanWalk.collectPlan(plan) {
+      case s: ShuffleExchangeLike => s
+    }
+    assert(shuffles.size == 2, s"expected 2 exchanges:\n$plan")
+    val aggs = PlanWalk.collectPlan(plan) { case a: SortAggregateExec => a }
+    assert(aggs.size == 2, s"expected partial+final aggregate pair:\n$plan")
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
