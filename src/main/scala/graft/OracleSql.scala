@@ -4593,7 +4593,152 @@ object OracleSql {
         |  FROM sc)
         |SELECT item_id, rnk, neighbor_id, round(cos, 4) AS cosine, co
         |FROM r WHERE rnk <= 5
-        |ORDER BY item_id, rnk""".stripMargin
+        |ORDER BY item_id, rnk""".stripMargin,
+
+    // q171: the q166 IVF trajectory replay (codebook, nprobe=1 lists,
+    // within-list candidates), then per-vector top-5 by the pinned
+    // (round-6 cos DESC, nid) rule, label disagreement counted and the
+    // integer majority verdict 2*disagree > n_nbrs — singleton-list
+    // vectors survive the left join with n_nbrs = 0, flagged false.
+    "q171_label_noise" -> {
+      import graft.functions.VectorHash._
+      def cos(adv: String, anrm: String, bdv: String, bnrm: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, len($adv) + 1), i -> $adv[i] * $bdv[i])), " +
+          s"(s, x) -> s + x) / ($anrm * $bnrm)"
+      s"""WITH e AS (
+        |  SELECT vec_id, label,
+        |    embedding AS v,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, dv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(dv, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM e),
+        |sd AS (
+        |  SELECT vec_id,
+        |    (($PlaneA1 * (vec_id % $PlaneP) + $PlaneB1) % $PlaneP) AS m1
+        |  FROM e),
+        |sh2 AS (
+        |  SELECT vec_id,
+        |    (($PlaneA2 * ((m1 * m1) % $PlaneP) + m1) % $PlaneP) AS h
+        |  FROM sd),
+        |nl AS (
+        |  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nlist
+        |  FROM e),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY sh2.h, sh2.vec_id) - 1
+        |      AS BIGINT) AS cid,
+        |    e.v AS c
+        |  FROM sh2 JOIN e ON e.vec_id = sh2.vec_id
+        |  QUALIFY row_number() OVER (ORDER BY sh2.h, sh2.vec_id)
+        |    <= (SELECT nlist FROM nl)),
+        |cn AS (
+        |  SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)) AS cdv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (s, x) -> s + x)) AS cnrm
+        |  FROM c0),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT n.vec_id, t.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (${cos("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n, cn t) s
+        |  WHERE rn = 1),
+        |sc AS (
+        |  SELECT a.vec_id AS qid, na.label AS qlabel,
+        |    nb.label AS nlabel, b.vec_id AS nid,
+        |    ${cos("na.dv", "na.nrm", "nb.dv", "nb.nrm")} AS cos
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id),
+        |tk AS (
+        |  SELECT qid, qlabel, nlabel FROM (
+        |    SELECT qid, qlabel, nlabel, row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(cos, 6) DESC, nid) AS rn
+        |    FROM sc) s
+        |  WHERE rn <= 5),
+        |vd AS (
+        |  SELECT qid, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |    CAST(sum(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_disagree
+        |  FROM tk GROUP BY 1)
+        |SELECT e.vec_id, e.label,
+        |  coalesce(vd.n_nbrs, 0) AS n_nbrs,
+        |  coalesce(vd.n_disagree, 0) AS n_disagree,
+        |  coalesce(vd.n_disagree, 0) * 2 > coalesce(vd.n_nbrs, 0) AS flagged
+        |FROM e LEFT JOIN vd ON vd.qid = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin
+    },
+
+    // q172: the positional index rebuilt (0-based pos to match
+    // posexplode; DuckDB lists are 1-based so t[i + 1] walks i = 0..),
+    // the same 5 leading phrases, and the 3-way positional intersect —
+    // overlapping occurrences count separately in both engines.
+    "q172_phrase_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, t[i + 1] AS term
+        |  FROM tk, unnest(range(0, len(t))) AS g(i)),
+        |ph AS (
+        |  SELECT doc_id AS phrase_id, t[1] AS w1, t[2] AS w2, t[3] AS w3,
+        |    array_to_string(list_slice(t, 1, 3), ' ') AS phrase
+        |  FROM tk WHERE len(t) >= 3
+        |  ORDER BY doc_id LIMIT 5)
+        |SELECT ph.phrase_id, ph.phrase, a.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_hits
+        |FROM ph
+        |JOIN idx a ON a.term = ph.w1
+        |JOIN idx b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  AND b.term = ph.w2
+        |JOIN idx c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  AND c.term = ph.w3
+        |GROUP BY 1, 2, 3
+        |ORDER BY phrase_id, a.doc_id""".stripMargin,
+
+    // q173: the cascade (customer %97 → orders → lineitem) and the
+    // q144 file grain replayed; the left joins are key-unique on the
+    // probe side, so count(k) counts casualties without multiplying.
+    "q173_forget_plan" ->
+      """WITH fk AS (
+        |  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |osp AS (
+        |  SELECT CAST(ceil((max(o_orderkey) + 1) / 64.0) AS BIGINT) AS span
+        |  FROM orders),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderkey // span AS file_id
+        |  FROM orders, osp),
+        |oplan AS (
+        |  SELECT 'orders' AS table_name, file_id,
+        |    CAST(count(*) AS BIGINT) AS n_file_rows,
+        |    CAST(count(fk.k) AS BIGINT) AS n_delete
+        |  FROM o LEFT JOIN fk ON o.o_custkey = fk.k
+        |  GROUP BY 2),
+        |aff AS (
+        |  SELECT o_orderkey AS dead_ok FROM o JOIN fk ON o.o_custkey = fk.k),
+        |lsp AS (
+        |  SELECT CAST(ceil((max(l_orderkey) + 1) / 64.0) AS BIGINT) AS span
+        |  FROM lineitem),
+        |l AS (
+        |  SELECT l_orderkey, l_orderkey // span AS file_id
+        |  FROM lineitem, lsp),
+        |lplan AS (
+        |  SELECT 'lineitem' AS table_name, file_id,
+        |    CAST(count(*) AS BIGINT) AS n_file_rows,
+        |    CAST(count(aff.dead_ok) AS BIGINT) AS n_delete
+        |  FROM l LEFT JOIN aff ON l.l_orderkey = aff.dead_ok
+        |  GROUP BY 2),
+        |u AS (SELECT * FROM oplan UNION ALL SELECT * FROM lplan)
+        |SELECT table_name, file_id, n_delete, n_file_rows,
+        |  round(n_delete * 100.0 / n_file_rows, 4) AS pct_rewrite
+        |FROM u WHERE n_delete > 0
+        |ORDER BY table_name, file_id""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

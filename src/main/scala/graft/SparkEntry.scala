@@ -407,7 +407,13 @@ object SparkEntry {
     // balance; bucket-prefix-sum cumulative counts, no global window)
     "q169_partition_plan"   -> (graft.operators.PartitionPlanner.equiDepthQuery _),
     // item-item CF: capped-basket co-occurrence cosine, top-5 shelf
-    "q170_item_cf"          -> (graft.similarity.ItemCf.itemCfQuery _)
+    "q170_item_cf"          -> (graft.similarity.ItemCf.itemCfQuery _),
+    // label-noise screen: within-IVF-list k-NN majority disagreement
+    "q171_label_noise"      -> (graft.similarity.LabelNoise.labelNoiseQuery _),
+    // exact phrase retrieval: positional inverted index, pruned postings
+    "q172_phrase_search"    -> (graft.text.PhraseSearch.phraseSearchQuery _),
+    // right-to-erasure cascade: per-file rewrite-amplification plan
+    "q173_forget_plan"      -> (graft.operators.ForgetPlan.forgetPlanQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

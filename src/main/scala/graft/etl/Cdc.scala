@@ -72,6 +72,27 @@ object Cdc {
       :+ col("n_ops"): _*)
   }
 
+  /** Bridge an intermediate segment compaction (`dropTombstones =
+    * false`) into the engine's MERGE write path: tombstone winners
+    * become `delete` actions, everything else `upsert` — key-unique by
+    * construction (one winner per key), which is exactly MERGE's
+    * precondition. Composed with [[graft.stream.Ingest.advanceSnapshot]]
+    * + [[graft.operators.MergeInto.merge]] this is the streaming CDC
+    * apply: windowed batches land as versioned, crash-safe snapshots.
+    *
+    * Ordering contract: sequential MERGE takes "latest BATCH wins", so
+    * the stream's batches must be TIME-ordered per key (the normal CDC
+    * window shape). A segment containing ops older than an
+    * already-applied batch would regress the row — CdcSpec pins the
+    * divergence counterexample; unordered segments must go through
+    * [[compact]]'s merge law instead (`n_ops` is dropped here for the
+    * same reason: per-batch counts don't sum through MERGE).
+    */
+  def toMergeActions(segment: DataFrame, opCol: String = "op"): DataFrame =
+    segment.withColumn("action",
+      when(col(opCol) === "D", lit("delete")).otherwise(lit("upsert")))
+      .drop(opCol, "n_ops")
+
   /** The deterministic CDC log both the driver query and the fuzz
     * family derive from the orders table — every op kind and every
     * compaction boundary populated:

@@ -31,10 +31,10 @@ import scala.util.Random
   *   python3 tools/fuzz_diff.py /tmp/graft-fuzz      # → FUZZ summary
   *
   * Any divergence gets its seed pinned as a regression case in FuzzSpec
-  * (none found in the round-11 sweep: 20 seeds × 36 families — the
+  * (none found in the round-11 sweep: 20 seeds × 39 families — the
   * session/join, text/dedup, SCD2/PSI, spatial/MST, sketch, similarity,
-  * survivorship, CDC-compaction and partition-planner sets — exact
-  * across the board;
+  * survivorship, CDC-compaction, partition-planner, item-CF,
+  * label-noise and phrase-retrieval sets — exact across the board;
   * FuzzSpec additionally runs the engine-side triple-parity — window-lag
   * q45 vs typed-state q122 vs native session_window q149 — on every seed,
   * three independent implementations of the same cut rule).
@@ -91,7 +91,18 @@ object Fuzz {
     // equi-depth planner: random 2-dp price distributions put rank
     // crossings on duplicate values at every seed; engine bucketed
     // prefix sum vs oracle global window
-    "q169_partition_plan")
+    "q169_partition_plan",
+    // item-item CF: the 40-part lineitem domain makes shared-count
+    // cosine collisions everywhere — the round-6 (cos, neighbor) tie
+    // rule diffed per seed; map-side TopK shelf vs oracle rank window
+    "q170_item_cf",
+    // label-noise screen over the seeded embeddings: planted
+    // scaled-copy (cos = 1) and negated (cos = -1) neighbors hit the
+    // top-k boundary; random labels exercise the majority verdict
+    "q171_label_noise",
+    // phrase retrieval: heavy-repetition docs put OVERLAPPING matches
+    // in every seed, short docs straddle the >= 3-token query rule
+    "q172_phrase_search")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

@@ -111,4 +111,65 @@ class CdcSpec extends SparkSpec {
       assert(bad == 0L)
     } finally spark.catalog.clearCache()
   }
+
+  test("streaming CDC apply: time-windowed batches through segment-" +
+    "compact -> toMergeActions -> versioned MERGE snapshots converge to " +
+    "whole-log compaction") {
+    import graft.operators.MergeInto
+    import graft.stream.Ingest
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-apply")
+      .toString
+    val payload = Seq("ts", "seq", "status", "price")
+    val cuts = Seq(ts("2024-01-02 00:00:00"), ts("2024-01-04 00:00:00"))
+    val batches = Seq(
+      log.filter(col("ts") <= cuts(0)),
+      log.filter(col("ts") > cuts(0) && col("ts") <= cuts(1)),
+      log.filter(col("ts") > cuts(1)))
+    val paths = batches.map { b =>
+      val changes = Cdc.toMergeActions(
+        Cdc.compact(b, Seq("key"), Seq("ts", "seq"), dropTombstones = false))
+      Ingest.advanceSnapshot(spark, dir,
+        changes.drop("action").limit(0)) { base =>
+        MergeInto.merge(base, changes, "key", payload).drop("op")
+      }
+    }
+    assert(paths.distinct.size === 3) // three committed versions
+    val got = spark.read.parquet(Ingest.latestSnapshotPath(spark, dir).get)
+      .select("key", "ts", "seq", "status", "price").collect().toSet
+    val want = Cdc.compact(log, Seq("key"), Seq("ts", "seq"))
+      .select("key", "ts", "seq", "status", "price").collect().toSet
+    assert(got === want)
+    // and the chain actually exercised every op kind: key 2 deleted in
+    // batch 2, key 3 tombstoned and re-inserted across batches
+    val keys = got.map(_.getLong(0))
+    assert(!keys.contains(2L) && keys.contains(3L))
+  }
+
+  test("UNORDERED shards through sequential MERGE diverge — the " +
+    "counterexample that makes time-ordering the stream-apply contract " +
+    "(unordered segments must use the compact merge law)") {
+    import graft.operators.MergeInto
+    val l = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "I", "A", Some(10.0)),
+      (1L, ts("2024-01-02 00:00:00"), 1L, "U", "B", Some(11.0)))
+      .toDF("key", "ts", "seq", "op", "status", "price")
+    val newer = l.filter(col("ts") > ts("2024-01-01 12:00:00"))
+    val older = l.filter(col("ts") <= ts("2024-01-01 12:00:00"))
+    val payload = Seq("ts", "seq", "status", "price")
+    def seg(b: org.apache.spark.sql.DataFrame) =
+      Cdc.compact(b, Seq("key"), Seq("ts", "seq"), dropTombstones = false)
+    // newer batch applied FIRST, older second: MERGE regresses to "A"
+    val empty = Cdc.toMergeActions(seg(newer)).drop("action").limit(0)
+    val merged = MergeInto.merge(
+      MergeInto.merge(empty,
+        Cdc.toMergeActions(seg(newer)), "key", payload).drop("op"),
+      Cdc.toMergeActions(seg(older)), "key", payload)
+      .select("status").as[String].collect()
+    assert(merged === Array("A")) // the regression
+    // the compact merge law on the SAME shards gets it right
+    val law = Cdc.compact(seg(newer).unionByName(seg(older)),
+      Seq("key"), Seq("ts", "seq"))
+      .select("status").as[String].collect()
+    assert(law === Array("B"))
+  }
 }
