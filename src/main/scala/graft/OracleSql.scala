@@ -4738,7 +4738,89 @@ object OracleSql {
         |SELECT table_name, file_id, n_delete, n_file_rows,
         |  round(n_delete * 100.0 / n_file_rows, 4) AS pct_rewrite
         |FROM u WHERE n_delete > 0
-        |ORDER BY table_name, file_id""".stripMargin
+        |ORDER BY table_name, file_id""".stripMargin,
+
+    // q174: the deterministic (ts, event_id) reservoir replayed as a
+    // row_number window, capped/uncapped measures from one conditional
+    // aggregate — identical arithmetic, identical rounding.
+    "q174_capped_release" ->
+      """WITH r AS (
+        |  SELECT event_type, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rows_capped,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(sum(CASE WHEN rn <= 10 THEN value ELSE 0.0 END), 2)
+        |    AS sum_value_capped,
+        |  round((count(*) - sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END))
+        |    * 100.0 / count(*), 4) AS clamp_loss_pct
+        |FROM r GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
+
+    // q175: the q164 registry + blocked pairs + recursive-CTE clusters
+    // replayed; the truth count is Σ s(s−1)/2 over cluster sizes — the
+    // same no-pair-explode arithmetic as the engine.
+    "q175_blocking_quality" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name FROM customer),
+        |recs AS (
+        |  SELECT k * 4 AS rid, 'e' || CAST(k AS VARCHAR) AS email,
+        |    'p' || CAST(k AS VARCHAR) AS phone
+        |  FROM c
+        |  UNION ALL
+        |  SELECT k * 4 + 1, 'e' || CAST(k AS VARCHAR),
+        |    'px' || CAST(k AS VARCHAR)
+        |  FROM c WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k * 4 + 2, 'ex' || CAST(k AS VARCHAR),
+        |    'px' || CAST(k AS VARCHAR)
+        |  FROM c WHERE k % 6 = 0),
+        |ep AS (
+        |  SELECT a.rid AS id_a, b.rid AS id_b
+        |  FROM recs a JOIN recs b ON a.email = b.email AND a.rid < b.rid),
+        |pp AS (
+        |  SELECT a.rid AS id_a, b.rid AS id_b
+        |  FROM recs a JOIN recs b ON a.phone = b.phone AND a.rid < b.rid),
+        |cand AS (SELECT * FROM ep UNION SELECT * FROM pp),
+        |ed AS (
+        |  SELECT id_a AS src, id_b AS dst FROM cand
+        |  UNION ALL SELECT id_b, id_a FROM cand),
+        |walk(id, lbl) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT e.src, w.lbl FROM ed e JOIN walk w ON w.id = e.dst),
+        |lab AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS s FROM lab GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(coalesce(sum(s * (s - 1) // 2), 0) AS BIGINT)
+        |    AS n_truth_pairs
+        |  FROM sz),
+        |m AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM recs) AS n_records,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ep) AS n_email_pairs,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM pp) AS n_phone_pairs,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ep
+        |      WHERE (id_a, id_b) IN (SELECT (id_a, id_b) FROM pp))
+        |      AS n_both_keys,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cand)
+        |      AS n_candidate_pairs,
+        |    (SELECT n_truth_pairs FROM t) AS n_truth_pairs)
+        |SELECT n_records, n_email_pairs, n_phone_pairs, n_both_keys,
+        |  n_candidate_pairs, n_truth_pairs,
+        |  n_truth_pairs - n_candidate_pairs AS n_transitive_only,
+        |  CASE WHEN n_truth_pairs > 0 THEN
+        |    round(n_candidate_pairs * 1.0 / n_truth_pairs, 6) END
+        |    AS pair_completeness,
+        |  CASE WHEN n_records > 1 THEN
+        |    round(1.0 - n_candidate_pairs * 2.0
+        |      / (n_records * (n_records - 1)), 6) END AS reduction_ratio
+        |FROM m""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

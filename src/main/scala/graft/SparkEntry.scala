@@ -413,7 +413,11 @@ object SparkEntry {
     // exact phrase retrieval: positional inverted index, pruned postings
     "q172_phrase_search"    -> (graft.text.PhraseSearch.phraseSearchQuery _),
     // right-to-erasure cascade: per-file rewrite-amplification plan
-    "q173_forget_plan"      -> (graft.operators.ForgetPlan.forgetPlanQuery _)
+    "q173_forget_plan"      -> (graft.operators.ForgetPlan.forgetPlanQuery _),
+    // user-level contribution capping before aggregate release
+    "q174_capped_release"   -> (graft.analytics.CappedContribution.cappedReleaseQuery _),
+    // blocking quality: reduction ratio / pairs completeness vs CC truth
+    "q175_blocking_quality" -> (graft.dedup.BlockingQuality.blockingQualityQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

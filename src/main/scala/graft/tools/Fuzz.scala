@@ -31,10 +31,10 @@ import scala.util.Random
   *   python3 tools/fuzz_diff.py /tmp/graft-fuzz      # → FUZZ summary
   *
   * Any divergence gets its seed pinned as a regression case in FuzzSpec
-  * (none found in the round-11 sweep: 20 seeds × 39 families — the
+  * (none found in the round-11 sweep: 20 seeds × 41 families — the
   * session/join, text/dedup, SCD2/PSI, spatial/MST, sketch, similarity,
   * survivorship, CDC-compaction, partition-planner, item-CF,
-  * label-noise and phrase-retrieval sets — exact across the board;
+  * label-noise, phrase-retrieval, contribution-cap and blocking-quality sets — exact across the board;
   * FuzzSpec additionally runs the engine-side triple-parity — window-lag
   * q45 vs typed-state q122 vs native session_window q149 — on every seed,
   * three independent implementations of the same cut rule).
@@ -102,7 +102,14 @@ object Fuzz {
     "q171_label_noise",
     // phrase retrieval: heavy-repetition docs put OVERLAPPING matches
     // in every seed, short docs straddle the >= 3-token query rule
-    "q172_phrase_search")
+    "q172_phrase_search",
+    // contribution capping: duplicate timestamps within a user hit the
+    // (ts, event_id) reservoir tie-break; burst users clamp hard
+    "q174_capped_release",
+    // blocking quality: %3/%6 chain residues over each random key set
+    // vary the transitive-only count; engine size-arithmetic truth vs
+    // oracle recursive-CTE closure
+    "q175_blocking_quality")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
