@@ -48,6 +48,14 @@ object ItemCf {
     // degree table would be two more corpus-scale exchanges, and
     // broadcasting degrees assumes an item dimension that fits, which a
     // 100 TB catalog need not
+    // NOTE (measured, not assumed): the plan re-derives this projection
+    // four times (self-join legs × symmetric-union branches — four scans,
+    // eight window sorts), and materializing it + the pair table with
+    // DISK_ONLY localCheckpoints was TRIED and measured SLOWER at every
+    // scale (sf0.1 2.93→3.15, sf10 113.3→118.7 s): the pair table is the
+    // dominant cost and checkpoint-writing ~300M rows exceeds what the
+    // re-derivation saves, while the scan+window legs pipeline cheaply.
+    // Recomputation is the right trade here.
     val sized = b
       .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("basket_id"))))
       .filter(col("bn") <= maxBasket)

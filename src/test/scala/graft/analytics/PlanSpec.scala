@@ -706,6 +706,47 @@ class PlanSpec extends SparkSpec {
     assert(aggs.size == 2, s"expected partial+final aggregate pair:\n$plan")
   }
 
+  test("q170: the per-item shelf is the map-side TopK aggregate, not a " +
+    "rank window over the pair table") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.similarity.ItemCf.itemCfQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    // the 273→113 s fix at the 100× leg: the shelf collapses map-side
+    // through TopK (partial+final ObjectHashAggregate pair); the ONLY
+    // windows are the bn/deg attachments (4 plan derivations × 2), all
+    // partitioned — a 9th window (or any unpartitioned one) means the
+    // rank-window shape crept back
+    val aggs = PlanWalk.collectPlan(plan) {
+      case a: ObjectHashAggregateExec => a
+    }
+    assert(aggs.size == 2, s"expected TopK partial+final pair:\n$plan")
+    val wins = PlanWalk.collectPlan(plan) { case w: WindowExec => w }
+    assert(wins.size == 8 && wins.forall(_.partitionSpec.nonEmpty),
+      s"expected 8 partitioned bn/deg windows:\n$plan")
+  }
+
+  test("q172: corpus access is confined to the two materialization jobs " +
+    "— the positional self-join never rescans parquet") {
+    val df = graft.text.PhraseSearch.phraseSearchQuery(spark, dir)
+    // the 9-scans-per-query fix: phrases and pruned postings are
+    // checkpointed, so the final plan joins materialized RDDs only
+    assert(scans(df).isEmpty,
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("q174: the contribution-cap rank window is keyed on (user, type) " +
+    "— never a single-partition sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.analytics.CappedContribution
+      .cappedReleaseQuery(spark, dir)
+    val wins = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.size == 2),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
