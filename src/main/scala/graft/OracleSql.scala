@@ -4820,7 +4820,144 @@ object OracleSql {
         |  CASE WHEN n_records > 1 THEN
         |    round(1.0 - n_candidate_pairs * 2.0
         |      / (n_records * (n_records - 1)), 6) END AS reduction_ratio
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // q176: the ledger rebuilt, then the textbook row_number winner
+    // (valid_from DESC, recorded_tx DESC) per (T, V, key) — a different
+    // mechanism from the engine's struct-max, so agreement proves the
+    // bitemporal resolution RULE, not the plumbing (the q168 pattern).
+    "q176_bitemporal" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice
+        |  FROM orders),
+        |led AS (
+        |  SELECT k, CAST(1 AS BIGINT) AS vf, CAST(1 AS BIGINT) AS tx,
+        |    true AS alive, o_totalprice AS price
+        |  FROM o
+        |  UNION ALL
+        |  SELECT k, 1, 2, true, round(o_totalprice + 1.0, 2)
+        |  FROM o WHERE k % 9 = 0
+        |  UNION ALL
+        |  SELECT k, 2, 2, true, round(o_totalprice + 50.0, 2)
+        |  FROM o WHERE k % 9 = 3
+        |  UNION ALL
+        |  SELECT k, 2, 3, true, round(o_totalprice + 75.0, 2)
+        |  FROM o WHERE k % 9 = 6
+        |  UNION ALL
+        |  SELECT k, 3, 3, false, CAST(NULL AS DOUBLE)
+        |  FROM o WHERE k % 9 = 7),
+        |grid AS (
+        |  SELECT CAST(t.i AS BIGINT) AS T, CAST(v.i AS BIGINT) AS V
+        |  FROM generate_series(1, 3) t(i), generate_series(1, 3) v(i)),
+        |w AS (
+        |  SELECT g.T, g.V, l.k, l.alive, l.price,
+        |    row_number() OVER (PARTITION BY g.T, g.V, l.k
+        |      ORDER BY l.vf DESC, l.tx DESC) AS rn
+        |  FROM grid g JOIN led l ON l.tx <= g.T AND l.vf <= g.V)
+        |SELECT T, V, CAST(count(*) AS BIGINT) AS n_keys,
+        |  round(sum(price), 2) AS sum_price
+        |FROM w WHERE rn = 1 AND alive
+        |GROUP BY 1, 2
+        |ORDER BY T, V""".stripMargin,
+
+    // q177: HyperBall replayed — the q69 edge CTEs, the q82 mixer with
+    // 6 bucket bits, and each propagation round unrolled as a
+    // register-wise max-merge; the exact column iterates the
+    // reachable-pair set the same 3 rounds. Estimates (not just the
+    // exact twin) must match bit-for-bit.
+    "q177_hll_reach" ->
+      s"""WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |capped AS (
+        |  SELECT c, p FROM (
+        |    SELECT c, p, count(*) OVER (PARTITION BY p) AS df FROM cp)
+        |  WHERE df <= 18),
+        |ed AS (
+        |  SELECT DISTINCT x.c AS u, y.c AS v
+        |  FROM capped x JOIN capped y ON x.p = y.p AND x.c < y.c),
+        |bi AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+        |verts AS (SELECT DISTINCT u AS v FROM bi),
+        |hh AS (
+        |  SELECT v,
+        |    (1566083941 * ((m1 * m1) % 2147483647) + m1) % 2147483647 AS h
+        |  FROM (
+        |    SELECT v,
+        |      (506952114 * ((v % 2147483647 + 2147483647) % 2147483647)
+        |        + 1013904223) % 2147483647 AS m1
+        |    FROM verts)),
+        |r0 AS (
+        |  SELECT v, h & 63 AS bucket,
+        |    26 - CASE WHEN (h >> 6) = 0 THEN 0
+        |              ELSE length(bin(h >> 6)) END AS reg
+        |  FROM hh),
+        |r1 AS (
+        |  SELECT v, bucket, max(reg) AS reg FROM (
+        |    SELECT * FROM r0
+        |    UNION ALL
+        |    SELECT bi.u AS v, r.bucket, r.reg FROM bi JOIN r0 r ON r.v = bi.v)
+        |  GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT v, bucket, max(reg) AS reg FROM (
+        |    SELECT * FROM r1
+        |    UNION ALL
+        |    SELECT bi.u AS v, r.bucket, r.reg FROM bi JOIN r1 r ON r.v = bi.v)
+        |  GROUP BY 1, 2),
+        |r3 AS (
+        |  SELECT v, bucket, max(reg) AS reg FROM (
+        |    SELECT * FROM r2
+        |    UNION ALL
+        |    SELECT bi.u AS v, r.bucket, r.reg FROM bi JOIN r2 r ON r.v = bi.v)
+        |  GROUP BY 1, 2),
+        |regs AS (
+        |  SELECT CAST(0 AS BIGINT) AS h, * FROM r0
+        |  UNION ALL SELECT 1, * FROM r1
+        |  UNION ALL SELECT 2, * FROM r2
+        |  UNION ALL SELECT 3, * FROM r3),
+        |sk AS (
+        |  SELECT h, v, count(*) AS used,
+        |    sum(1::BIGINT << (26 - reg)) AS s_part
+        |  FROM regs GROUP BY 1, 2),
+        |balls AS (
+        |  SELECT h,
+        |    CAST(round(CASE WHEN raw <= 160.0 AND used < 64
+        |         THEN 64.0 * ln(64.0 / CAST(64 - used AS DOUBLE))
+        |         ELSE raw END) AS BIGINT) AS est_ball
+        |  FROM (
+        |    SELECT h, used,
+        |      ${java.lang.Double.toString(graft.graph.HyperBall.AlphaNum)}
+        |        / CAST(s_part + (64 - used) * 67108864 AS DOUBLE) AS raw
+        |    FROM sk)),
+        |est AS (
+        |  SELECT h, CAST(sum(est_ball) AS BIGINT) AS est_reach
+        |  FROM balls GROUP BY 1),
+        |p0 AS (SELECT v AS a, v AS b FROM verts),
+        |p1 AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT * FROM p0
+        |    UNION ALL
+        |    SELECT p.a, bi.v AS b FROM p0 p JOIN bi ON bi.u = p.b)),
+        |p2 AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT * FROM p1
+        |    UNION ALL
+        |    SELECT p.a, bi.v AS b FROM p1 p JOIN bi ON bi.u = p.b)),
+        |p3 AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT * FROM p2
+        |    UNION ALL
+        |    SELECT p.a, bi.v AS b FROM p2 p JOIN bi ON bi.u = p.b)),
+        |ex AS (
+        |  SELECT CAST(0 AS BIGINT) AS h,
+        |    CAST((SELECT count(*) FROM p0) AS BIGINT) AS exact_reach
+        |  UNION ALL SELECT 1, (SELECT count(*) FROM p1)
+        |  UNION ALL SELECT 2, (SELECT count(*) FROM p2)
+        |  UNION ALL SELECT 3, (SELECT count(*) FROM p3))
+        |SELECT est.h, est.est_reach, ex.exact_reach,
+        |  round((est.est_reach - ex.exact_reach) * 100.0
+        |    / ex.exact_reach, 4) AS err_pct
+        |FROM est JOIN ex ON ex.h = est.h
+        |ORDER BY est.h""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

@@ -417,7 +417,11 @@ object SparkEntry {
     // user-level contribution capping before aggregate release
     "q174_capped_release"   -> (graft.analytics.CappedContribution.cappedReleaseQuery _),
     // blocking quality: reduction ratio / pairs completeness vs CC truth
-    "q175_blocking_quality" -> (graft.dedup.BlockingQuality.blockingQualityQuery _)
+    "q175_blocking_quality" -> (graft.dedup.BlockingQuality.blockingQualityQuery _),
+    // bitemporal ledger: (transaction time, valid time) grid resolution
+    "q176_bitemporal"       -> (graft.etl.Bitemporal.bitemporalQuery _),
+    // HyperBall neighborhood function: per-vertex HLL register propagation
+    "q177_hll_reach"        -> (graft.graph.HyperBall.hllReachQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,151 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HyperBall neighborhood function [Boldi & Vigna, "In-Core Computation
+  * of Geometric Centralities with HyperBall", 2013; Palmer et al.'s ANF
+  * is the exact-bitmap ancestor]: per-vertex HyperLogLog registers
+  * propagated along edges, so after h rounds vertex v's sketch
+  * estimates |ball(v, h)| — the number of vertices within distance h.
+  * Summing over v gives the neighborhood function N(h), the curve
+  * behind effective-diameter and average-distance estimates.
+  *
+  * Why this exists at 100 TB: the EXACT neighborhood function
+  * materializes the reachable-pair set — Θ(|V|²) rows on any graph
+  * with a giant component, dead on arrival at scale. HyperBall stores
+  * m = 64 fixed-width register cells per vertex and each round costs
+  * ONE join of the register table with the edge list plus ONE
+  * (v, bucket) max-aggregation — linear state, mergeable combine,
+  * map-side partial max. The exact pair iteration rides along here as
+  * the verification twin (q142's lesson applied from the start: it has
+  * an off switch — `exactCheck = false` skips every pair-scale plan).
+  *
+  * Determinism/oracle: same integer quadratic mixer as the q82 sketch
+  * (`analytics.Hll` — mod-2³¹−1 arithmetic DuckDB replays exactly),
+  * 6 bucket bits, ρ ∈ [1, 26] from the remaining 25 hash bits. The
+  * oracle unrolls the propagation rounds as SQL max-merges, so the
+  * ESTIMATES match bit-for-bit, not just the exact column.
+  */
+object HyperBall {
+
+  import graft.analytics.Hll.P
+
+  /** Registers per vertex (6 bucket bits) — HyperBall runs many small
+    * sketches, so m = 64 (rsd ≈ 13%) is the classic space/error point,
+    * not q82's m = 1024 (one sketch per corpus slice can afford 3%).
+    */
+  val M: Int = 64
+
+  /** (P−1) >> 6 < 2²⁵, so ρ ∈ [1, 26]. */
+  val WBits: Int = 25
+
+  /** α₆₄ · m² · 2²⁶ — the raw-estimate numerator (α₆₄ = 0.709, the
+    * published small-m constant). The oracle embeds
+    * `Double.toString(AlphaNum)` so both engines divide the SAME double.
+    */
+  val AlphaNum: Double = 0.709 * 64.0 * 64.0 * 67108864.0
+
+  /** The q82/q141 quadratic mixer (mod 2³¹−1), shared so the oracle's
+    * integer replay is already proven.
+    */
+  private def mix(id: Column): Column = {
+    val m1 = (lit(506952114L) * (((id % P) + P) % P) + lit(1013904223L)) % P
+    (lit(1566083941L) * ((m1 * m1) % P) + m1) % P
+  }
+
+  private def rho(h: Column): Column = {
+    val w = shiftright(h, 6)
+    lit(WBits + 1) - when(w === 0L, lit(0)).otherwise(length(bin(w)))
+  }
+
+  /** Hop-0 register table: each vertex's sketch holds exactly its own
+    * hash — one (v, bucket, reg) cell per vertex (registers are sparse;
+    * absent cells are zero, exactly as in `analytics.HllRollup`).
+    */
+  def vertexRegisters(vertices: DataFrame): DataFrame =
+    vertices.select(col("v"), mix(col("v")).as("h"))
+      .select(col("v"), col("h").bitwiseAND(lit(63L)).as("bucket"),
+        rho(col("h")).as("reg"))
+
+  /** One HyperBall round: v's sketch absorbs every out-neighbor's
+    * sketch (register-wise max). `edges` must already be bidirectional
+    * for undirected semantics. One shuffle on the neighbor key, one
+    * (v, bucket) max — both partial-aggregate map-side.
+    */
+  def propagate(regs: DataFrame, edges: DataFrame): DataFrame =
+    regs.unionByName(
+        edges.join(regs.withColumnRenamed("v", "nb"),
+            col("v") === col("nb")) // regs of the neighbor end...
+          .select(col("u").as("v"), col("bucket"), col("reg")))
+      .groupBy(col("v"), col("bucket")).agg(max(col("reg")).as("reg"))
+
+  /** Per-vertex ball-size estimates from a (v, bucket, reg) table —
+    * the m = 64 estimator (linear counting below 2.5·m, the regime
+    * almost every ball in a sparse graph lives in).
+    */
+  def estimateBalls(regs: DataFrame): DataFrame =
+    regs.groupBy(col("v"))
+      .agg(count(lit(1)).as("used"),
+        expr("sum(shiftleft(CAST(1 AS BIGINT), 26 - reg))").as("s_part"))
+      .select(col("v"), col("used"),
+        (lit(AlphaNum) / (col("s_part")
+          + (lit(M.toLong) - col("used")) * lit(1L << 26)).cast("double"))
+          .as("raw"))
+      .select(col("v"),
+        round(when(col("raw") <= lit(2.5 * M) && col("used") < M,
+          lit(M.toDouble)
+            * log(lit(M.toDouble) / (lit(M.toLong) - col("used"))
+              .cast("double")))
+          .otherwise(col("raw"))).cast("long").as("est_ball"))
+
+  /** Neighborhood function over `edges` (directed rows; pass both
+    * directions for undirected): one row per hop h ∈ [0, hops] with the
+    * HyperBall estimate of Σ_v |ball(v, h)|. With `exactCheck` the
+    * exact reachable-pair iteration rides along (test scale only — the
+    * pair table is the Θ(|V|²) object the sketch exists to avoid);
+    * without it no pair-scale plan is built.
+    */
+  def neighborhood(edges: DataFrame, hops: Int,
+                   exactCheck: Boolean): DataFrame = {
+    val verts = edges.select(col("u").as("v")).distinct()
+    var regs = vertexRegisters(verts).localCheckpoint()
+    var reach = verts.select(col("v").as("a"), col("v").as("b"))
+      .localCheckpoint()
+    val perHop = (0 to hops).map { h =>
+      if (h > 0) {
+        regs = propagate(regs, edges).localCheckpoint()
+        if (exactCheck)
+          reach = reach.unionByName(
+              reach.join(edges, col("b") === col("u"))
+                .select(col("a"), col("v").as("b")))
+            .distinct().localCheckpoint()
+      }
+      val est = estimateBalls(regs)
+        .agg(sum(col("est_ball")).as("est_reach"))
+        .select(lit(h.toLong).as("h"), col("est_reach"))
+      if (exactCheck)
+        est.crossJoin(reach.agg(count(lit(1)).as("exact_reach")))
+      else est
+    }
+    val all = perHop.reduce(_ unionByName _)
+    val out =
+      if (exactCheck)
+        all.select(col("h"), col("est_reach"), col("exact_reach"),
+          round((col("est_reach") - col("exact_reach")) * 100.0
+            / col("exact_reach"), 4).as("err_pct"))
+      else all
+    out.orderBy(col("h"))
+  }
+
+  /** q177: the neighborhood function of the q69 co-purchase graph to
+    * 3 hops, estimate vs exact per hop.
+    */
+  def hllReachQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Triangles.coPurchaseEdges(s, dir, maxDf = 18)
+    val bi = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    neighborhood(bi, hops = 3, exactCheck = true)
+  }
+}
