@@ -4957,7 +4957,52 @@ object OracleSql {
         |  round((est.est_reach - ex.exact_reach) * 100.0
         |    / ex.exact_reach, 4) AS err_pct
         |FROM est JOIN ex ON ex.h = est.h
-        |ORDER BY est.h""".stripMargin
+        |ORDER BY est.h""".stripMargin,
+
+    // q178: the q57 damped-round helper verbatim over the SQL-rebuilt
+    // word co-occurrence graph — candidate filter, adjacent pairing,
+    // and 5 unrolled PageRank rounds all mirrored.
+    "q178_textrank" -> {
+      def round(prev: String, next: String): String =
+        s"""|$next AS (
+            |  SELECT v.id,
+            |         (1.0 - CAST(0.85 AS DOUBLE)) / nn.n
+            |         + CAST(0.85 AS DOUBLE) * (coalesce(c.in_c, 0.0) + d.dang / nn.n) AS r
+            |  FROM v CROSS JOIN nn
+            |  CROSS JOIN (SELECT coalesce(sum(p.r), 0.0) AS dang
+            |              FROM $prev p LEFT JOIN od ON od.id = p.id
+            |              WHERE od.deg IS NULL) d
+            |  LEFT JOIN (SELECT e.dst AS id, sum(p.r / od.deg) AS in_c
+            |             FROM e JOIN $prev p ON p.id = e.src
+            |             JOIN od ON od.id = e.src
+            |             GROUP BY e.dst) c ON c.id = v.id)""".stripMargin
+      s"""WITH tk AS (
+         |  SELECT list_transform(
+         |    list_filter(string_split(text, ' '),
+         |      x -> regexp_full_match(x, '[A-Za-z]{3,}')),
+         |    x -> lower(x)) AS w
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT w[i + 1] AS a, w[i + 2] AS b
+         |  FROM (SELECT w FROM tk WHERE len(w) >= 2),
+         |    unnest(range(0, len(w) - 1)) AS u(i)),
+         |ed AS (
+         |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+         |  FROM pairs WHERE a <> b),
+         |e AS (SELECT u AS src, v AS dst FROM ed
+         |      UNION ALL SELECT v, u FROM ed),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         |od AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+         |pr0 AS (SELECT id, 1.0 / nn.n AS r FROM v CROSS JOIN nn),
+         |${round("pr0", "pr1")},
+         |${round("pr1", "pr2")},
+         |${round("pr2", "pr3")},
+         |${round("pr3", "pr4")},
+         |${round("pr4", "pr5")}
+         |SELECT id AS word, round(r, 8) AS rank FROM pr5
+         |ORDER BY rank DESC, word LIMIT 20""".stripMargin
+    }
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

@@ -421,7 +421,9 @@ object SparkEntry {
     // bitemporal ledger: (transaction time, valid time) grid resolution
     "q176_bitemporal"       -> (graft.etl.Bitemporal.bitemporalQuery _),
     // HyperBall neighborhood function: per-vertex HLL register propagation
-    "q177_hll_reach"        -> (graft.graph.HyperBall.hllReachQuery _)
+    "q177_hll_reach"        -> (graft.graph.HyperBall.hllReachQuery _),
+    // TextRank keywords: PageRank over the word co-occurrence graph
+    "q178_textrank"         -> (graft.text.TextRank.textrankQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
