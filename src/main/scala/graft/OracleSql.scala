@@ -5002,6 +5002,65 @@ object OracleSql {
          |${round("pr4", "pr5")}
          |SELECT id AS word, round(r, 8) AS rank FROM pr5
          |ORDER BY rank DESC, word LIMIT 20""".stripMargin
+    },
+
+    // q179: the greedy MMR trajectory unrolled — candidate top-12 via
+    // the q26 cosine fold, then six argmax steps, each discounting by
+    // max similarity to the selected prefix. The λ arithmetic mirrors
+    // the engine operation-for-operation ((1.0 - 0.7) computed, not
+    // written as 0.3 — IEEE says they differ).
+    "q179_mmr" -> {
+      def step(t: Int): String =
+        s"""|st$t AS (
+            |  SELECT c.id, c.rel,
+            |    CAST(0.7 AS DOUBLE) * c.rel
+            |      - (1.0 - CAST(0.7 AS DOUBLE)) * m.ms AS score
+            |  FROM cand c
+            |  JOIN (SELECT a AS id, max(sim) AS ms FROM sims
+            |        WHERE b IN (SELECT id FROM sel${t - 1}) GROUP BY a) m
+            |    USING (id)
+            |  WHERE c.id NOT IN (SELECT id FROM sel${t - 1})),
+            |pk$t AS (
+            |  SELECT CAST($t AS BIGINT) AS rank, id, rel, score
+            |  FROM st$t ORDER BY round(score, 6) DESC, id LIMIT 1),
+            |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pk$t)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm
+         |  FROM e),
+         |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 1),
+         |cand AS (
+         |  SELECT id, v, nrm, rel FROM (
+         |    SELECT n.vec_id AS id, n.v, n.nrm,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])),
+         |        (s, x) -> s + x) / (qn * nrm) AS rel
+         |    FROM n, q WHERE n.vec_id <> 1)
+         |  ORDER BY round(rel, 6) DESC, id LIMIT 12),
+         |sims AS (
+         |  SELECT x.id AS a, y.id AS b,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])),
+         |      (s, x) -> s + x) / (x.nrm * y.nrm) AS sim
+         |  FROM cand x JOIN cand y ON x.id <> y.id),
+         |pk1 AS (
+         |  SELECT CAST(1 AS BIGINT) AS rank, id, rel,
+         |    CAST(0.7 AS DOUBLE) * rel AS score
+         |  FROM cand
+         |  ORDER BY round(CAST(0.7 AS DOUBLE) * rel, 6) DESC, id LIMIT 1),
+         |sel1 AS (SELECT * FROM pk1),
+         |${step(2)},
+         |${step(3)},
+         |${step(4)},
+         |${step(5)},
+         |${step(6)}
+         |SELECT rank, id AS doc_id, round(rel, 4) AS relevance,
+         |  round(score, 4) AS mmr_score
+         |FROM sel6 ORDER BY rank""".stripMargin
     }
   )
 

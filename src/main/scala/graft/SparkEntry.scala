@@ -423,7 +423,9 @@ object SparkEntry {
     // HyperBall neighborhood function: per-vertex HLL register propagation
     "q177_hll_reach"        -> (graft.graph.HyperBall.hllReachQuery _),
     // TextRank keywords: PageRank over the word co-occurrence graph
-    "q178_textrank"         -> (graft.text.TextRank.textrankQuery _)
+    "q178_textrank"         -> (graft.text.TextRank.textrankQuery _),
+    // MMR diversified re-ranking of the q26 retrieval page
+    "q179_mmr"              -> (graft.similarity.Mmr.mmrQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
