@@ -68,21 +68,28 @@ object Mmr {
     picked.toSeq.toDF("rank", "id", "rel", "mmr")
   }
 
+  /** The one corpus-scale pass: broadcast-probe relevance + top-N.
+    * orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    * top-N merged on the driver, never a single-partition window sort
+    * (PlanSpec pins this).
+    */
+  def topCandidates(e: DataFrame, probeId: Long, n: Int): DataFrame = {
+    val q = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("qv"))
+    e.join(broadcast(q), col("vec_id") =!= probeId)
+      .select(col("vec_id").as("id"), col("embedding"),
+        GraftFunctions.cosine(col("qv"), col("embedding")).as("rel"))
+      .orderBy(round(col("rel"), 6).desc, col("id"))
+      .limit(n)
+  }
+
   /** q179: MMR page over the embeddings corpus — probe vec_id 1,
     * candidates = top-12 by cosine, λ = 0.7, page size 6.
     */
   def mmrQuery(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val q = e.filter(col("vec_id") === 1L)
-      .select(col("embedding").as("qv"))
-    // orderBy+limit compiles to TakeOrderedAndProject — per-partition
-    // top-12 merged on the driver, never a single-partition window sort
-    val cands = e.join(broadcast(q), col("vec_id") =!= 1L)
-      .select(col("vec_id").as("id"), col("embedding"),
-        GraftFunctions.cosine(col("qv"), col("embedding")).as("rel"))
-      .orderBy(round(col("rel"), 6).desc, col("id"))
-      .limit(12)
+    val cands = topCandidates(e, probeId = 1L, n = 12)
       .localCheckpoint() // 12 rows: the only corpus-scale pass is above
     val sims = cands.select(col("id").as("a"), col("embedding").as("va"))
       .join(cands.select(col("id").as("b"), col("embedding").as("vb")),

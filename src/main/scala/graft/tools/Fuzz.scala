@@ -31,7 +31,7 @@ import scala.util.Random
   *   python3 tools/fuzz_diff.py /tmp/graft-fuzz      # → FUZZ summary
   *
   * Any divergence gets its seed pinned as a regression case in FuzzSpec
-  * (none found in the round-11 sweep: 20 seeds × 41 families — the
+  * (none found in the round-11 sweep: 20 seeds × 45 families — the
   * session/join, text/dedup, SCD2/PSI, spatial/MST, sketch, similarity,
   * survivorship, CDC-compaction, partition-planner, item-CF,
   * label-noise, phrase-retrieval, contribution-cap and blocking-quality sets — exact across the board;
@@ -109,7 +109,20 @@ object Fuzz {
     // blocking quality: %3/%6 chain residues over each random key set
     // vary the transitive-only count; engine size-arithmetic truth vs
     // oracle recursive-CTE closure
-    "q175_blocking_quality")
+    "q175_blocking_quality",
+    // bitemporal grid: %9 assertion residues over each random key set,
+    // 2-dp restated prices; engine struct-max winner vs oracle
+    // row_number — two mechanisms for the (T, V) resolution rule
+    "q176_bitemporal",
+    // HyperBall: register propagation + exact reach replayed on the
+    // dense 40-part co-purchase graph (df-cap boundary shifts per seed)
+    "q177_hll_reach",
+    // TextRank: short docs straddle the >= 2-candidate rule; symmetric
+    // co-occurrence positions put rank ties on the round-8 boundary
+    "q178_textrank",
+    // MMR: planted scaled-copy (cos 1) and negated (cos -1) candidates
+    // hit the top-12 cut and every greedy argmax tie
+    "q179_mmr")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

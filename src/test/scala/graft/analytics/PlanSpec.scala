@@ -747,6 +747,55 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("q176: the probe grid joins by BROADCAST and the ledger builds " +
+    "from ONE orders scan") {
+    val led = graft.etl.Bitemporal.ordersLedger(spark, dir)
+    assert(scans(led).size == 1, "ledger must be a single-pass explode")
+    val grid = spark.range(1, 4).selectExpr("id AS T")
+      .crossJoin(spark.range(1, 4).selectExpr("id AS V"))
+    val df = graft.etl.Bitemporal.resolve(led, grid, Seq("price"))
+    val bcasts = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case b: BroadcastExchangeLike => b
+    }
+    assert(bcasts.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q177: a HyperBall propagation round partial-aggregates the " +
+    "register max map-side and keeps the neighbor join keyed") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("u", "v")
+      .repartition(4) // defeat the local-relation broadcast shortcut
+    val regs = graft.graph.HyperBall.vertexRegisters(
+      edges.select(col("u").as("v")).distinct())
+    val round = graft.graph.HyperBall.propagate(regs, edges)
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q178: the co-occurrence edge build prunes the documents scan " +
+    "to the text column only") {
+    val e = graft.text.TextRank.cooccurrenceEdges(
+      graft.Tables.documents(spark, dir))
+    val scan = scans(e).head
+    assert(scan.schema.fieldNames.toSeq == Seq("text"),
+      scan.schema.fieldNames.mkString(","))
+  }
+
+  test("q179: the candidate top-N plans as TakeOrderedAndProject with a " +
+    "broadcast probe — never a global sort or single-partition window") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val df = graft.similarity.Mmr.topCandidates(e, probeId = 1L, n = 12)
+    val topk = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case t: TakeOrderedAndProjectExec => t
+    }
+    assert(topk.nonEmpty, df.queryExecution.executedPlan.toString)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
