@@ -5061,7 +5061,50 @@ object OracleSql {
          |SELECT rank, id AS doc_id, round(rel, 4) AS relevance,
          |  round(score, 4) AS mmr_score
          |FROM sel6 ORDER BY rank""".stripMargin
-    }
+    },
+
+    // q180: the CUPED moments replayed in HUGEINT — exact integer
+    // arithmetic up to the same final double ratios as the engine's
+    // DECIMAL(38,0) path, so theta matches bit-for-bit.
+    "q180_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS x,
+        |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |p AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM u),
+        |t AS (
+        |  SELECT n, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varx_n,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vary_n
+        |  FROM p),
+        |th AS (
+        |  SELECT n, sxd,
+        |    CASE WHEN varx_n = 0.0 THEN 0.0
+        |         ELSE cov_n / varx_n END AS theta,
+        |    CASE WHEN varx_n = 0.0 OR vary_n = 0.0 THEN 0.0
+        |         ELSE cov_n * cov_n / (varx_n * vary_n) END AS rho2
+        |  FROM t),
+        |a AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |    sum(CAST(x AS HUGEINT)) AS sxa, sum(CAST(y AS HUGEINT)) AS sya
+        |  FROM u GROUP BY 1)
+        |SELECT arm, n_users,
+        |  round(CAST(sya AS DOUBLE) / n_users / 100.0, 4) AS mean_post,
+        |  round((CAST(sya AS DOUBLE) / n_users
+        |    - theta * (CAST(sxa AS DOUBLE) / n_users - sxd / n)) / 100.0,
+        |    4) AS mean_adjusted,
+        |  round(theta, 6) AS theta, round(rho2, 6) AS rho2
+        |FROM a CROSS JOIN th ORDER BY arm""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

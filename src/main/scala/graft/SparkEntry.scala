@@ -425,7 +425,9 @@ object SparkEntry {
     // TextRank keywords: PageRank over the word co-occurrence graph
     "q178_textrank"         -> (graft.text.TextRank.textrankQuery _),
     // MMR diversified re-ranking of the q26 retrieval page
-    "q179_mmr"              -> (graft.similarity.Mmr.mmrQuery _)
+    "q179_mmr"              -> (graft.similarity.Mmr.mmrQuery _),
+    // CUPED variance-reduced A/B readout (integer-exact moments)
+    "q180_cuped"            -> (graft.analytics.Cuped.cupedQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
