@@ -5104,7 +5104,58 @@ object OracleSql {
         |    - theta * (CAST(sxa AS DOUBLE) / n_users - sxd / n)) / 100.0,
         |    4) AS mean_adjusted,
         |  round(theta, 6) AS theta, round(rho2, 6) AS rho2
-        |FROM a CROSS JOIN th ORDER BY arm""".stripMargin
+        |FROM a CROSS JOIN th ORDER BY arm""".stripMargin,
+
+    // q181: the conformal trajectory replayed — HUGEINT OLS moments,
+    // the same residual doubles, and rank k extracted by a global
+    // row_number (vs the engine's bucketed prefix-sum selection: two
+    // mechanisms, one order statistic).
+    "q181_conformal" ->
+      """WITH o AS (
+        |  SELECT o_orderkey % 3 AS split,
+        |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |tr AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM o WHERE split = 0),
+        |f1 AS (
+        |  SELECT n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM tr),
+        |fit AS (
+        |  SELECT CAST(n AS BIGINT) AS n_train, b,
+        |    (syd - b * sxd) / n AS a
+        |  FROM f1),
+        |cal AS (
+        |  SELECT abs(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) AS r
+        |  FROM o CROSS JOIN fit WHERE split = 1),
+        |kk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cal,
+        |    CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS k
+        |  FROM cal),
+        |qh AS (
+        |  SELECT r AS q_hat FROM (
+        |    SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal), kk
+        |  WHERE rn = k),
+        |tst AS (
+        |  SELECT abs(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) AS r
+        |  FROM o CROSS JOIN fit WHERE split = 2),
+        |cov AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN r <= q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+        |  FROM tst CROSS JOIN qh)
+        |SELECT n_train, n_cal, n_test,
+        |  round(b, 6) AS slope_cents_per_day,
+        |  round(a / 100.0, 4) AS intercept,
+        |  round(q_hat / 100.0, 4) AS q_hat,
+        |  round(CAST(n_in AS DOUBLE) / n_test, 4) AS coverage
+        |FROM fit CROSS JOIN kk CROSS JOIN qh CROSS JOIN cov""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

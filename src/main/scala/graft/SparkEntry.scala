@@ -427,7 +427,9 @@ object SparkEntry {
     // MMR diversified re-ranking of the q26 retrieval page
     "q179_mmr"              -> (graft.similarity.Mmr.mmrQuery _),
     // CUPED variance-reduced A/B readout (integer-exact moments)
-    "q180_cuped"            -> (graft.analytics.Cuped.cupedQuery _)
+    "q180_cuped"            -> (graft.analytics.Cuped.cupedQuery _),
+    // split-conformal prediction interval + test-split coverage
+    "q181_conformal"        -> (graft.analytics.Conformal.conformalQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -122,7 +122,11 @@ object Fuzz {
     "q178_textrank",
     // MMR: planted scaled-copy (cos 1) and negated (cos -1) candidates
     // hit the top-12 cut and every greedy argmax tie
-    "q179_mmr")
+    "q179_mmr",
+    // CUPED: short-walk seeds put most users entirely pre-cutoff
+    // (y = 0 — the degenerate-variance guard) and midnight snaps land
+    // events exactly on the cutoff timestamp
+    "q180_cuped")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
