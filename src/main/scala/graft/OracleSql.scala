@@ -5155,7 +5155,39 @@ object OracleSql {
         |  round(a / 100.0, 4) AS intercept,
         |  round(q_hat / 100.0, 4) AS q_hat,
         |  round(CAST(n_in AS DOUBLE) / n_test, 4) AS coverage
-        |FROM fit CROSS JOIN kk CROSS JOIN qh CROSS JOIN cov""".stripMargin
+        |FROM fit CROSS JOIN kk CROSS JOIN qh CROSS JOIN cov""".stripMargin,
+
+    // q182: the temporal-reachability iteration unrolled — handoff
+    // edges from the same (type, day)-partitioned lag, then four
+    // min-merge relaxation rounds gated on t >= arrival.
+    "q182_temporal_reach" -> {
+      def round(prev: String, next: String): String =
+        s"""|$next AS (
+            |  SELECT u, min(t) AS t FROM (
+            |    SELECT * FROM $prev
+            |    UNION ALL
+            |    SELECT e.dst AS u, e.t
+            |    FROM ed e JOIN $prev p ON p.u = e.src AND e.t >= p.t)
+            |  GROUP BY u)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT event_id, ts, user_id, event_type FROM events
+         |  WHERE user_id IS NOT NULL),
+         |ed AS (
+         |  SELECT src, user_id AS dst, ts AS t FROM (
+         |    SELECT user_id, ts,
+         |      lag(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+         |        ORDER BY ts, event_id) AS src
+         |    FROM ev)
+         |  WHERE src IS NOT NULL AND src <> user_id),
+         |a0 AS (SELECT user_id AS u, ts AS t FROM ev
+         |       ORDER BY ts, event_id LIMIT 1),
+         |${round("a0", "a1")},
+         |${round("a1", "a2")},
+         |${round("a2", "a3")},
+         |${round("a3", "a4")}
+         |SELECT u AS user_id, t AS arrival FROM a4
+         |ORDER BY user_id""".stripMargin
+    }
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

@@ -429,7 +429,9 @@ object SparkEntry {
     // CUPED variance-reduced A/B readout (integer-exact moments)
     "q180_cuped"            -> (graft.analytics.Cuped.cupedQuery _),
     // split-conformal prediction interval + test-split coverage
-    "q181_conformal"        -> (graft.analytics.Conformal.conformalQuery _)
+    "q181_conformal"        -> (graft.analytics.Conformal.conformalQuery _),
+    // time-respecting earliest-arrival reachability (temporal BFS)
+    "q182_temporal_reach"   -> (graft.graph.TemporalReach.temporalReachQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -126,7 +126,10 @@ object Fuzz {
     // CUPED: short-walk seeds put most users entirely pre-cutoff
     // (y = 0 — the degenerate-variance guard) and midnight snaps land
     // events exactly on the cutoff timestamp
-    "q180_cuped")
+    "q180_cuped",
+    // temporal reach: duplicate-ts handoffs ((ts, event_id) lag ties)
+    // and midnight snaps cutting the (type, day) stream per seed
+    "q182_temporal_reach")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
