@@ -5187,7 +5187,76 @@ object OracleSql {
          |${round("a3", "a4")}
          |SELECT u AS user_id, t AS arrival FROM a4
          |ORDER BY user_id""".stripMargin
-    }
+    },
+
+    // q183: q177's register replay without the exact pair iteration —
+    // the estimate columns must still match bit-for-bit.
+    "q183_hll_reach_sketch" ->
+      s"""WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |capped AS (
+        |  SELECT c, p FROM (
+        |    SELECT c, p, count(*) OVER (PARTITION BY p) AS df FROM cp)
+        |  WHERE df <= 18),
+        |ed AS (
+        |  SELECT DISTINCT x.c AS u, y.c AS v
+        |  FROM capped x JOIN capped y ON x.p = y.p AND x.c < y.c),
+        |bi AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+        |verts AS (SELECT DISTINCT u AS v FROM bi),
+        |hh AS (
+        |  SELECT v,
+        |    (1566083941 * ((m1 * m1) % 2147483647) + m1) % 2147483647 AS h
+        |  FROM (
+        |    SELECT v,
+        |      (506952114 * ((v % 2147483647 + 2147483647) % 2147483647)
+        |        + 1013904223) % 2147483647 AS m1
+        |    FROM verts)),
+        |r0 AS (
+        |  SELECT v, h & 63 AS bucket,
+        |    26 - CASE WHEN (h >> 6) = 0 THEN 0
+        |              ELSE length(bin(h >> 6)) END AS reg
+        |  FROM hh),
+        |r1 AS (
+        |  SELECT v, bucket, max(reg) AS reg FROM (
+        |    SELECT * FROM r0
+        |    UNION ALL
+        |    SELECT bi.u AS v, r.bucket, r.reg FROM bi JOIN r0 r ON r.v = bi.v)
+        |  GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT v, bucket, max(reg) AS reg FROM (
+        |    SELECT * FROM r1
+        |    UNION ALL
+        |    SELECT bi.u AS v, r.bucket, r.reg FROM bi JOIN r1 r ON r.v = bi.v)
+        |  GROUP BY 1, 2),
+        |r3 AS (
+        |  SELECT v, bucket, max(reg) AS reg FROM (
+        |    SELECT * FROM r2
+        |    UNION ALL
+        |    SELECT bi.u AS v, r.bucket, r.reg FROM bi JOIN r2 r ON r.v = bi.v)
+        |  GROUP BY 1, 2),
+        |regs AS (
+        |  SELECT CAST(0 AS BIGINT) AS h, * FROM r0
+        |  UNION ALL SELECT 1, * FROM r1
+        |  UNION ALL SELECT 2, * FROM r2
+        |  UNION ALL SELECT 3, * FROM r3),
+        |sk AS (
+        |  SELECT h, v, count(*) AS used,
+        |    sum(1::BIGINT << (26 - reg)) AS s_part
+        |  FROM regs GROUP BY 1, 2),
+        |balls AS (
+        |  SELECT h,
+        |    CAST(round(CASE WHEN raw <= 160.0 AND used < 64
+        |         THEN 64.0 * ln(64.0 / CAST(64 - used AS DOUBLE))
+        |         ELSE raw END) AS BIGINT) AS est_ball
+        |  FROM (
+        |    SELECT h, used,
+        |      ${java.lang.Double.toString(graft.graph.HyperBall.AlphaNum)}
+        |        / CAST(s_part + (64 - used) * 67108864 AS DOUBLE) AS raw
+        |    FROM sk))
+        |SELECT h, CAST(sum(est_ball) AS BIGINT) AS est_reach
+        |FROM balls GROUP BY 1
+        |ORDER BY h""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

@@ -431,7 +431,9 @@ object SparkEntry {
     // split-conformal prediction interval + test-split coverage
     "q181_conformal"        -> (graft.analytics.Conformal.conformalQuery _),
     // time-respecting earliest-arrival reachability (temporal BFS)
-    "q182_temporal_reach"   -> (graft.graph.TemporalReach.temporalReachQuery _)
+    "q182_temporal_reach"   -> (graft.graph.TemporalReach.temporalReachQuery _),
+    // q177's sketch-only twin: the 100 TB plan (no pair-scale object)
+    "q183_hll_reach_sketch" -> (graft.graph.HyperBall.hllReachSketchQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

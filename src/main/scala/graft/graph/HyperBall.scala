@@ -141,11 +141,22 @@ object HyperBall {
   /** q177: the neighborhood function of the q69 co-purchase graph to
     * 3 hops, estimate vs exact per hop.
     */
-  def hllReachQuery(s: SparkSession, dir: String): DataFrame = {
+  def hllReachQuery(s: SparkSession, dir: String): DataFrame =
+    reachQuery(s, dir, exactCheck = true)
+
+  /** q183: the sketch-only twin — the plan a 100 TB run uses (the
+    * exact pair set is Θ(|V|²); registers are |V|·64 cells). Same
+    * registers, same estimates; SCALING.md carries its 10×/100× legs.
+    */
+  def hllReachSketchQuery(s: SparkSession, dir: String): DataFrame =
+    reachQuery(s, dir, exactCheck = false)
+
+  private def reachQuery(s: SparkSession, dir: String,
+                         exactCheck: Boolean): DataFrame = {
     val e = Triangles.coPurchaseEdges(s, dir, maxDf = 18)
     val bi = e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
-    neighborhood(bi, hops = 3, exactCheck = true)
+    neighborhood(bi, hops = 3, exactCheck = exactCheck)
   }
 }
