@@ -79,11 +79,17 @@ object Bench {
     // unique qNN prefix, seconds rounded; precision drops further if the
     // registry ever outgrows the budget), and the complete map is
     // written to BENCH_FULL_LATEST.json alongside the repo artifacts.
-    def compactLine(scale: Int, minimal: Boolean): String = {
-      val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+    def compactLine(scale: Int, minimal: Boolean,
+        dropZeros: Boolean = false): String = {
+      val failedShort = failed.map(_.takeWhile(_ != '_')).toSet
+      val qs = results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
         val short = k.takeWhile(_ != '_')
-        "\"" + short + "\":" + BigDecimal(v)
-          .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val bd = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        // the drop-zeros tier omits sub-half-second queries (the full map
+        // is always in BENCH_FULL_LATEST.json) but never a failed one
+        if (dropZeros && bd.signum == 0 && !failedShort(short)) None
+        else Some("\"" + short + "\":" +
+          (if (scale == 0) bd.toBigInt.toString else bd.toDouble.toString))
       }.mkString("{", ",", "}")
       val t = BigDecimal(total).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
       // minimal drops "sf" (recoverable from the driver's own config) and
@@ -101,7 +107,8 @@ object Bench {
     val line = {
       val attempts = Seq(compactLine(2, minimal = false),
         compactLine(1, minimal = false), compactLine(0, minimal = false),
-        compactLine(0, minimal = true))
+        compactLine(0, minimal = true),
+        compactLine(0, minimal = true, dropZeros = true))
       attempts.find(_.length <= 1800).getOrElse {
         System.err.println("bench: compact JSON line exceeds the 1800-byte " +
           "budget even at minimal precision — the driver's stdout tail will " +

@@ -5256,7 +5256,373 @@ object OracleSql {
         |    FROM sk))
         |SELECT h, CAST(sum(est_ball) AS BIGINT) AS est_reach
         |FROM balls GROUP BY 1
-        |ORDER BY h""".stripMargin
+        |ORDER BY h""".stripMargin,
+
+    // q184: the KM life table replayed — the same reverse-cumulative
+    // risk sets, the same IEEE-exact 1 - d/n factors, and the survival
+    // product as the identical ascending-ordered list fold (the
+    // q32/q89 fold-mirror trick), so every double matches bit-for-bit.
+    "q184_km_survival" ->
+      """WITH horizon AS (SELECT max(ts) AS end_ts FROM events),
+        |u AS (
+        |  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |obs AS (
+        |  SELECT CAST(datediff('day', CAST(first_ts AS DATE),
+        |      CAST(last_ts AS DATE)) AS BIGINT) AS duration_days,
+        |    last_ts < end_ts - INTERVAL 7 DAY AS churned
+        |  FROM u CROSS JOIN horizon),
+        |g AS (
+        |  SELECT duration_days, CAST(count(*) AS BIGINT) AS n_at,
+        |    CAST(coalesce(sum(CASE WHEN churned THEN 1 END), 0) AS BIGINT)
+        |      AS n_churn
+        |  FROM obs GROUP BY 1),
+        |r AS (
+        |  SELECT duration_days, n_at, n_churn,
+        |    CAST(sum(n_at) OVER (ORDER BY duration_days DESC) AS BIGINT)
+        |      AS n_risk
+        |  FROM g),
+        |f AS (
+        |  SELECT duration_days, n_risk, n_churn, n_at,
+        |    CAST(1 AS DOUBLE)
+        |      - CAST(n_churn AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+        |  FROM r),
+        |l AS (
+        |  SELECT list(struct_pack(duration_days := duration_days,
+        |      n_risk := n_risk, n_churn := n_churn, n_at := n_at,
+        |      factor := factor) ORDER BY duration_days) AS fs
+        |  FROM f)
+        |SELECT fs[i].duration_days AS duration_days, fs[i].n_risk AS n_risk,
+        |  fs[i].n_churn AS n_churn,
+        |  fs[i].n_at - fs[i].n_churn AS n_censored,
+        |  round(list_reduce(list_prepend(CAST(1 AS DOUBLE),
+        |    list_transform(list_slice(fs, 1, i), x -> x.factor)),
+        |    (a, b) -> a * b), 6) AS survival
+        |FROM l, unnest(range(1, len(fs) + 1)) AS t(i)
+        |ORDER BY duration_days""".stripMargin,
+
+    // q185: the jackknife replayed — HUGEINT cell sums, the identical
+    // bucket-ordered leave-one-out folds, IEEE sqrt; doubles match
+    // bit-for-bit.
+    "q185_jackknife_ci" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(o_orderkey % 32 AS INTEGER) AS b,
+        |    CAST(count(*) AS BIGINT) AS n_b,
+        |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+        |      AS s_b
+        |  FROM orders GROUP BY 1, 2),
+        |byg AS (
+        |  SELECT grp, CAST(sum(n_b) AS BIGINT) AS n, sum(s_b) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_buckets,
+        |    list(struct_pack(b := b, n_b := n_b, s_b := s_b) ORDER BY b)
+        |      AS cells
+        |  FROM cells GROUP BY 1),
+        |th AS (
+        |  SELECT grp, n, n_buckets,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS theta,
+        |    list_transform(cells, c -> CAST(s - c.s_b AS DOUBLE)
+        |      / CAST(n - c.n_b AS DOUBLE)) AS thetas
+        |  FROM byg),
+        |tb AS (
+        |  SELECT grp, n, n_buckets, theta, thetas,
+        |    CASE WHEN n_buckets >= 2 THEN
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE), thetas),
+        |        (a, x) -> a + x) / CAST(n_buckets AS DOUBLE)
+        |    ELSE theta END AS theta_bar
+        |  FROM th),
+        |se AS (
+        |  SELECT grp, n, n_buckets, theta,
+        |    CASE WHEN n_buckets >= 2 THEN
+        |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(thetas,
+        |          t -> (t - theta_bar) * (t - theta_bar))),
+        |        (a, x) -> a + x)
+        |        * CAST(n_buckets - 1 AS DOUBLE)
+        |        / CAST(n_buckets AS DOUBLE))
+        |    ELSE CAST(0 AS DOUBLE) END AS se
+        |  FROM tb)
+        |SELECT grp, n AS n_rows, n_buckets,
+        |  round(theta / 100.0, 4) AS mean_value,
+        |  round(se / 100.0, 6) AS jack_se,
+        |  round((theta - CAST(1.96 AS DOUBLE) * se) / 100.0, 4) AS ci_lo,
+        |  round((theta + CAST(1.96 AS DOUBLE) * se) / 100.0, 4) AS ci_hi
+        |FROM se ORDER BY grp""".stripMargin,
+
+    // q186: the Shapley lattice replayed — the same bitmask collapse,
+    // v(S) by subset containment over the 2^k grid, exact integer
+    // factorial weights, and doubles only at the final two ratios.
+    "q186_shapley_credit" ->
+      """WITH conv AS (
+        |  SELECT user_id, min(ts) AS conv_ts FROM events
+        |  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        |  GROUP BY 1),
+        |touch AS (
+        |  SELECT DISTINCT e.user_id, e.event_type AS channel
+        |  FROM events e JOIN conv c ON e.user_id = c.user_id
+        |  WHERE e.event_type <> 'purchase' AND e.ts < c.conv_ts),
+        |chan AS (
+        |  SELECT channel,
+        |    CAST(row_number() OVER (ORDER BY channel) - 1 AS INTEGER) AS idx
+        |  FROM (SELECT DISTINCT channel FROM touch)),
+        |kk AS (SELECT CAST(count(*) AS INTEGER) AS k FROM chan),
+        |um AS (
+        |  SELECT t.user_id, sum(CAST(1 AS BIGINT) << c.idx) AS mask
+        |  FROM touch t JOIN chan c ON t.channel = c.channel GROUP BY 1),
+        |mc AS (
+        |  SELECT mask, CAST(count(*) AS BIGINT) AS n_conv
+        |  FROM um GROUP BY 1),
+        |grid AS (
+        |  SELECT CAST(g.coal AS BIGINT) AS coal
+        |  FROM range(0, 65536) g(coal), kk
+        |  WHERE g.coal < (CAST(1 AS BIGINT) << kk.k)),
+        |v AS (
+        |  SELECT coal, CAST(coalesce(sum(n_conv), 0) AS BIGINT) AS v
+        |  FROM grid LEFT JOIN mc ON (mc.mask & grid.coal) = mc.mask
+        |  GROUP BY 1),
+        |num AS (
+        |  SELECT c.channel,
+        |    CAST(sum(CAST(factorial(bit_count(v0.coal)) AS BIGINT)
+        |      * CAST(factorial(k.k - 1 - bit_count(v0.coal)) AS BIGINT)
+        |      * (v1.v - v0.v)) AS BIGINT) AS phi_num
+        |  FROM chan c
+        |  CROSS JOIN kk k
+        |  JOIN v v0 ON (v0.coal & (CAST(1 AS BIGINT) << c.idx)) = 0
+        |  JOIN v v1 ON v1.coal = (v0.coal | (CAST(1 AS BIGINT) << c.idx))
+        |  GROUP BY 1),
+        |vf AS (SELECT max(v) AS v_full FROM v),
+        |kf AS (SELECT CAST(factorial(k) AS DOUBLE) AS kfd FROM kk)
+        |SELECT channel, phi_num, v_full,
+        |  round(CAST(phi_num AS DOUBLE) / kfd, 6) AS phi,
+        |  round(CAST(phi_num AS DOUBLE)
+        |    / (kfd * CAST(v_full AS DOUBLE)), 6) AS share_of_conversions
+        |FROM num, kf, vf ORDER BY channel""".stripMargin,
+
+    // q187: the q183 register propagation kept at (hop, vertex) grain,
+    // then the harmonic sum as the exact lcm(1..3)-scaled integer
+    // numerator — estimates AND ranking replay bit-for-bit.
+    "q187_harmonic" ->
+      s"""WITH cp AS (
+         |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |capped AS (
+         |  SELECT c, p FROM (
+         |    SELECT c, p, count(*) OVER (PARTITION BY p) AS df FROM cp)
+         |  WHERE df <= 18),
+         |ed AS (
+         |  SELECT DISTINCT x.c AS u, y.c AS v
+         |  FROM capped x JOIN capped y ON x.p = y.p AND x.c < y.c),
+         |bi AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+         |verts AS (SELECT DISTINCT u AS v FROM bi),
+         |hh AS (
+         |  SELECT v,
+         |    (1566083941 * ((m1 * m1) % 2147483647) + m1) % 2147483647 AS h
+         |  FROM (
+         |    SELECT v,
+         |      (506952114 * ((v % 2147483647 + 2147483647) % 2147483647)
+         |        + 1013904223) % 2147483647 AS m1
+         |    FROM verts)),
+         |r0 AS (
+         |  SELECT v, h & 63 AS bucket,
+         |    26 - CASE WHEN (h >> 6) = 0 THEN 0
+         |              ELSE length(bin(h >> 6)) END AS reg
+         |  FROM hh),
+         |r1 AS (
+         |  SELECT v, bucket, max(reg) AS reg FROM (
+         |    SELECT * FROM r0
+         |    UNION ALL
+         |    SELECT bi.u AS v, r.bucket, r.reg FROM bi JOIN r0 r ON r.v = bi.v)
+         |  GROUP BY 1, 2),
+         |r2 AS (
+         |  SELECT v, bucket, max(reg) AS reg FROM (
+         |    SELECT * FROM r1
+         |    UNION ALL
+         |    SELECT bi.u AS v, r.bucket, r.reg FROM bi JOIN r1 r ON r.v = bi.v)
+         |  GROUP BY 1, 2),
+         |r3 AS (
+         |  SELECT v, bucket, max(reg) AS reg FROM (
+         |    SELECT * FROM r2
+         |    UNION ALL
+         |    SELECT bi.u AS v, r.bucket, r.reg FROM bi JOIN r2 r ON r.v = bi.v)
+         |  GROUP BY 1, 2),
+         |regs AS (
+         |  SELECT CAST(0 AS BIGINT) AS hop, * FROM r0
+         |  UNION ALL SELECT 1, * FROM r1
+         |  UNION ALL SELECT 2, * FROM r2
+         |  UNION ALL SELECT 3, * FROM r3),
+         |sk AS (
+         |  SELECT hop, v, count(*) AS used,
+         |    sum(1::BIGINT << (26 - reg)) AS s_part
+         |  FROM regs GROUP BY 1, 2),
+         |balls AS (
+         |  SELECT hop, v,
+         |    CAST(round(CASE WHEN raw <= 160.0 AND used < 64
+         |         THEN 64.0 * ln(64.0 / CAST(64 - used AS DOUBLE))
+         |         ELSE raw END) AS BIGINT) AS est_ball
+         |  FROM (
+         |    SELECT hop, v, used,
+         |      ${java.lang.Double.toString(graft.graph.HyperBall.AlphaNum)}
+         |        / CAST(s_part + (64 - used) * 67108864 AS DOUBLE) AS raw
+         |    FROM sk)),
+         |pv AS (
+         |  SELECT v,
+         |    max(CASE WHEN hop = 0 THEN est_ball END) AS e0,
+         |    max(CASE WHEN hop = 1 THEN est_ball END) AS e1,
+         |    max(CASE WHEN hop = 2 THEN est_ball END) AS e2,
+         |    max(CASE WHEN hop = 3 THEN est_ball END) AS e3
+         |  FROM balls GROUP BY 1),
+         |hn AS (
+         |  SELECT v, e3 AS est_reach,
+         |    6 * greatest(e1 - e0, 0) + 3 * greatest(e2 - e1, 0)
+         |      + 2 * greatest(e3 - e2, 0) AS h_num
+         |  FROM pv)
+         |SELECT v, est_reach, h_num,
+         |  round(CAST(h_num AS DOUBLE) / CAST(6 AS DOUBLE), 4) AS harmonic
+         |FROM hn ORDER BY h_num DESC, v LIMIT 20""".stripMargin,
+
+    // q188: the FS model replayed — the q164 registry, the same three
+    // blocks (weak block cap included), exact counted m/u with add-one
+    // smoothing, and the likelihood-ratio product in the identical
+    // field order (no logs anywhere — see FellegiSunter's header).
+    "q188_fs_linkage" ->
+      """WITH c AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name, c_acctbal,
+        |    c_mktsegment
+        |  FROM customer),
+        |recs AS (
+        |  SELECT k * 4 AS rid, k AS entity,
+        |    'e' || CAST(k AS VARCHAR) AS email,
+        |    'p' || CAST(k AS VARCHAR) AS phone, c_name AS name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    c_mktsegment AS seg
+        |  FROM c
+        |  UNION ALL
+        |  SELECT k * 4 + 1, k, 'e' || CAST(k AS VARCHAR),
+        |    'px' || CAST(k AS VARCHAR), upper(c_name),
+        |    CAST(NULL AS BIGINT), c_mktsegment
+        |  FROM c WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k * 4 + 2, k, 'ex' || CAST(k AS VARCHAR),
+        |    'px' || CAST(k AS VARCHAR), c_name || ' JR',
+        |    CAST(round(round(c_acctbal + 5.0, 2) * 100) AS BIGINT),
+        |    'MACHINERY'
+        |  FROM c WHERE k % 6 = 0),
+        |hp AS (
+        |  SELECT a.rid AS id_a, b.rid AS id_b
+        |  FROM recs a JOIN recs b ON a.email = b.email AND a.rid < b.rid
+        |  UNION
+        |  SELECT a.rid, b.rid
+        |  FROM recs a JOIN recs b ON a.phone = b.phone AND a.rid < b.rid),
+        |wk AS (SELECT rid // 8 AS wblock, rid FROM recs),
+        |wok AS (
+        |  SELECT wblock FROM wk GROUP BY 1 HAVING count(*) <= 40),
+        |wp AS (
+        |  SELECT a.rid AS id_a, b.rid AS id_b
+        |  FROM wk a JOIN wok o ON a.wblock = o.wblock
+        |  JOIN wk b ON b.wblock = o.wblock AND a.rid < b.rid),
+        |pairs AS (SELECT id_a, id_b FROM hp UNION SELECT id_a, id_b FROM wp),
+        |cmp AS (
+        |  SELECT a.name = b.name AS a_name,
+        |    a.cents IS NOT NULL AND b.cents IS NOT NULL
+        |      AND abs(a.cents - b.cents) <= 1000 AS a_bal,
+        |    a.seg = b.seg AS a_seg,
+        |    a.entity = b.entity AS is_match
+        |  FROM pairs p JOIN recs a ON a.rid = p.id_a
+        |  JOIN recs b ON b.rid = p.id_b),
+        |mu AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN is_match THEN 1 END), 0) AS BIGINT) AS nm,
+        |    CAST(coalesce(sum(CASE WHEN NOT is_match THEN 1 END), 0) AS BIGINT) AS nu,
+        |    CAST(coalesce(sum(CASE WHEN is_match AND a_name THEN 1 END), 0) AS BIGINT) AS m_name_c,
+        |    CAST(coalesce(sum(CASE WHEN NOT is_match AND a_name THEN 1 END), 0) AS BIGINT) AS u_name_c,
+        |    CAST(coalesce(sum(CASE WHEN is_match AND a_bal THEN 1 END), 0) AS BIGINT) AS m_bal_c,
+        |    CAST(coalesce(sum(CASE WHEN NOT is_match AND a_bal THEN 1 END), 0) AS BIGINT) AS u_bal_c,
+        |    CAST(coalesce(sum(CASE WHEN is_match AND a_seg THEN 1 END), 0) AS BIGINT) AS m_seg_c,
+        |    CAST(coalesce(sum(CASE WHEN NOT is_match AND a_seg THEN 1 END), 0) AS BIGINT) AS u_seg_c
+        |  FROM cmp),
+        |pat AS (
+        |  SELECT a_name, a_bal, a_seg, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(sum(CASE WHEN is_match THEN 1 END), 0) AS BIGINT)
+        |      AS n_match
+        |  FROM cmp GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT a_name, a_bal, a_seg, n_pairs, n_match,
+        |    round(
+        |      (CASE WHEN a_name
+        |        THEN (CAST(m_name_c + 1 AS DOUBLE) / CAST(nm + 2 AS DOUBLE))
+        |          / (CAST(u_name_c + 1 AS DOUBLE) / CAST(nu + 2 AS DOUBLE))
+        |        ELSE (CAST(1 AS DOUBLE) - CAST(m_name_c + 1 AS DOUBLE) / CAST(nm + 2 AS DOUBLE))
+        |          / (CAST(1 AS DOUBLE) - CAST(u_name_c + 1 AS DOUBLE) / CAST(nu + 2 AS DOUBLE)) END)
+        |      * (CASE WHEN a_bal
+        |        THEN (CAST(m_bal_c + 1 AS DOUBLE) / CAST(nm + 2 AS DOUBLE))
+        |          / (CAST(u_bal_c + 1 AS DOUBLE) / CAST(nu + 2 AS DOUBLE))
+        |        ELSE (CAST(1 AS DOUBLE) - CAST(m_bal_c + 1 AS DOUBLE) / CAST(nm + 2 AS DOUBLE))
+        |          / (CAST(1 AS DOUBLE) - CAST(u_bal_c + 1 AS DOUBLE) / CAST(nu + 2 AS DOUBLE)) END)
+        |      * (CASE WHEN a_seg
+        |        THEN (CAST(m_seg_c + 1 AS DOUBLE) / CAST(nm + 2 AS DOUBLE))
+        |          / (CAST(u_seg_c + 1 AS DOUBLE) / CAST(nu + 2 AS DOUBLE))
+        |        ELSE (CAST(1 AS DOUBLE) - CAST(m_seg_c + 1 AS DOUBLE) / CAST(nm + 2 AS DOUBLE))
+        |          / (CAST(1 AS DOUBLE) - CAST(u_seg_c + 1 AS DOUBLE) / CAST(nu + 2 AS DOUBLE)) END),
+        |      6) AS score
+        |  FROM pat CROSS JOIN mu)
+        |SELECT a_name, a_bal, a_seg, n_pairs, n_match, score,
+        |  CASE WHEN score >= 100.0 THEN 'link'
+        |       WHEN score >= 1.0 THEN 'possible'
+        |       ELSE 'non-link' END AS verdict
+        |FROM sc ORDER BY a_name, a_bal, a_seg""".stripMargin,
+
+    // q189: the Qini readout replayed — the identical integer decile
+    // cut ((10·cum + n − 1) // n over the score grain), integer cell
+    // counts, and the same final double expression shapes.
+    "q189_uplift_deciles" ->
+      """WITH u AS (
+        |  SELECT user_id AS unit_id,
+        |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN 1 END), 0) AS BIGINT) AS score,
+        |    user_id % 2 = 1 AS treated,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 END), 0) > 0 AS converted
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |sg AS (
+        |  SELECT score, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1),
+        |sc AS (
+        |  SELECT score,
+        |    CAST(sum(cnt) OVER (ORDER BY score DESC) AS BIGINT) AS cum
+        |  FROM sg),
+        |dm AS (
+        |  SELECT score, CAST((cum * 10 + n.n - 1) // n.n AS BIGINT) AS decile
+        |  FROM sc CROSS JOIN n),
+        |cells AS (
+        |  SELECT decile,
+        |    CAST(coalesce(sum(CASE WHEN treated THEN 1 END), 0) AS BIGINT) AS n_t,
+        |    CAST(coalesce(sum(CASE WHEN treated AND converted THEN 1 END), 0) AS BIGINT) AS conv_t,
+        |    CAST(coalesce(sum(CASE WHEN NOT treated THEN 1 END), 0) AS BIGINT) AS n_c,
+        |    CAST(coalesce(sum(CASE WHEN NOT treated AND converted THEN 1 END), 0) AS BIGINT) AS conv_c
+        |  FROM u JOIN dm ON u.score = dm.score GROUP BY 1),
+        |cum AS (
+        |  SELECT decile, n_t, n_c, conv_t, conv_c,
+        |    CAST(sum(n_t) OVER (ORDER BY decile) AS BIGINT) AS cum_nt,
+        |    CAST(sum(conv_t) OVER (ORDER BY decile) AS BIGINT) AS cum_ct,
+        |    CAST(sum(n_c) OVER (ORDER BY decile) AS BIGINT) AS cum_nc,
+        |    CAST(sum(conv_c) OVER (ORDER BY decile) AS BIGINT) AS cum_cc
+        |  FROM cells)
+        |SELECT decile, n_t, n_c,
+        |  CASE WHEN n_t > 0 THEN
+        |    round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6)
+        |  END AS rate_treated,
+        |  CASE WHEN n_c > 0 THEN
+        |    round(CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+        |  END AS rate_control,
+        |  CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |    round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+        |  END AS uplift,
+        |  CASE WHEN cum_nc > 0 THEN
+        |    round(CAST(cum_ct AS DOUBLE) - CAST(cum_cc AS DOUBLE)
+        |      * CAST(cum_nt AS DOUBLE) / CAST(cum_nc AS DOUBLE), 4)
+        |  END AS qini
+        |FROM cum ORDER BY decile""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

@@ -433,7 +433,19 @@ object SparkEntry {
     // time-respecting earliest-arrival reachability (temporal BFS)
     "q182_temporal_reach"   -> (graft.graph.TemporalReach.temporalReachQuery _),
     // q177's sketch-only twin: the 100 TB plan (no pair-scale object)
-    "q183_hll_reach_sketch" -> (graft.graph.HyperBall.hllReachSketchQuery _)
+    "q183_hll_reach_sketch" -> (graft.graph.HyperBall.hllReachSketchQuery _),
+    // Kaplan-Meier censoring-aware survival curve of user lifetimes
+    "q184_km_survival"      -> (graft.analytics.Survival.kmQuery _),
+    // delete-one-block jackknife SE + CI for grouped mean price
+    "q185_jackknife_ci"     -> (graft.analytics.Jackknife.jackknifeQuery _),
+    // exact Shapley conversion credit on the coalition lattice
+    "q186_shapley_credit"   -> (graft.analytics.Shapley.shapleyQuery _),
+    // harmonic centrality from the q177 HyperBall registers (sketch-only)
+    "q187_harmonic"         -> (graft.graph.Harmonic.harmonicQuery _),
+    // Fellegi-Sunter probabilistic linkage pattern scores
+    "q188_fs_linkage"       -> (graft.dedup.FellegiSunter.fsQuery _),
+    // score-decile uplift + Qini curve (integer-exact decile cut)
+    "q189_uplift_deciles"   -> (graft.analytics.Uplift.upliftQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

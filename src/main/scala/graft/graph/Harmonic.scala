@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Harmonic closeness centrality on HyperBall registers [Boldi & Vigna,
+  * "In-Core Computation of Geometric Centralities with HyperBall", 2013
+  * — the paper's headline application]: H(v) = Σ_{u≠v} 1/d(v,u)
+  * rewritten over ball sizes as Σ_h (|ball(v,h)| − |ball(v,h−1)|)/h,
+  * so the whole centrality ranking falls out of the SAME linear
+  * register state q177/q183 already maintain — no per-pair distance
+  * object ever exists. Closeness-style centralities are THE standard
+  * "which hub matters" readout; the harmonic form is the one that
+  * stays finite on disconnected graphs (Marchiori–Latora), which real
+  * co-purchase graphs are.
+  *
+  * Exactness discipline: per-hop ball estimates are the q177 integer
+  * `est_ball`s; hop deltas are clamped at 0 (the two estimator
+  * branches are each monotone in the registers, but the LC→raw
+  * crossover is not guaranteed so); and the harmonic sum is kept as an
+  * EXACT INTEGER numerator — Σ (L/h)·Δ_h with L = lcm(1..hops) — so
+  * the only double is the final /L division and ranking ties break on
+  * integers, not float dust.
+  *
+  * 100 TB shape: sketch-only from day one (the q183 lesson applied at
+  * birth): per-hop cost is one neighbor-key join + one (v, bucket) max
+  * over |V|·64 cells, the per-vertex pivot is a conditional aggregate
+  * on ONE v-keyed exchange, and the output is top-k
+  * (TakeOrderedAndProject — never a global sort).
+  */
+object Harmonic {
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** Top-k vertices by estimated harmonic centrality within `hops`.
+    * `edges` directed rows (u, v); pass both directions for undirected.
+    */
+  def topCentral(edges: DataFrame, hops: Int, k: Int): DataFrame = {
+    require(hops >= 1, s"harmonic centrality needs hops >= 1, got $hops")
+    val verts = edges.select(col("u").as("v")).distinct()
+    var regs = HyperBall.vertexRegisters(verts).localCheckpoint()
+    val perHop = Seq.newBuilder[DataFrame]
+    perHop += HyperBall.estimateBalls(regs)
+      .select(lit(0).as("h"), col("v"), col("est_ball"))
+    for (h <- 1 to hops) {
+      regs = HyperBall.propagate(regs, edges).localCheckpoint()
+      perHop += HyperBall.estimateBalls(regs)
+        .select(lit(h).as("h"), col("v"), col("est_ball"))
+    }
+    val hopCols = (0 to hops).map(h =>
+      max(when(col("h") === h, col("est_ball"))).as(s"e$h"))
+    val piv = perHop.result().reduce(_ unionByName _)
+      .groupBy(col("v"))
+      .agg(hopCols.head, hopCols.tail: _*)
+    val lcmAll = (1L to hops.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val num = (1 to hops)
+      .map(h => greatest(col(s"e$h") - col(s"e${h - 1}"), lit(0L))
+        * lit(lcmAll / h))
+      .reduce(_ + _)
+    piv.select(col("v"), col(s"e$hops").as("est_reach"), num.as("h_num"),
+        round(num.cast("double") / lit(lcmAll.toDouble), 4).as("harmonic"))
+      .orderBy(desc("h_num"), col("v")).limit(k)
+  }
+
+  /** q187: top-20 harmonically central customers of the q69 co-purchase
+    * graph within 3 hops — the q177 register machinery, re-read as a
+    * centrality.
+    */
+  def harmonicQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Triangles.coPurchaseEdges(s, dir, maxDf = 18)
+    val bi = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    topCentral(bi, hops = 3, k = 20)
+  }
+}
