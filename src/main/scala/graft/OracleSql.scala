@@ -5622,7 +5622,204 @@ object OracleSql {
         |    round(CAST(cum_ct AS DOUBLE) - CAST(cum_cc AS DOUBLE)
         |      * CAST(cum_nt AS DOUBLE) / CAST(cum_nc AS DOUBLE), 4)
         |  END AS qini
-        |FROM cum ORDER BY decile""".stripMargin
+        |FROM cum ORDER BY decile""".stripMargin,
+
+    // q190: the release audit replayed — the same two-level aggregate
+    // to QI classes, the same integer ladder rollup.
+    "q190_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS sens
+        |  FROM customer),
+        |lvl1 AS (
+        |  SELECT nation, segment, bal_band, sens,
+        |    CAST(count(*) AS BIGINT) AS n_sv
+        |  FROM c GROUP BY 1, 2, 3, 4),
+        |cls AS (
+        |  SELECT nation, segment, bal_band,
+        |    CAST(sum(n_sv) AS BIGINT) AS class_size,
+        |    CAST(count(*) AS BIGINT) AS n_sensitive_values
+        |  FROM lvl1 GROUP BY 1, 2, 3),
+        |ladder AS (SELECT CAST(k AS INTEGER) AS k
+        |  FROM (VALUES (2), (5), (10), (25)) t(k))
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN class_size < k THEN 1 END), 0)
+        |    AS BIGINT) AS classes_below_k,
+        |  CAST(coalesce(sum(CASE WHEN class_size < k THEN class_size END),
+        |    0) AS BIGINT) AS rows_below_k,
+        |  CAST(coalesce(sum(CASE WHEN n_sensitive_values < 2 THEN 1 END),
+        |    0) AS BIGINT) AS classes_failing_l2,
+        |  round(CAST(coalesce(sum(CASE WHEN class_size < k
+        |      THEN class_size END), 0) AS DOUBLE)
+        |    / CAST(sum(class_size) AS DOUBLE), 6) AS reident_risk_share
+        |FROM cls CROSS JOIN ladder GROUP BY k ORDER BY k""".stripMargin,
+
+    // q191: the DiD cells replayed — HUGEINT sums, one exact division
+    // per cell mean, the identical estimator/pre-trend double shapes.
+    "q191_diff_in_diff" ->
+      """WITH p AS (
+        |  SELECT user_id % 2 = 1 AS treated,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 'pre1'
+        |         WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre2'
+        |         ELSE 'post' END AS period,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cells AS (
+        |  SELECT treated, period, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(cents AS HUGEINT)) AS s
+        |  FROM p GROUP BY 1, 2),
+        |m AS (
+        |  SELECT treated, period,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, n
+        |  FROM cells),
+        |g AS (
+        |  SELECT
+        |    max(CASE WHEN treated AND period = 'pre1' THEN mean END) AS m_t_pre1,
+        |    max(CASE WHEN treated AND period = 'pre2' THEN mean END) AS m_t_pre2,
+        |    max(CASE WHEN treated AND period = 'post' THEN mean END) AS m_t_post,
+        |    max(CASE WHEN NOT treated AND period = 'pre1' THEN mean END) AS m_c_pre1,
+        |    max(CASE WHEN NOT treated AND period = 'pre2' THEN mean END) AS m_c_pre2,
+        |    max(CASE WHEN NOT treated AND period = 'post' THEN mean END) AS m_c_post,
+        |    CAST(sum(n) AS BIGINT) AS n_rows
+        |  FROM m)
+        |SELECT n_rows,
+        |  round((m_t_post - m_t_pre2) / 100.0, 4) AS treated_change,
+        |  round((m_c_post - m_c_pre2) / 100.0, 4) AS control_change,
+        |  round(((m_t_post - m_t_pre2) - (m_c_post - m_c_pre2)) / 100.0, 4)
+        |    AS did,
+        |  round(((m_t_pre2 - m_t_pre1) - (m_c_pre2 - m_c_pre1)) / 100.0, 4)
+        |    AS pretrend_gap
+        |FROM g""".stripMargin,
+
+    // q192: the ANOVA identity replayed — HUGEINT (n·s_g − n_g·S)²
+    // numerators, per-group exact division, the SAME group-ordered
+    // fold for the SSB sum (its ≤|groups| doubles sit at ~1e15 where
+    // sum order is visible at 2 dp).
+    "q192_anova_decomp" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_g,
+        |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+        |      AS s_g,
+        |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+        |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS ss_g
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s,
+        |    sum(ss_g) AS ss, CAST(count(*) AS BIGINT) AS k
+        |  FROM cells),
+        |terms AS (
+        |  SELECT g,
+        |    CAST(n * s_g - n_g * s AS DOUBLE)
+        |      * CAST(n * s_g - n_g * s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n_g AS DOUBLE)) AS term
+        |  FROM cells CROSS JOIN tot),
+        |ssb AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(term ORDER BY g)), (a, x) -> a + x) AS ssb_n
+        |  FROM terms),
+        |fin AS (
+        |  SELECT n AS n_rows, k AS n_groups,
+        |    CAST(n * ss - s * s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0
+        |      AS ss_total,
+        |    ssb_n / CAST(n AS DOUBLE) / 10000.0 AS ss_between
+        |  FROM tot CROSS JOIN ssb)
+        |SELECT n_rows, n_groups,
+        |  round(ss_total, 2) AS ss_total,
+        |  round(ss_between, 2) AS ss_between,
+        |  round(ss_total - ss_between, 2) AS ss_within,
+        |  CASE WHEN ss_total > 0.0 THEN
+        |    round(ss_between / ss_total, 6) END AS eta_sq,
+        |  CASE WHEN ss_total - ss_between > 0.0 AND n_groups > 1
+        |      AND n_rows > n_groups THEN
+        |    round((ss_between / CAST(n_groups - 1 AS DOUBLE))
+        |      / ((ss_total - ss_between)
+        |        / CAST(n_rows - n_groups AS DOUBLE)), 4) END AS f_stat
+        |FROM fin""".stripMargin,
+
+    // q193: the Good-Turing ladder replayed — integer N_r counts,
+    // single exact divisions, NULL r* on empty buckets.
+    "q193_good_turing" ->
+      """WITH tk AS (
+        |  SELECT u.token FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS u(token)),
+        |cnt AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+        |ff AS (SELECT c, CAST(count(*) AS BIGINT) AS n_r FROM cnt GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c * n_r) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_r) AS BIGINT) AS n_types,
+        |    CAST(coalesce(max(CASE WHEN c = 1 THEN n_r END), 0) AS BIGINT)
+        |      AS n1
+        |  FROM ff),
+        |grid AS (SELECT CAST(r AS BIGINT) AS r
+        |  FROM range(1, 11) t(r))
+        |SELECT g.r,
+        |  coalesce(f0.n_r, 0) AS n_r,
+        |  coalesce(f1.n_r, 0) AS n_r_plus_1,
+        |  CASE WHEN f0.n_r IS NOT NULL AND f1.n_r IS NOT NULL THEN
+        |    round(CAST(g.r + 1 AS DOUBLE) * CAST(f1.n_r AS DOUBLE)
+        |      / CAST(f0.n_r AS DOUBLE), 6)
+        |  END AS r_star,
+        |  n_tokens, n_types,
+        |  round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS p_unseen
+        |FROM grid g
+        |LEFT JOIN ff f0 ON f0.c = g.r
+        |LEFT JOIN ff f1 ON f1.c = g.r + 1
+        |CROSS JOIN tot
+        |ORDER BY g.r""".stripMargin,
+
+    // q194: the minimax identity replayed — prefix-summed interval
+    // averages as exact divisions, min/max over the identical double
+    // sets.
+    "q194_isotonic" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN 1 END), 0) AS BIGINT) AS score,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 END), 0) > 0 AS converted
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |sg AS (
+        |  SELECT score, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1),
+        |sc AS (
+        |  SELECT score,
+        |    CAST(sum(cnt) OVER (ORDER BY score DESC) AS BIGINT) AS cum
+        |  FROM sg),
+        |dm AS (
+        |  SELECT score, CAST((cum * 10 + n.n - 1) // n.n AS BIGINT) AS decile
+        |  FROM sc CROSS JOIN n),
+        |cells AS (
+        |  SELECT 10 - dm.decile AS bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN converted THEN 1 END), 0)
+        |      AS BIGINT) AS conv
+        |  FROM u JOIN dm ON u.score = dm.score GROUP BY 1),
+        |pref AS (
+        |  SELECT bin, n, conv,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS pn,
+        |    CAST(sum(conv) OVER (ORDER BY bin) AS BIGINT) AS pc
+        |  FROM cells),
+        |iv AS (
+        |  SELECT lo.bin AS i, hi.bin AS j,
+        |    CAST(hi.pc - lo.pc + lo.conv AS DOUBLE)
+        |      / CAST(hi.pn - lo.pn + lo.n AS DOUBLE) AS a
+        |  FROM pref lo JOIN pref hi ON lo.bin <= hi.bin),
+        |fit AS (
+        |  SELECT bin, max(inner_min) AS fitted FROM (
+        |    SELECT p.bin, v.i, min(v.a) AS inner_min
+        |    FROM pref p JOIN iv v ON v.i <= p.bin AND p.bin <= v.j
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT c.bin, c.n, c.conv,
+        |  round(CAST(c.conv AS DOUBLE) / CAST(c.n AS DOUBLE), 6) AS rate,
+        |  round(f.fitted, 6) AS fitted
+        |FROM cells c JOIN fit f ON f.bin = c.bin
+        |ORDER BY c.bin""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

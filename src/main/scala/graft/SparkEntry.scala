@@ -445,7 +445,17 @@ object SparkEntry {
     // Fellegi-Sunter probabilistic linkage pattern scores
     "q188_fs_linkage"       -> (graft.dedup.FellegiSunter.fsQuery _),
     // score-decile uplift + Qini curve (integer-exact decile cut)
-    "q189_uplift_deciles"   -> (graft.analytics.Uplift.upliftQuery _)
+    "q189_uplift_deciles"   -> (graft.analytics.Uplift.upliftQuery _),
+    // k-anonymity / l-diversity release audit over QI classes
+    "q190_k_anonymity"      -> (graft.quality.Anonymity.anonymityQuery _),
+    // difference-in-differences with the parallel-trends pre-check
+    "q191_diff_in_diff"     -> (graft.analytics.DiffInDiff.didQuery _),
+    // one-way ANOVA variance decomposition (exact integer moments)
+    "q192_anova_decomp"     -> (graft.analytics.VarianceDecomp.anovaQuery _),
+    // Good-Turing unseen-mass + smoothed-count ladder
+    "q193_good_turing"      -> (graft.text.GoodTuring.goodTuringQuery _),
+    // isotonic calibration via the closed-form minimax identity
+    "q194_isotonic"         -> (graft.analytics.Isotonic.isotonicQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -44,9 +44,13 @@ object Shapley {
   def credit(touches: DataFrame): DataFrame = {
     val s = touches.sparkSession
     // Channel codebook: lexicographic rank over the (tiny) distinct set.
+    // Checkpointed — it is referenced four times downstream (mask build,
+    // both lattice joins, the output), and without materialization each
+    // reference re-plans the corpus-distinct (the q145 caching lesson).
     val chan = touches.select(col("channel")).distinct()
       .withColumn("idx",
         (row_number().over(Window.orderBy(col("channel"))) - 1).cast("int"))
+      .localCheckpoint()
     val k = chan.count().toInt
     require(k >= 1 && k <= 16, s"Shapley lattice needs 1..16 channels, got $k")
     val kFact = factorial(k)

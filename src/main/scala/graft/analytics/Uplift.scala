@@ -37,7 +37,11 @@ object Uplift {
   /** Per-decile uplift + Qini over `units` (unit_id, score LONG,
     * treated BOOLEAN, converted BOOLEAN). Decile 1 = highest scores.
     */
-  def qiniDeciles(units: DataFrame): DataFrame = {
+  /** Attach the integer equi-depth decile (1 = highest scores) to each
+    * unit: the score-grain cut rule (10·cum + n − 1) div n, shared by
+    * q189 and q194.
+    */
+  def withDeciles(units: DataFrame): DataFrame = {
     val n = units.agg(count(lit(1)).as("n"))
     val scoreGrain = units.groupBy(col("score"))
       .agg(count(lit(1)).as("cnt"))
@@ -49,7 +53,11 @@ object Uplift {
         // integer ceiling division — `div`, never a double `/` (an exact
         // boundary must not wobble on float rounding)
         expr("CAST((cum * 10 + n - 1) DIV n AS BIGINT)").as("decile"))
-    val cells = units.join(scoreGrain, Seq("score"))
+    units.join(scoreGrain, Seq("score"))
+  }
+
+  def qiniDeciles(units: DataFrame): DataFrame = {
+    val cells = withDeciles(units)
       .groupBy(col("decile"))
       .agg(
         sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),

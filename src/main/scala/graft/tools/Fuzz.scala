@@ -31,10 +31,11 @@ import scala.util.Random
   *   python3 tools/fuzz_diff.py /tmp/graft-fuzz      # → FUZZ summary
   *
   * Any divergence gets its seed pinned as a regression case in FuzzSpec
-  * (none found in the round-11 sweep: 20 seeds × 45 families — the
+  * (none found in the round-11 sweeps: 20 seeds × 51 families — the
   * session/join, text/dedup, SCD2/PSI, spatial/MST, sketch, similarity,
   * survivorship, CDC-compaction, partition-planner, item-CF,
-  * label-noise, phrase-retrieval, contribution-cap and blocking-quality sets — exact across the board;
+  * label-noise, phrase-retrieval, contribution-cap, blocking-quality,
+  * survival/uncertainty and attribution sets — exact across the board;
   * FuzzSpec additionally runs the engine-side triple-parity — window-lag
   * q45 vs typed-state q122 vs native session_window q149 — on every seed,
   * three independent implementations of the same cut rule).
@@ -129,7 +130,34 @@ object Fuzz {
     "q180_cuped",
     // temporal reach: duplicate-ts handoffs ((ts, event_id) lag ties)
     // and midnight snaps cutting the (type, day) stream per seed
-    "q182_temporal_reach")
+    "q182_temporal_reach",
+    // KM survival: day-grain duration ties + the last_ts vs horizon−7d
+    // censor cut under per-seed walk shapes
+    "q184_km_survival",
+    // jackknife: sparse (group, bucket) cells down to single-bucket
+    // groups (the SE-0 degenerate leg)
+    "q185_jackknife_ci",
+    // Shapley: ts == conv_ts touches (the strictly-before boundary, hit
+    // by the duplicate-ts events) and per-seed channel-set lattices
+    "q186_shapley_credit",
+    // harmonic centrality: the q177 registers re-read per seed, incl.
+    // df-cap-emptied graphs (empty top-k both engines)
+    "q187_harmonic",
+    // FS linkage: per-seed m/u counts, smoothing at zero-count fields,
+    // verdict thresholds on the rounded score
+    "q188_fs_linkage",
+    // uplift: heavy score ties sharing deciles + empty-arm NULL cells
+    "q189_uplift_deciles",
+    // k-anonymity: negative-balance band truncation + singleton classes
+    "q190_k_anonymity",
+    // DiD: empty (group, period) cells surface as NULL estimates
+    "q191_diff_in_diff",
+    // ANOVA: the group-ordered SSB fold at per-seed magnitudes
+    "q192_anova_decomp",
+    // Good-Turing: empty N_r buckets -> NULL r*, per-seed vocabularies
+    "q193_good_turing",
+    // isotonic: minimax over per-seed tie-heavy decile grids
+    "q194_isotonic")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

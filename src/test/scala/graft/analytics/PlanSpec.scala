@@ -796,6 +796,102 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q184: the KM pipeline's only window is the dimension-sized risk " +
+    "cumsum, and the user aggregate partial-aggregates map-side") {
+    val df = graft.analytics.Survival.kmQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).length === 1, plan)
+    assert(plan.contains("partial_min"), plan)
+  }
+
+  test("q185: the jackknife plans with NO window anywhere — leave-one-out " +
+    "estimates fold inside the per-group cell lists") {
+    val df = graft.analytics.Jackknife.jackknifeQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q186: the channel codebook materializes ONCE (checkpoint) — no " +
+    "window, no re-planned corpus distinct, in the lattice plan") {
+    val df = graft.analytics.Shapley.shapleyQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q187: the top-20 centrality cut plans as TakeOrderedAndProject, " +
+    "never a global sort over the vertex table") {
+    val df = graft.graph.Harmonic.harmonicQuery(spark, dir)
+    val topk = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case t: TakeOrderedAndProjectExec => t
+    }
+    assert(topk.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q188: every FS candidate block joins KEYED (hash or sort-merge); " +
+    "the only nested-loop is the 1-row m/u moment attach") {
+    val df = graft.dedup.FellegiSunter.fsQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q189: exactly two windows — the score-grain decile cumsum and " +
+    "the 10-row qini cumsum; the decile attach is a keyed equi-join") {
+    val df = graft.analytics.Uplift.upliftQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).length === 2, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BuildRight"), plan)
+  }
+
+  test("q190: the release audit is two stacked aggregates + a broadcast " +
+    "ladder — no window, no join back to the corpus") {
+    val df = graft.quality.Anonymity.anonymityQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(scans(df).length === 1, plan) // one customer scan
+  }
+
+  test("q191: DiD is ONE corpus scan partial-aggregated to the 2x4 cell " +
+    "grid — the smallest exchange shape in the engine") {
+    val df = graft.analytics.DiffInDiff.didQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(scans(df).length === 1, plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q192: the ANOVA moments partial-aggregate map-side and the SSB " +
+    "fold has no window") {
+    val df = graft.analytics.VarianceDecomp.anovaQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q193: the tokens projection prunes the documents scan to text " +
+    "only (the corpus stage — the ladder itself runs post-checkpoint)") {
+    val tokens = graft.Tables.documents(spark, dir).select(
+      explode(org.apache.spark.sql.functions.filter(
+        org.apache.spark.sql.functions.split(col("text"), " "),
+        t => t =!= "")).as("token"))
+    val scan = scans(tokens.groupBy(col("token")).count()).head
+    assert(scan.schema.fieldNames.toSeq === Seq("text"),
+      scan.schema.fieldNames.mkString(","))
+    // the checkpointed ladder plan is dimension-sized: no window at all
+    val df = graft.text.GoodTuring.goodTuringQuery(spark, dir)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("q194: the minimax grid's windows run over the bin table, and " +
+    "every grid join is bin-keyed or dimension-sized — no cartesian") {
+    val df = graft.analytics.Isotonic.isotonicQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
