@@ -5819,7 +5819,88 @@ object OracleSql {
         |  round(CAST(c.conv AS DOUBLE) / CAST(c.n AS DOUBLE), 6) AS rate,
         |  round(f.fitted, 6) AS fitted
         |FROM cells c JOIN fit f ON f.bin = c.bin
-        |ORDER BY c.bin""".stripMargin
+        |ORDER BY c.bin""".stripMargin,
+
+    // q195: the audit replayed against the ENGINE'S OWN compiled
+    // expected constants (interpolated Double.toString — never the
+    // oracle's log10), first digit from the decimal string, chi-square
+    // folded in digit order.
+    "q195_benford" -> {
+      val exp = graft.quality.Benford.Expected.zipWithIndex
+        .map { case (p, i) =>
+          s"(${i + 1}, CAST(${java.lang.Double.toString(p)} AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH obs AS (
+         |  SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+         |    AS digit, CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |        FROM orders) WHERE v > 0
+         |  GROUP BY 1),
+         |expd AS (SELECT * FROM (VALUES $exp) t(digit, p_benford)),
+         |grid AS (
+         |  SELECT e.digit, coalesce(o.n_obs, 0) AS n_obs, e.p_benford
+         |  FROM expd e LEFT JOIN obs o ON o.digit = e.digit),
+         |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM grid),
+         |terms AS (
+         |  SELECT digit, n_obs, p_benford,
+         |    CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+         |    (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - p_benford)
+         |      * (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - p_benford)
+         |      / p_benford * CAST(n AS DOUBLE) AS term
+         |  FROM grid CROSS JOIN tot),
+         |chi AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(term ORDER BY digit)), (a, x) -> a + x) AS chi_sq
+         |  FROM terms)
+         |SELECT digit, n_obs, round(share, 6) AS share,
+         |  round(p_benford, 6) AS p_benford,
+         |  round(share - p_benford, 6) AS excess,
+         |  round(chi_sq, 4) AS chi_sq
+         |FROM terms CROSS JOIN chi ORDER BY digit""".stripMargin
+    },
+
+    // q196: the rank-sum replayed — the SAME midrank construction
+    // (2·avgrank integers over the value grain), HUGEINT rank sums,
+    // the identical z / effect-size double shapes. The oracle ranks
+    // via a plain global window; the engine via bucketed prefix sums —
+    // two mechanisms, one statistic.
+    "q196_rank_sum" ->
+      """WITH g AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(coalesce(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 END), 0)
+        |      AS BIGINT) AS cnt_a
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT v, cnt, cnt_a,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM g),
+        |rr AS (
+        |  SELECT v, cnt, cnt_a,
+        |    2 * cum_before + cnt + 1 AS r2
+        |  FROM r),
+        |a AS (
+        |  SELECT sum(CAST(cnt_a AS HUGEINT) * r2) AS r2_sum_a,
+        |    CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b
+        |  FROM rr),
+        |u AS (
+        |  SELECT n_a, n_b,
+        |    CAST(r2_sum_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+        |      / 2.0 AS u_a
+        |  FROM a)
+        |SELECT n_a, n_b, u_a,
+        |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - u_a AS u_b,
+        |  round(CAST(2 AS DOUBLE) * CAST(u_a AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0, 6)
+        |    AS rank_biserial,
+        |  round((CAST(u_a AS DOUBLE)
+        |    - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      * CAST(n_a + n_b + 1 AS DOUBLE) / 12.0), 4) AS z
+        |FROM u""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

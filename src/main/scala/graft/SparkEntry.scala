@@ -455,7 +455,11 @@ object SparkEntry {
     // Good-Turing unseen-mass + smoothed-count ladder
     "q193_good_turing"      -> (graft.text.GoodTuring.goodTuringQuery _),
     // isotonic calibration via the closed-form minimax identity
-    "q194_isotonic"         -> (graft.analytics.Isotonic.isotonicQuery _)
+    "q194_isotonic"         -> (graft.analytics.Isotonic.isotonicQuery _),
+    // Benford first-digit forensic audit (compiled expected constants)
+    "q195_benford"          -> (graft.quality.Benford.benfordQuery _),
+    // Mann-Whitney rank-sum test (midranks via bucketed prefix sums)
+    "q196_rank_sum"         -> (graft.analytics.RankSum.rankSumQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -157,7 +157,11 @@ object Fuzz {
     // Good-Turing: empty N_r buckets -> NULL r*, per-seed vocabularies
     "q193_good_turing",
     // isotonic: minimax over per-seed tie-heavy decile grids
-    "q194_isotonic")
+    "q194_isotonic",
+    // Benford: per-seed digit mixes incl. empty digit cells
+    "q195_benford",
+    // rank-sum: midrank halves under per-seed tie densities
+    "q196_rank_sum")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
@@ -343,12 +347,16 @@ object Fuzz {
     // small set so the frequency rule sees collisions
     val segs = Array("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
       "MACHINERY")
+    // c_nationkey from the key (25 nations like the driver corpus) — the
+    // q190 QI column; negative-balance keys land in band 0 (DIV truncates)
     val rows = keys.toSeq.map { k =>
       (k, f"Customer#$k%09d",
-        (rnd.nextInt(2000000) - 99999) / 100.0, segs(rnd.nextInt(5)))
+        (rnd.nextInt(2000000) - 99999) / 100.0, segs(rnd.nextInt(5)),
+        (k % 25L).toInt)
     }
     spark.createDataFrame(rows)
-      .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+        "c_nationkey")
   }
 
   /** Seeded embeddings corpus (200 vectors, dim 16, 3-dp floats in

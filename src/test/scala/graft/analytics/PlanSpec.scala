@@ -892,6 +892,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q195: one orders scan pruned to the price column; everything " +
+    "after the 9-digit grid is constant-sized") {
+    val df = graft.quality.Benford.benfordQuery(spark, dir)
+    val scan = scans(df).head
+    assert(scan.schema.fieldNames.toSeq === Seq("o_totalprice"),
+      scan.schema.fieldNames.mkString(","))
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("q196: the rank windows are bucket-partitioned or bucket-grain — " +
+    "never a corpus-scale single-partition window over values") {
+    val df = graft.analytics.RankSum.rankSumQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly two windows: within-bucket (partitioned) + bucket-grain
+    assert("Window".r.findAllIn(plan).length === 2, plan)
+    val winSpecs = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.exists(_.contains("bucket")), winSpecs.mkString("\n"))
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
