@@ -5900,7 +5900,180 @@ object OracleSql {
         |    - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
         |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
         |      * CAST(n_a + n_b + 1 AS DOUBLE) / 12.0), 4) AS z
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    // q197: the log-rank grid replayed — integer risk sets, identical
+    // E/V double shapes per event time, both sums folded in duration
+    // order.
+    "q197_log_rank" ->
+      """WITH horizon AS (SELECT max(ts) AS end_ts FROM events),
+        |u AS (
+        |  SELECT user_id, min(ts) AS fts, max(ts) AS lts
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |lt AS (
+        |  SELECT CAST(datediff('day', CAST(fts AS DATE),
+        |      CAST(lts AS DATE)) AS BIGINT) AS dd,
+        |    lts < end_ts - INTERVAL 7 DAY AS churned,
+        |    user_id % 2 = 1 AS arm
+        |  FROM u CROSS JOIN horizon),
+        |g AS (
+        |  SELECT dd, CAST(count(*) AS BIGINT) AS n_at,
+        |    CAST(coalesce(sum(CASE WHEN arm THEN 1 END), 0) AS BIGINT)
+        |      AS n_at_a,
+        |    CAST(coalesce(sum(CASE WHEN churned THEN 1 END), 0) AS BIGINT)
+        |      AS d,
+        |    CAST(coalesce(sum(CASE WHEN churned AND arm THEN 1 END), 0)
+        |      AS BIGINT) AS d_a
+        |  FROM lt GROUP BY 1),
+        |r AS (
+        |  SELECT dd, d, d_a,
+        |    CAST(sum(n_at) OVER (ORDER BY dd DESC) AS BIGINT) AS n_risk,
+        |    CAST(sum(n_at_a) OVER (ORDER BY dd DESC) AS BIGINT)
+        |      AS n_risk_a
+        |  FROM g),
+        |e AS (
+        |  SELECT dd, d_a,
+        |    CAST(d AS DOUBLE)
+        |      * (CAST(n_risk_a AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      AS e_a,
+        |    CASE WHEN n_risk > 1 THEN
+        |      CAST(d AS DOUBLE)
+        |        * (CAST(n_risk_a AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |        * (CAST(1 AS DOUBLE)
+        |          - CAST(n_risk_a AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |        * (CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE))
+        |        / CAST(n_risk - 1 AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS v
+        |  FROM r WHERE d > 0),
+        |f AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(d_a AS DOUBLE) ORDER BY dd)), (a, x) -> a + x)
+        |      AS o_a,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(e_a ORDER BY dd)), (a, x) -> a + x) AS e_a,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(v ORDER BY dd)), (a, x) -> a + x) AS v
+        |  FROM e),
+        |arms AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN arm THEN 1 END), 0) AS BIGINT)
+        |      AS n_a,
+        |    CAST(coalesce(sum(CASE WHEN NOT arm THEN 1 END), 0) AS BIGINT)
+        |      AS n_b
+        |  FROM lt)
+        |SELECT n_a, n_b, CAST(o_a AS BIGINT) AS observed_a,
+        |  round(e_a, 4) AS expected_a,
+        |  CASE WHEN e_a > 0.0 THEN round(o_a / e_a, 6) END AS o_over_e,
+        |  CASE WHEN v > 0.0 THEN
+        |    round((o_a - e_a) * (o_a - e_a) / v, 4) END AS chi_sq
+        |FROM f CROSS JOIN arms""".stripMargin,
+
+    // q198: the CUSUM argmax replayed — exact HUGEINT n·S, the pinned
+    // (|n·S| DESC, day DESC) tie convention as an ORDER BY LIMIT 1.
+    "q198_cusum" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |days AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS cnt,
+        |    sum(CAST(cents AS HUGEINT)) AS s
+        |  FROM e GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n, sum(s) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM days),
+        |pref AS (
+        |  SELECT day,
+        |    CAST(sum(cnt) OVER (ORDER BY day) AS BIGINT) AS cum_cnt,
+        |    sum(s) OVER (ORDER BY day) AS cum_s,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+        |  FROM days),
+        |ns AS (
+        |  SELECT day, cum_cnt, cum_s, n, total,
+        |    abs(CAST(n AS HUGEINT) * cum_s
+        |      - CAST(cum_cnt AS HUGEINT) * total) AS abs_ns
+        |  FROM pref CROSS JOIN tot WHERE idx < n_days)
+        |SELECT day AS change_day, CAST(abs_ns AS DOUBLE) AS ns_peak,
+        |  round(CAST(cum_s AS DOUBLE) / CAST(cum_cnt AS DOUBLE) / 100.0, 4)
+        |    AS mean_before,
+        |  round(CAST(total - cum_s AS DOUBLE)
+        |    / CAST(n - cum_cnt AS DOUBLE) / 100.0, 4) AS mean_after,
+        |  round(CAST(total - cum_s AS DOUBLE)
+        |    / CAST(n - cum_cnt AS DOUBLE) / 100.0
+        |    - CAST(cum_s AS DOUBLE) / CAST(cum_cnt AS DOUBLE) / 100.0, 4)
+        |    AS shift
+        |FROM ns ORDER BY abs_ns DESC, day DESC LIMIT 1""".stripMargin,
+
+    // q199: the stratified estimator replayed — the q189 decile cut,
+    // HUGEINT cell sums, the identical stratum-ordered folds.
+    "q199_stratified_ate" ->
+      """WITH u AS (
+        |  SELECT user_id AS unit_id,
+        |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN 1 END), 0) AS BIGINT) AS score,
+        |    user_id % 2 = 1 AS treated,
+        |    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |sg AS (
+        |  SELECT score, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1),
+        |scc AS (
+        |  SELECT score,
+        |    CAST(sum(cnt) OVER (ORDER BY score DESC) AS BIGINT) AS cum
+        |  FROM sg),
+        |dm AS (
+        |  SELECT score, CAST((cum * 10 + n.n - 1) // n.n AS BIGINT)
+        |    AS decile
+        |  FROM scc CROSS JOIN n),
+        |cells AS (
+        |  SELECT decile,
+        |    CAST(coalesce(sum(CASE WHEN treated THEN 1 END), 0) AS BIGINT)
+        |      AS n_t,
+        |    coalesce(sum(CASE WHEN treated
+        |      THEN CAST(cents AS HUGEINT) END), 0) AS s_t,
+        |    CAST(coalesce(sum(CASE WHEN NOT treated THEN 1 END), 0)
+        |      AS BIGINT) AS n_c,
+        |    coalesce(sum(CASE WHEN NOT treated
+        |      THEN CAST(cents AS HUGEINT) END), 0) AS s_c
+        |  FROM u JOIN dm ON u.score = dm.score GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_t) AS BIGINT) AS nt, sum(s_t) AS st,
+        |    CAST(sum(n_c) AS BIGINT) AS nc, sum(s_c) AS sc2,
+        |    CAST(coalesce(sum(CASE WHEN n_t = 0 OR n_c = 0
+        |      THEN n_t + n_c END), 0) AS BIGINT) AS n_unsupported
+        |  FROM cells),
+        |terms AS (
+        |  SELECT decile,
+        |    CAST(n_t + n_c AS DOUBLE)
+        |      * (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |        - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)) AS w_gap,
+        |    CAST(n_t + n_c AS DOUBLE) AS nd,
+        |    CAST(n_t AS DOUBLE) / CAST(n_t + n_c AS DOUBLE) AS share_t
+        |  FROM cells WHERE n_t > 0 AND n_c > 0),
+        |f AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(w_gap ORDER BY decile)), (a, x) -> a + x) AS sum_w_gap,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(nd ORDER BY decile)), (a, x) -> a + x) AS n_supported,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(share_t * nd ORDER BY decile)), (a, x) -> a + x)
+        |      AS share_t_wsum
+        |  FROM terms)
+        |SELECT nt AS n_treated, nc AS n_control, n_unsupported,
+        |  round((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    - CAST(sc2 AS DOUBLE) / CAST(nc AS DOUBLE)) / 100.0, 4)
+        |    AS ate_naive,
+        |  round(sum_w_gap / n_supported / 100.0, 4) AS ate_adjusted,
+        |  round((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    - CAST(sc2 AS DOUBLE) / CAST(nc AS DOUBLE)) / 100.0
+        |    - sum_w_gap / n_supported / 100.0, 4) AS confounding,
+        |  round(share_t_wsum / n_supported, 6) AS avg_share_treated
+        |FROM f CROSS JOIN tot""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

@@ -459,7 +459,13 @@ object SparkEntry {
     // Benford first-digit forensic audit (compiled expected constants)
     "q195_benford"          -> (graft.quality.Benford.benfordQuery _),
     // Mann-Whitney rank-sum test (midranks via bucketed prefix sums)
-    "q196_rank_sum"         -> (graft.analytics.RankSum.rankSumQuery _)
+    "q196_rank_sum"         -> (graft.analytics.RankSum.rankSumQuery _),
+    // two-sample log-rank survival comparison (the q184 inference layer)
+    "q197_log_rank"         -> (graft.analytics.LogRank.logRankQuery _),
+    // CUSUM level-shift location (exact integer n*S argmax)
+    "q198_cusum"            -> (graft.analytics.Cusum.cusumQuery _),
+    // stratification-adjusted ATE (naive vs adjusted = the confounding)
+    "q199_stratified_ate"   -> (graft.analytics.StratifiedAte.ateQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -161,7 +161,14 @@ object Fuzz {
     // Benford: per-seed digit mixes incl. empty digit cells
     "q195_benford",
     // rank-sum: midrank halves under per-seed tie densities
-    "q196_rank_sum")
+    "q196_rank_sum",
+    // log-rank: per-seed censoring mixes, risk-set-exhausted tails
+    "q197_log_rank",
+    // CUSUM: per-seed day grids incl. |nS| argmax ties (the pinned
+    // latest-day convention)
+    "q198_cusum",
+    // stratified ATE: per-seed unsupported (one-arm) strata
+    "q199_stratified_ate")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

@@ -912,6 +912,31 @@ class PlanSpec extends SparkSpec {
     assert(winSpecs.exists(_.contains("bucket")), winSpecs.mkString("\n"))
   }
 
+  test("q197: one user-keyed corpus exchange; the risk-set windows run " +
+    "on the day-grain grid") {
+    val df = graft.analytics.LogRank.logRankQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q198: ONE events scan pruned to (ts, value) — the totals ride " +
+    "the same day-grid window pass as the prefixes") {
+    val df = graft.analytics.Cusum.cusumQuery(spark, dir)
+    val ss = scans(df)
+    assert(ss.length === 1, ss.map(_.schema.fieldNames.mkString(",")))
+    assert(ss.head.schema.fieldNames.toSeq.sorted === Seq("ts", "value"),
+      ss.head.schema.fieldNames.mkString(","))
+  }
+
+  test("q199: the corpus pipeline plans ONCE — the final plan reads the " +
+    "checkpointed cell grid, never a second events scan") {
+    val df = graft.analytics.StratifiedAte.ateQuery(spark, dir)
+    assert(scans(df).isEmpty,
+      scans(df).map(_.schema.fieldNames.mkString(",")).mkString(";"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
