@@ -6073,7 +6073,106 @@ object OracleSql {
         |    - CAST(sc2 AS DOUBLE) / CAST(nc AS DOUBLE)) / 100.0
         |    - sum_w_gap / n_supported / 100.0, 4) AS confounding,
         |  round(share_t_wsum / n_supported, 6) AS avg_share_treated
-        |FROM f CROSS JOIN tot""".stripMargin
+        |FROM f CROSS JOIN tot""".stripMargin,
+
+    // q200: the release card replayed stage by stage — the q112 rule
+    // battery scoped to the corpus side, the q24 min-id keeper among
+    // quality survivors, the q53 containment screen, one integer
+    // rollup.
+    "q200_release_funnel" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |    AS t
+        |  FROM corpus),
+        |tf AS (
+        |  SELECT doc_id, u AS token, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS u FROM tk)
+        |  GROUP BY 1, 2),
+        |md AS (SELECT doc_id, max(c) AS mx FROM tf GROUP BY doc_id),
+        |sig AS (
+        |  SELECT tk.doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    round(CAST(coalesce(list_sum(list_transform(t, x -> length(x))),
+        |      0) AS DOUBLE) / greatest(len(t), 1), 4) AS avg_token_len,
+        |    round(CAST(len(list_distinct(t)) AS DOUBLE)
+        |      / greatest(len(t), 1), 4) AS distinct_ratio,
+        |    round(CAST(coalesce(md.mx, 0) AS DOUBLE)
+        |      / greatest(len(t), 1), 4) AS top_token_ratio,
+        |    len(list_filter(t, x -> x IN
+        |      ('the','a','and','of','el','la','los','y','le','les','et',
+        |       'une','der','die','und','das'))) AS stop_hits
+        |  FROM tk LEFT JOIN md ON tk.doc_id = md.doc_id),
+        |p AS (
+        |  SELECT c.doc_id, c.text, s.n_tokens,
+        |    NOT (s.n_tokens < 20 OR s.n_tokens > 95
+        |      OR s.avg_token_len < 3.0 OR s.avg_token_len > 8.0
+        |      OR s.distinct_ratio < 0.4 OR s.top_token_ratio > 0.2
+        |      OR s.stop_hits < 1) AS pass
+        |  FROM corpus c JOIN sig s ON s.doc_id = c.doc_id),
+        |km AS (
+        |  SELECT text, min(CASE WHEN pass THEN doc_id END) AS keeper
+        |  FROM p GROUP BY text),
+        |kept AS (
+        |  SELECT p.doc_id, p.n_tokens, p.pass,
+        |    p.pass AND p.doc_id = km.keeper AS keep
+        |  FROM p JOIN km ON km.text = p.text),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    array_to_string(list_slice(t2, i + 1, i + 5), ' ') AS shingle
+        |  FROM (SELECT doc_id, source,
+        |      list_filter(string_split(text, ' '), x -> x <> '') AS t2
+        |    FROM documents) dd, unnest(range(0, len(t2) - 4)) AS g(i)
+        |  WHERE len(t2) >= 5),
+        |shc AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle)
+        |      AS df
+        |    FROM sh0 WHERE source <> 'src0')
+        |  WHERE df <= 100),
+        |she AS (SELECT doc_id, shingle FROM sh0 WHERE source = 'src0'),
+        |sz AS (SELECT doc_id AS eval_id, count(*) AS n_eval_sh
+        |  FROM she GROUP BY 1),
+        |cm AS (
+        |  SELECT c.doc_id AS doc_id, e.doc_id AS eval_id, count(*)
+        |    AS n_common
+        |  FROM shc c JOIN she e USING (shingle)
+        |  GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM cm JOIN sz USING (eval_id)
+        |  WHERE round(CAST(n_common AS DOUBLE) / n_eval_sh, 4) >= 0.5),
+        |fl AS (
+        |  SELECT k.doc_id, k.n_tokens, k.pass, k.keep,
+        |    cd.doc_id IS NOT NULL AS contaminated
+        |  FROM kept k LEFT JOIN cd ON cd.doc_id = k.doc_id),
+        |one AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS d1,
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t1,
+        |    CAST(coalesce(sum(CASE WHEN pass THEN 1 END), 0) AS BIGINT)
+        |      AS d2,
+        |    CAST(coalesce(sum(CASE WHEN pass THEN n_tokens END), 0)
+        |      AS BIGINT) AS t2,
+        |    CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+        |      AS d3,
+        |    CAST(coalesce(sum(CASE WHEN keep THEN n_tokens END), 0)
+        |      AS BIGINT) AS t3,
+        |    CAST(coalesce(sum(CASE WHEN keep AND NOT contaminated
+        |      THEN 1 END), 0) AS BIGINT) AS d4,
+        |    CAST(coalesce(sum(CASE WHEN keep AND NOT contaminated
+        |      THEN n_tokens END), 0) AS BIGINT) AS t4
+        |  FROM fl)
+        |SELECT stage_idx, stage, n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(d1 AS DOUBLE), 6)
+        |    AS share_of_ingested
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'ingested' AS stage,
+        |    d1 AS n_docs, t1 AS n_tokens, d1 FROM one
+        |  UNION ALL SELECT 2, 'quality_pass', d2, t2, d1 FROM one
+        |  UNION ALL SELECT 3, 'exact_dedup', d3, t3, d1 FROM one
+        |  UNION ALL SELECT 4, 'released', d4, t4, d1 FROM one)
+        |ORDER BY stage_idx""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

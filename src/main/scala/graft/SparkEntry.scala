@@ -465,7 +465,9 @@ object SparkEntry {
     // CUSUM level-shift location (exact integer n*S argmax)
     "q198_cusum"            -> (graft.analytics.Cusum.cusumQuery _),
     // stratification-adjusted ATE (naive vs adjusted = the confounding)
-    "q199_stratified_ate"   -> (graft.analytics.StratifiedAte.ateQuery _)
+    "q199_stratified_ate"   -> (graft.analytics.StratifiedAte.ateQuery _),
+    // the release funnel: quality -> dedup -> decontamination, audited
+    "q200_release_funnel"   -> (graft.pipeline.ReleaseFunnel.funnelQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -168,7 +168,10 @@ object Fuzz {
     // latest-day convention)
     "q198_cusum",
     // stratified ATE: per-seed unsupported (one-arm) strata
-    "q199_stratified_ate")
+    "q199_stratified_ate",
+    // release funnel: per-seed dup/short/contaminated doc mixes hit
+    // every stage's cut
+    "q200_release_funnel")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

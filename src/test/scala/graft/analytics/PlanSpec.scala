@@ -937,6 +937,14 @@ class PlanSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("q200: the dedup keeper window is TEXT-partitioned (duplicate-" +
+    "multiplicity-bounded), never a global window; no cartesian") {
+    val df = graft.pipeline.ReleaseFunnel.funnelQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(text"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
