@@ -78,6 +78,57 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("the seed-3 q199 round-boundary find stays pinned: the adjusted " +
+    "ATE lands EXACTLY on a shortest-string half grid, where Spark and " +
+    "DuckDB round() legitimately part") {
+    // The round-11 64-family sweep's single divergence (1279/1280 exact):
+    // the unrounded quotient's binary value is 155.733749999999986...,
+    // BELOW the 4-dp half — but its SHORTEST decimal string is
+    // "155.73375". Spark's round() rounds the shortest-string decimal
+    // (HALF_UP → 155.7338); DuckDB rounds the (approximate) exact value
+    // (→ 155.7337). Neither engine is wrong; they implement different
+    // round semantics that differ only on this knife edge. This pin
+    // reproduces the condition so the find (and its analysis) cannot
+    // silently rot.
+    val dir = "/tmp/graft-fuzz-spec/s3-pin"
+    Fuzz.genEvents(spark, 3).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val cutoff = lit("2024-01-16").cast("timestamp")
+    val units = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("ts") < cutoff, 1L)), lit(0L)).as("score"),
+        coalesce(sum(when(col("ts") >= cutoff,
+          round(col("value") * 100).cast("long"))), lit(0L)).as("cents"))
+      .select(col("user_id").as("unit_id"), col("score"),
+        (col("user_id") % 2L === 1L).as("treated"), col("cents"))
+    val cells = graft.analytics.Uplift.withDeciles(units)
+      .groupBy(col("decile"))
+      .agg(coalesce(sum(when(col("treated"), 1L)), lit(0L)).as("n_t"),
+        coalesce(sum(when(col("treated"),
+          col("cents").cast("decimal(38,0)"))),
+          lit(0L).cast("decimal(38,0)")).as("s_t"),
+        coalesce(sum(when(!col("treated"), 1L)), lit(0L)).as("n_c"),
+        coalesce(sum(when(!col("treated"),
+          col("cents").cast("decimal(38,0)"))),
+          lit(0L).cast("decimal(38,0)")).as("s_c"))
+      .filter(col("n_t") > 0L && col("n_c") > 0L)
+      .collect().sortBy(_.getLong(0))
+    var (swg, ns) = (0.0, 0.0)
+    cells.foreach { r =>
+      val nt = r.getLong(1); val st = r.getDecimal(2).doubleValue
+      val nc = r.getLong(3); val sc = r.getDecimal(4).doubleValue
+      swg += (nt + nc).toDouble * (st / nt - sc / nc)
+      ns += (nt + nc).toDouble
+    }
+    val unrounded = swg / ns / 100.0
+    // the shortest string terminates on the 4-dp half grid...
+    assert(java.lang.Double.toString(unrounded) === "155.73375")
+    // ...while the exact binary value sits BELOW it
+    assert(new java.math.BigDecimal(unrounded)
+      .compareTo(new java.math.BigDecimal("155.73375")) < 0)
+  }
+
   test("spatial corpus stays boundary-concentrated: offsets straddle the " +
     "radius cut tightly, homes sit on cell corners, keys are unique") {
     val keys = Fuzz.genCustomer(spark, 0).collect().map(_.getLong(0))
