@@ -6007,7 +6007,13 @@ object OracleSql {
         |FROM ns ORDER BY abs_ns DESC, day DESC LIMIT 1""".stripMargin,
 
     // q199: the stratified estimator replayed — the q189 decile cut,
-    // HUGEINT cell sums, the identical stratum-ordered folds.
+    // HUGEINT cell sums, the identical stratum-ordered folds. The four
+    // quotient outputs round through a VARCHAR→DECIMAL round-trip:
+    // Spark's round() rounds the double's SHORTEST-STRING decimal, and
+    // DuckDB's rounds the approximate exact value — they part when a
+    // quotient's shortest string lands exactly on the half grid (the
+    // seed-3 fuzz find, pinned in FuzzSpec); the round-trip makes the
+    // oracle replicate Spark's semantics exactly.
     "q199_stratified_ate" ->
       """WITH u AS (
         |  SELECT user_id AS unit_id,
@@ -6065,14 +6071,18 @@ object OracleSql {
         |      AS share_t_wsum
         |  FROM terms)
         |SELECT nt AS n_treated, nc AS n_control, n_unsupported,
-        |  round((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
-        |    - CAST(sc2 AS DOUBLE) / CAST(nc AS DOUBLE)) / 100.0, 4)
-        |    AS ate_naive,
-        |  round(sum_w_gap / n_supported / 100.0, 4) AS ate_adjusted,
-        |  round((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |  CAST(round(CAST(CAST((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
         |    - CAST(sc2 AS DOUBLE) / CAST(nc AS DOUBLE)) / 100.0
-        |    - sum_w_gap / n_supported / 100.0, 4) AS confounding,
-        |  round(share_t_wsum / n_supported, 6) AS avg_share_treated
+        |    AS VARCHAR) AS DECIMAL(30,12)), 4) AS DOUBLE) AS ate_naive,
+        |  CAST(round(CAST(CAST(sum_w_gap / n_supported / 100.0
+        |    AS VARCHAR) AS DECIMAL(30,12)), 4) AS DOUBLE) AS ate_adjusted,
+        |  CAST(round(CAST(CAST((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    - CAST(sc2 AS DOUBLE) / CAST(nc AS DOUBLE)) / 100.0
+        |    - sum_w_gap / n_supported / 100.0
+        |    AS VARCHAR) AS DECIMAL(30,12)), 4) AS DOUBLE) AS confounding,
+        |  CAST(round(CAST(CAST(share_t_wsum / n_supported
+        |    AS VARCHAR) AS DECIMAL(30,12)), 6) AS DOUBLE)
+        |    AS avg_share_treated
         |FROM f CROSS JOIN tot""".stripMargin,
 
     // q200: the release card replayed stage by stage — the q112 rule

@@ -81,15 +81,16 @@ class FuzzSpec extends SparkSpec {
   test("the seed-3 q199 round-boundary find stays pinned: the adjusted " +
     "ATE lands EXACTLY on a shortest-string half grid, where Spark and " +
     "DuckDB round() legitimately part") {
-    // The round-11 64-family sweep's single divergence (1279/1280 exact):
-    // the unrounded quotient's binary value is 155.733749999999986...,
-    // BELOW the 4-dp half — but its SHORTEST decimal string is
-    // "155.73375". Spark's round() rounds the shortest-string decimal
-    // (HALF_UP → 155.7338); DuckDB rounds the (approximate) exact value
-    // (→ 155.7337). Neither engine is wrong; they implement different
-    // round semantics that differ only on this knife edge. This pin
-    // reproduces the condition so the find (and its analysis) cannot
-    // silently rot.
+    // The round-11 64-family sweep's single divergence (found at
+    // 1279/1280, then FIXED): the unrounded quotient's binary value is
+    // 155.733749999999986..., BELOW the 4-dp half — but its SHORTEST
+    // decimal string is "155.73375". Spark's round() rounds the
+    // shortest-string decimal (HALF_UP → 155.7338); DuckDB's rounds the
+    // (approximate) exact value (→ 155.7337). Neither engine is wrong;
+    // they implement different round semantics that differ only on this
+    // knife edge. The q199 oracle now replicates Spark's semantics via a
+    // VARCHAR→DECIMAL round-trip (re-swept 20/20); this pin reproduces
+    // the CONDITION so the find and its analysis cannot silently rot.
     val dir = "/tmp/graft-fuzz-spec/s3-pin"
     Fuzz.genEvents(spark, 3).write.mode("overwrite")
       .parquet(s"$dir/events.parquet")
