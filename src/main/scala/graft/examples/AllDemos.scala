@@ -6,12 +6,14 @@ import org.apache.spark.sql.SparkSession
 
 /** The repo's executable README: every lifecycle demo in one command.
   *
-  * Runs the four self-asserting mains in sequence — YelpDemo (raw JSON →
+  * Runs the five self-asserting mains in sequence — YelpDemo (raw JSON →
   * domain ETLs → unified table → graph + integrity), CorpusDemo
   * (quality gate → dedup tiers → split), StreamDemo (file drops →
   * AvailableNow sessionizer → MERGE snapshot sink → vacuum), LayoutDemo
-  * (quarantine → align → compact → z-order → repair/replay) — each in
-  * its own SparkSession lifecycle, exactly as a user would run them.
+  * (quarantine → align → compact → z-order → repair/replay),
+  * ExperimentDemo (CUPED → uplift → stratified ATE → DiD → jackknife →
+  * rank-sum → KM/log-rank → CUSUM → release funnel) — each in its own
+  * SparkSession lifecycle, exactly as a user would run them.
   * Every demo asserts its own claims, so reaching the end IS the proof;
   * the final cross-demo assertion then re-opens YelpDemo's persisted
   * unified output with a FRESH session and checks it round-trips —
@@ -25,14 +27,16 @@ object AllDemos {
   def main(args: Array[String]): Unit = {
     val yelpWork = Files.createTempDirectory("graft-all-demos").toString
 
-    println("=== 1/4 YelpDemo ===")
+    println("=== 1/5 YelpDemo ===")
     YelpDemo.main(Array(yelpWork))
-    println("=== 2/4 CorpusDemo ===")
+    println("=== 2/5 CorpusDemo ===")
     CorpusDemo.main(Array.empty)
-    println("=== 3/4 StreamDemo ===")
+    println("=== 3/5 StreamDemo ===")
     StreamDemo.main(Array.empty)
-    println("=== 4/4 LayoutDemo ===")
+    println("=== 4/5 LayoutDemo ===")
     LayoutDemo.main(Array.empty)
+    println("=== 5/5 ExperimentDemo ===")
+    ExperimentDemo.main(Array.empty)
 
     // cross-demo: a fresh session (the demos stopped theirs) re-reads the
     // unified table YelpDemo persisted four stages ago
@@ -47,6 +51,6 @@ object AllDemos {
         && uni.columns.exists(_.endsWith("name")), // overlap-renamed dims
       s"unified round-trip lost columns: ${uni.columns.mkString(",")}")
     spark.stop()
-    println("ALL DEMOS PASSED (4 lifecycles + cross-demo round-trip)")
+    println("ALL DEMOS PASSED (5 lifecycles + cross-demo round-trip)")
   }
 }
