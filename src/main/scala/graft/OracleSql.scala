@@ -6182,7 +6182,33 @@ object OracleSql {
         |  UNION ALL SELECT 2, 'quality_pass', d2, t2, d1 FROM one
         |  UNION ALL SELECT 3, 'exact_dedup', d3, t3, d1 FROM one
         |  UNION ALL SELECT 4, 'released', d4, t4, d1 FROM one)
-        |ORDER BY stage_idx""".stripMargin
+        |ORDER BY stage_idx""".stripMargin,
+
+    // q201: the weighted nearest-rank statistic replayed via a plain
+    // per-group cumulative window (vs the engine's bucketed prefix
+    // sums — two mechanisms, one statistic); all integers end to end.
+    "q201_weighted_quantiles" ->
+      """WITH grain AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(sum(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, v, w,
+        |    CAST(sum(w) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS cumw,
+        |    CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS w_total
+        |  FROM grain)
+        |SELECT g, w_total,
+        |  min(CASE WHEN cumw >= (1 * w_total + 3) // 4 THEN v END)
+        |    AS p1_4_cents,
+        |  min(CASE WHEN cumw >= (1 * w_total + 1) // 2 THEN v END)
+        |    AS p1_2_cents,
+        |  min(CASE WHEN cumw >= (3 * w_total + 3) // 4 THEN v END)
+        |    AS p3_4_cents,
+        |  min(CASE WHEN cumw >= (9 * w_total + 9) // 10 THEN v END)
+        |    AS p9_10_cents
+        |FROM r GROUP BY g, w_total ORDER BY g""".stripMargin
   )
 
   /** The spatial fixture CTE (q158-q160): mirrors

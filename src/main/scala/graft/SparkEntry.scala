@@ -467,7 +467,10 @@ object SparkEntry {
     // stratification-adjusted ATE (naive vs adjusted = the confounding)
     "q199_stratified_ate"   -> (graft.analytics.StratifiedAte.ateQuery _),
     // the release funnel: quality -> dedup -> decontamination, audited
-    "q200_release_funnel"   -> (graft.pipeline.ReleaseFunnel.funnelQuery _)
+    "q200_release_funnel"   -> (graft.pipeline.ReleaseFunnel.funnelQuery _),
+    // grouped weighted nearest-rank quantiles (all-integer outputs)
+    "q201_weighted_quantiles" ->
+      (graft.analytics.WeightedQuantiles.weightedQuantilesQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -171,7 +171,10 @@ object Fuzz {
     "q199_stratified_ate",
     // release funnel: per-seed dup/short/contaminated doc mixes hit
     // every stage's cut
-    "q200_release_funnel")
+    "q200_release_funnel",
+    // weighted quantiles: per-seed weight skews hit the exact ceil
+    // thresholds (q201 joins via the lineitem generator's l_quantity)
+    "q201_weighted_quantiles")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
@@ -318,12 +321,20 @@ object Fuzz {
     */
   def genLineitem(spark: SparkSession, seed: Int): DataFrame = {
     val rnd = new Random(seed * 32452843 + 4)
+    // q201 columns: quantities skew heavily (1 or a 10-50 burst) so the
+    // weighted-quantile ceil thresholds land ON cum-weight boundaries;
+    // prices from a small 2-dp domain so value-grain ties are dense
+    val flags = Array("A", "N", "R")
     val rows = (0 until 240).flatMap { ok =>
       (1 to 1 + rnd.nextInt(8)).map(ln =>
-        (ok.toLong, ln, rnd.nextInt(40).toLong))
+        (ok.toLong, ln, rnd.nextInt(40).toLong,
+          if (rnd.nextBoolean()) 1L else 10L + rnd.nextInt(41),
+          (rnd.nextInt(200) + 1) * 25 / 100.0,
+          flags(rnd.nextInt(3))))
     }
     spark.createDataFrame(rows)
-      .toDF("l_orderkey", "l_linenumber", "l_partkey")
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_returnflag")
   }
 
   /** Seeded customer keys for the spatial family (~350 unique keys),

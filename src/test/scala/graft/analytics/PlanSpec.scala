@@ -945,6 +945,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q201: both cumulative windows are bucket-scoped — never a " +
+    "per-group window over the raw value grain") {
+    val df = graft.analytics.WeightedQuantiles
+      .weightedQuantilesQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).length === 2, plan)
+    val winSpecs = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.forall(_.contains("bucket")), winSpecs.mkString("\n"))
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
