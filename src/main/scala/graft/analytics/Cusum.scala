@@ -15,8 +15,10 @@ import graft.Tables
   *
   * Exactness discipline: the CUSUM statistic is kept as the EXACT
   * INTEGER n·S_t = n·cum_t − t_idx·total (clearing the x̄ rational), so
-  * the argmax and its tie-break (largest |n·S|, earliest day) compare
-  * integers — no float dust near the peak. Only the reported
+  * the argmax and its tie-break (largest |n·S|, latest day — the
+  * struct-max convention, mirrored by the oracle's ORDER BY abs_ns
+  * DESC, day DESC) compare integers — no float dust near the peak.
+  * Only the reported
   * before/after means divide.
   *
   * 100 TB shape: ONE corpus scan partial-aggregated to the day grid;

@@ -108,7 +108,12 @@ object HyperBall {
     */
   def neighborhood(edges: DataFrame, hops: Int,
                    exactCheck: Boolean): DataFrame = {
-    val verts = edges.select(col("u").as("v")).distinct()
+    // union BOTH endpoints: on directed input a zero-out-degree vertex
+    // still owns a ball (itself + nothing), and dropping it from the
+    // register table undercounts N(h); on bidirectional input the union
+    // is a no-op (every v appears as a u), so hashes are unchanged
+    val verts = edges.select(col("u").as("v"))
+      .unionByName(edges.select(col("v"))).distinct()
     var regs = vertexRegisters(verts).localCheckpoint()
     var reach = verts.select(col("v").as("a"), col("v").as("b"))
       .localCheckpoint()

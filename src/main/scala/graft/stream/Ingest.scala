@@ -353,7 +353,19 @@ object Ingest {
       empty: => DataFrame,
       epoch: Option[Long])(step: DataFrame => DataFrame): String = {
     val (fs, table) = fsFor(spark, tablePath)
-    val cur = latestVersion(fs, table)
+    // WRITER-side resolution: manifest-absent means FRESH, full stop. The
+    // committedVersions fallback latestVersion uses is for READ paths on
+    // manifest-less legacy tables only — here it would resurrect a torn
+    // first write (crash between v000000's parquet _SUCCESS and the first
+    // manifest PUT) as the base, and with no manifest there is no recorded
+    // epoch for the fence to trip on, so the replayed first batch would be
+    // applied TWICE. Every table this writer ever committed has a
+    // manifest (the manifest PUT is the commit point), so ignoring
+    // _SUCCESS-only debris and overwriting v000000 is always correct.
+    val cur = readManifest(fs, table) match {
+      case None => None
+      case Some(_) => latestVersion(fs, table)
+    }
     for (e <- epoch; prev <- latestEpoch(spark, tablePath); v <- cur)
       if (prev >= e) return versionPath(table, v).toString // fenced replay
     val base = cur match {

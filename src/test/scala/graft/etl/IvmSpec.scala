@@ -148,6 +148,40 @@ class IvmSpec extends SparkSpec {
     assert(Ingest.latestEpoch(spark, dir).contains(1L))
   }
 
+  test("epoch fence fresh-table crash window: a torn first write " +
+    "(_SUCCESS, no manifest) must not become the replay base") {
+    import graft.stream.Ingest
+    val dir = java.nio.file.Files.createTempDirectory("ivm-fresh").toString
+    val d1 = Seq((1L, 1L, 10.0)).toDF("key", "sign", "value")
+    def empty = d1.limit(0).select(col("key"), lit(0L).as("n"),
+      lit(0.0).as("total"))
+    // simulate the crash: batch 0's parquet (incl. _SUCCESS) landed at
+    // v000000, the writer died BEFORE the first manifest PUT
+    Ivm.maintain(empty, d1).write.parquet(s"$dir/v000000")
+    assert(new java.io.File(s"$dir/v000000/_SUCCESS").exists())
+    assert(!new java.io.File(s"$dir/_latest").exists())
+    // the at-least-once replay of epoch 0: with no recorded epoch the
+    // fence can't trip — the writer must treat the table as FRESH and
+    // overwrite the torn v000000, not merge the delta on top of it
+    val p0 = Ingest.advanceSnapshotFenced(spark, dir, epoch = 0L, empty) {
+      base => Ivm.maintain(base, d1)
+    }
+    val st = spark.read.parquet(p0).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"),
+        r.getAs[Double]("total"))).toSet
+    assert(st == Set((1L, 1L, 10.0)),
+      s"torn first write was resurrected as the base (double count): $st")
+    assert(Ingest.latestEpoch(spark, dir).contains(0L))
+    // and the next epoch applies exactly once on top of the repaired base
+    val p1 = Ingest.advanceSnapshotFenced(spark, dir, epoch = 1L, empty) {
+      base => Ivm.maintain(base, Seq((1L, 1L, 5.0)).toDF("key", "sign", "value"))
+    }
+    val st1 = spark.read.parquet(p1).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"),
+        r.getAs[Double]("total"))).toSet
+    assert(st1 == Set((1L, 2L, 15.0)), s"epoch-1 state wrong: $st1")
+  }
+
   test("streaming IVM: JSON delta files drain exactly-once into the " +
     "fenced chain; a second drain picks up only new files") {
     import org.apache.spark.sql.types._
