@@ -55,6 +55,76 @@ object Ivm {
       .filter(col("n") > 0)
   }
 
+  /** MIN/MAX CONTRACT. Extremum views are NOT Z-set-expressible: the
+    * stored min carries no second-smallest, so a delta that retracts the
+    * current minimum cannot be absorbed from (key, n, vmin) state alone —
+    * the classic non-distributive-aggregate gap of IVM [Gupta & Mumick
+    * §4]. [[maintain]] therefore refuses min/max by construction (its
+    * state is (n, total)); [[maintainMin]] is the explicit fallback leg:
+    * inserts and min-preserving deletes merge incrementally, and ONLY the
+    * groups whose delta retracts their stored minimum are rebuilt from
+    * the base facts — a semi-join-pruned, affected-groups-only scan, not
+    * a view rebuild.
+    *
+    * 100 TB shape: the incremental path is delta ⊕ view exactly like
+    * [[maintain]]; the fallback path reads base restricted to the dirty
+    * key set (broadcast/DPP-prunable — dirty keys are a delta-bounded
+    * set, typically a sliver of the view). The worst case (every delta
+    * row deletes a group minimum) degrades to base-scan-per-batch, which
+    * is the honest lower bound for an extremum under retraction; callers
+    * with that delta shape should maintain a per-group ordered buffer
+    * instead (out of scope here — document, don't pretend).
+    *
+    * Consistency discipline mirrors [[maintain]]: a delete below the
+    * stored minimum, or against a group the view doesn't contain, is
+    * corruption — RAISE distributed-side, never fold into the rebuild.
+    *
+    * @param view  maintained state (key, n, vmin)
+    * @param delta signed rows (key, sign, value)
+    * @param base  the POST-delta base facts (key, value) — the snapshot
+    *              the delta has already been applied to, read only for
+    *              groups whose minimum was retracted
+    */
+  def maintainMin(view: DataFrame, delta: DataFrame,
+                  base: DataFrame): DataFrame = {
+    val v = view.select(col("key"), col("n"), col("vmin"))
+    val d = delta
+      .join(v.select(col("key"), col("vmin")), Seq("key"), "left")
+      .withColumn("bad",
+        col("sign") < 0 && (col("vmin").isNull || col("value") < col("vmin")))
+      .groupBy(col("key"))
+      .agg(sum(col("sign")).cast("long").as("dn"),
+        min(when(col("sign") > 0, col("value"))).as("ins_min"),
+        max(col("sign") < 0 && col("value") === col("vmin")).as("dirty"),
+        max(col("bad")).as("bad"))
+      .withColumn("dn",
+        when(col("bad"), raise_error(concat(
+          lit("Ivm.maintainMin: delete below the maintained minimum for "),
+          lit("key "), col("key").cast("string"),
+          lit(" — the view never contained that row"))))
+          .otherwise(col("dn")))
+    val merged = v.join(d, Seq("key"), "full_outer")
+      .select(col("key"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        least(col("vmin"), col("ins_min")).as("inc_min"),
+        coalesce(col("dirty"), lit(false)).as("dirty"))
+      .withColumn("n",
+        when(col("n") < 0, raise_error(concat(
+          lit("Ivm.maintainMin: maintained count went negative for key "),
+          col("key").cast("string"))))
+          .otherwise(col("n")))
+      .filter(col("n") > 0)
+    // the fallback leg: rebuild ONLY the retracted-minimum groups from
+    // the post-delta base (semi-join-pruned; survivors stay incremental)
+    val dirtyKeys = merged.filter(col("dirty")).select(col("key"))
+    val rebuilt = base.join(dirtyKeys, Seq("key"), "left_semi")
+      .groupBy(col("key")).agg(min(col("value")).as("rb_min"))
+    merged.join(rebuilt, Seq("key"), "left")
+      .select(col("key"), col("n"),
+        when(col("dirty"), col("rb_min")).otherwise(col("inc_min"))
+          .as("vmin"))
+  }
+
   /** A continuously-maintained view: the Z-set merge COMPOSED with the
     * versioned-snapshot commit protocol ([[graft.stream.Ingest
     * .advanceSnapshot]]) — each signed delta batch reads the latest

@@ -148,6 +148,63 @@ class IvmSpec extends SparkSpec {
     assert(Ingest.latestEpoch(spark, dir).contains(1L))
   }
 
+  test("maintainMin: inserts and min-preserving deletes stay " +
+    "incremental; a retracted minimum rebuilds from base and converges") {
+    // world: key 1 -> {1.0, 1.0, 5.0}; key 2 -> {3.0, 7.0}
+    val view = Seq((1L, 3L, 1.0), (2L, 2L, 3.0)).toDF("key", "n", "vmin")
+    // insert-only + delete-above-min delta: base values are POISONED
+    // (all -999) to prove the incremental path never consults base
+    val d1 = Seq((1L, 1L, 0.5), (2L, -1L, 7.0), (3L, 1L, 9.0))
+      .toDF("key", "sign", "value")
+    val poisoned = Seq((1L, -999.0), (2L, -999.0), (3L, -999.0))
+      .toDF("key", "value")
+    val s1 = Ivm.maintainMin(view, d1, poisoned).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"),
+        r.getAs[Double]("vmin"))).toSet
+    assert(s1 == Set((1L, 4L, 0.5), (2L, 1L, 3.0), (3L, 1L, 9.0)),
+      s"incremental leg consulted base or mis-merged: $s1")
+    // retract key 1's minimum (0.5): ONLY that group rebuilds from the
+    // post-delta base; key 2 (untouched) must ignore base's poison
+    val world1 = Seq((1L, 1.0), (1L, 1.0), (1L, 5.0), (1L, 0.5),
+      (2L, 3.0), (3L, 9.0))
+    val view1 = Seq((1L, 4L, 0.5), (2L, 1L, 3.0), (3L, 1L, 9.0))
+      .toDF("key", "n", "vmin")
+    val d2 = Seq((1L, -1L, 0.5)).toDF("key", "sign", "value")
+    val base2 = world1.filterNot(_ == (1L, 0.5)).toDF("key", "value")
+      // poison the non-dirty groups to prove rebuild is group-scoped
+      .withColumn("value",
+        when(col("key") =!= 1L, lit(-999.0)).otherwise(col("value")))
+    val s2 = Ivm.maintainMin(view1, d2, base2).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"),
+        r.getAs[Double]("vmin"))).toSet
+    assert(s2 == Set((1L, 3L, 1.0), (2L, 1L, 3.0), (3L, 1L, 9.0)),
+      s"retraction rebuild wrong or over-scoped: $s2")
+    // a group fully deleted is eliminated without any rebuild
+    val d3 = Seq((3L, -1L, 9.0)).toDF("key", "sign", "value")
+    val s3 = Ivm.maintainMin(view1, d3,
+        Seq.empty[(Long, Double)].toDF("key", "value")).collect()
+      .map(r => r.getAs[Long]("key")).toSet
+    assert(s3 == Set(1L, 2L), s"zero-count group survived: $s3")
+  }
+
+  test("maintainMin contract: a delete below the maintained minimum, or " +
+    "against an absent group, raises instead of folding into a rebuild") {
+    val view = Seq((1L, 2L, 3.0)).toDF("key", "n", "vmin")
+    val base = Seq((1L, 3.0)).toDF("key", "value")
+    val below = Seq((1L, -1L, 1.0)).toDF("key", "sign", "value")
+    val eBelow = intercept[Exception] {
+      Ivm.maintainMin(view, below, base).collect()
+    }
+    assert(eBelow.getMessage.contains("below the maintained minimum"),
+      s"wrong error: ${eBelow.getMessage}")
+    val absent = Seq((9L, -1L, 1.0)).toDF("key", "sign", "value")
+    val eAbsent = intercept[Exception] {
+      Ivm.maintainMin(view, absent, base).collect()
+    }
+    assert(eAbsent.getMessage.contains("never contained"),
+      s"wrong error: ${eAbsent.getMessage}")
+  }
+
   test("epoch fence fresh-table crash window: a torn first write " +
     "(_SUCCESS, no manifest) must not become the replay base") {
     import graft.stream.Ingest
