@@ -4862,9 +4862,13 @@ object OracleSql {
 
     // q177: HyperBall replayed — the q69 edge CTEs, the q82 mixer with
     // 6 bucket bits, and each propagation round unrolled as a
-    // register-wise max-merge; the exact column iterates the
-    // reachable-pair set the same 3 rounds. Estimates (not just the
-    // exact twin) must match bit-for-bit.
+    // register-wise max-merge; the exact column iterates reachable
+    // pairs from the 64-smallest-id PROBE set only (the engine's q126
+    // probe discipline — the full pair set is the Θ(|V|²) object the
+    // sketch exists to avoid). Estimates (full-graph AND probe-scoped,
+    // not just the exact twin) must match bit-for-bit; err_pct rides
+    // the VARCHAR→DECIMAL(30,12) round-trip so DuckDB reproduces
+    // Spark's shortest-string round() on the quotient (the q199 class).
     "q177_hll_reach" ->
       s"""WITH cp AS (
         |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
@@ -4919,19 +4923,23 @@ object OracleSql {
         |    sum(1::BIGINT << (26 - reg)) AS s_part
         |  FROM regs GROUP BY 1, 2),
         |balls AS (
-        |  SELECT h,
+        |  SELECT h, v,
         |    CAST(round(CASE WHEN raw <= 160.0 AND used < 64
         |         THEN 64.0 * ln(64.0 / CAST(64 - used AS DOUBLE))
         |         ELSE raw END) AS BIGINT) AS est_ball
         |  FROM (
-        |    SELECT h, used,
+        |    SELECT h, v, used,
         |      ${java.lang.Double.toString(graft.graph.HyperBall.AlphaNum)}
         |        / CAST(s_part + (64 - used) * 67108864 AS DOUBLE) AS raw
         |    FROM sk)),
         |est AS (
         |  SELECT h, CAST(sum(est_ball) AS BIGINT) AS est_reach
         |  FROM balls GROUP BY 1),
-        |p0 AS (SELECT v AS a, v AS b FROM verts),
+        |probes AS (SELECT v FROM verts ORDER BY v LIMIT 64),
+        |pe AS (
+        |  SELECT h, CAST(sum(est_ball) AS BIGINT) AS probe_est
+        |  FROM balls JOIN probes USING (v) GROUP BY 1),
+        |p0 AS (SELECT v AS a, v AS b FROM probes),
         |p1 AS (
         |  SELECT DISTINCT a, b FROM (
         |    SELECT * FROM p0
@@ -4949,14 +4957,15 @@ object OracleSql {
         |    SELECT p.a, bi.v AS b FROM p2 p JOIN bi ON bi.u = p.b)),
         |ex AS (
         |  SELECT CAST(0 AS BIGINT) AS h,
-        |    CAST((SELECT count(*) FROM p0) AS BIGINT) AS exact_reach
+        |    CAST((SELECT count(*) FROM p0) AS BIGINT) AS probe_exact
         |  UNION ALL SELECT 1, (SELECT count(*) FROM p1)
         |  UNION ALL SELECT 2, (SELECT count(*) FROM p2)
         |  UNION ALL SELECT 3, (SELECT count(*) FROM p3))
-        |SELECT est.h, est.est_reach, ex.exact_reach,
-        |  round((est.est_reach - ex.exact_reach) * 100.0
-        |    / ex.exact_reach, 4) AS err_pct
-        |FROM est JOIN ex ON ex.h = est.h
+        |SELECT est.h, est.est_reach, pe.probe_est, ex.probe_exact,
+        |  CAST(round(CAST(CAST((pe.probe_est - ex.probe_exact) * 100.0
+        |      / ex.probe_exact AS VARCHAR) AS DECIMAL(30,12)), 4)
+        |    AS DOUBLE) AS err_pct
+        |FROM est JOIN ex ON ex.h = est.h JOIN pe ON pe.h = est.h
         |ORDER BY est.h""".stripMargin,
 
     // q178: the q57 damped-round helper verbatim over the SQL-rebuilt

@@ -39,11 +39,14 @@ object Harmonic {
     require(hops >= 1, s"harmonic centrality needs hops >= 1, got $hops")
     val verts = edges.select(col("u").as("v")).distinct()
     var regs = HyperBall.vertexRegisters(verts).localCheckpoint()
+    var delta = regs // systolic frontier: hop 0 is all-new
     val perHop = Seq.newBuilder[DataFrame]
     perHop += HyperBall.estimateBalls(regs)
       .select(lit(0).as("h"), col("v"), col("est_ball"))
     for (h <- 1 to hops) {
-      regs = HyperBall.propagate(regs, edges).localCheckpoint()
+      val merged = HyperBall.systolicRound(regs, delta, edges)
+      regs = HyperBall.roundRegs(merged)
+      delta = HyperBall.roundDelta(merged)
       perHop += HyperBall.estimateBalls(regs)
         .select(lit(h).as("h"), col("v"), col("est_ball"))
     }

@@ -80,6 +80,55 @@ object HyperBall {
           .select(col("u").as("v"), col("bucket"), col("reg")))
       .groupBy(col("v"), col("bucket")).agg(max(col("reg")).as("reg"))
 
+  /** One SYSTOLIC HyperBall round [Boldi & Vigna §4.1 — their own key
+    * optimization]: v's sketch absorbs only the register cells that
+    * INCREASED last round (`delta`). Every unchanged neighbor cell was
+    * already absorbed the round it last changed, and max is idempotent,
+    * so the merged registers are BIT-IDENTICAL to the dense
+    * [[propagate]] — while the edges-side join volume shrinks round
+    * over round as balls saturate (the changed-cell frontier dies out
+    * at the component diameter). At 100 TB this is the difference
+    * between every round costing |E|·64 and only round 1 costing it.
+    *
+    * The next frontier costs NO extra pass: the same (v, bucket)
+    * aggregate that merges the max also tracks the old-cell max, so
+    * new regs and new delta are two projections of ONE checkpointed
+    * result — same memory/checkpoint footprint as the dense round.
+    *
+    * Checkpoint discipline: register state is |V|·64 cells — edge-ish
+    * sized at the 100× audit leg — and EVERY hop's registers feed the
+    * final per-hop output (superseded rounds can't be freed the KCore
+    * way), so the round checkpoints DISK_ONLY: the q94 lesson —
+    * deserialized/promoting caches hold the heap hostage exactly when
+    * the register⋈edges exchange needs it; disk-resident rounds stream
+    * back once each at final execution.
+    */
+  def systolicRound(regs: DataFrame, delta: DataFrame,
+                    edges: DataFrame): DataFrame =
+    regs.withColumn("is_old", lit(true))
+      .unionByName(
+        edges.join(delta.withColumnRenamed("v", "nb"),
+            col("v") === col("nb")) // changed cells of the neighbor end
+          .select(col("u").as("v"), col("bucket"), col("reg"))
+          .withColumn("is_old", lit(false)))
+      .groupBy(col("v"), col("bucket"))
+      .agg(max(col("reg")).as("reg"),
+        max(when(col("is_old"), col("reg"))).as("old_reg"))
+      .localCheckpoint(eager = true,
+        storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
+  /** The register projection of a [[systolicRound]] result. */
+  def roundRegs(merged: DataFrame): DataFrame =
+    merged.select(col("v"), col("bucket"), col("reg"))
+
+  /** The changed-cell frontier projection of a [[systolicRound]]
+    * result: cells newly present or strictly above their pre-round
+    * value — the only cells the next round must push along edges.
+    */
+  def roundDelta(merged: DataFrame): DataFrame =
+    merged.where(col("old_reg").isNull || col("reg") > col("old_reg"))
+      .select(col("v"), col("bucket"), col("reg"))
+
   /** Per-vertex ball-size estimates from a (v, bucket, reg) table —
     * the m = 64 estimator (linear counting below 2.5·m, the regime
     * almost every ball in a sparse graph lives in).
@@ -115,11 +164,13 @@ object HyperBall {
     val verts = edges.select(col("u").as("v"))
       .unionByName(edges.select(col("v"))).distinct()
     var regs = vertexRegisters(verts).localCheckpoint()
+    var delta = regs // hop 0: every cell is new
     var reach = verts.select(col("v").as("a"), col("v").as("b"))
       .localCheckpoint()
     val perHop = (0 to hops).map { h =>
       if (h > 0) {
-        regs = propagate(regs, edges).localCheckpoint()
+        val merged = systolicRound(regs, delta, edges)
+        regs = roundRegs(merged); delta = roundDelta(merged)
         if (exactCheck)
           reach = reach.unionByName(
               reach.join(edges, col("b") === col("u"))
@@ -143,11 +194,69 @@ object HyperBall {
     out.orderBy(col("h"))
   }
 
-  /** q177: the neighborhood function of the q69 co-purchase graph to
-    * 3 hops, estimate vs exact per hop.
+  /** Neighborhood function with a PROBE-SET exact twin (the q126
+    * discipline): the full-graph estimate column is unchanged — the
+    * registers are the same bit-identical systolic propagation — but
+    * the exact verification iterates reachable pairs only from the
+    * `nProbes` smallest vertex ids, so its state is Θ(probes·ball)
+    * instead of the Θ(|V|²) full pair set that made the exact twin the
+    * single most expensive gate at bench scale. Output per hop:
+    * (h, est_reach, probe_est, probe_exact, err_pct) where err compares
+    * the probe-scoped estimate against the probe-scoped truth.
     */
-  def hllReachQuery(s: SparkSession, dir: String): DataFrame =
-    reachQuery(s, dir, exactCheck = true)
+  def neighborhoodProbed(edges: DataFrame, hops: Int,
+                         nProbes: Int): DataFrame = {
+    val verts = edges.select(col("u").as("v"))
+      .unionByName(edges.select(col("v"))).distinct()
+    // deterministic probe set: the nProbes smallest vertex ids
+    // (TakeOrderedAndProject over the vertex table — never a full sort)
+    val probes = verts.orderBy(col("v")).limit(nProbes).localCheckpoint()
+    var regs = vertexRegisters(verts).localCheckpoint()
+    var delta = regs // hop 0: every cell is new
+    var reach = probes.select(col("v").as("a"), col("v").as("b"))
+      .localCheckpoint()
+    val perHop = (0 to hops).map { h =>
+      if (h > 0) {
+        val merged = systolicRound(regs, delta, edges)
+        regs = roundRegs(merged); delta = roundDelta(merged)
+        reach = reach.unionByName(
+            reach.join(edges, col("b") === col("u"))
+              .select(col("a"), col("v").as("b")))
+          .distinct().localCheckpoint()
+      }
+      val balls = estimateBalls(regs).localCheckpoint()
+      balls.agg(sum(col("est_ball")).as("est_reach"))
+        .select(lit(h.toLong).as("h"), col("est_reach"))
+        .crossJoin(balls.join(broadcast(probes), Seq("v"))
+          .agg(sum(col("est_ball")).as("probe_est")))
+        .crossJoin(reach.agg(count(lit(1)).as("probe_exact")))
+    }
+    perHop.reduce(_ unionByName _)
+      .select(col("h"), col("est_reach"), col("probe_est"),
+        col("probe_exact"),
+        round((col("probe_est") - col("probe_exact")) * 100.0
+          / col("probe_exact"), 4).as("err_pct"))
+      .orderBy(col("h"))
+  }
+
+  /** Probe count for the q177 gate: enough balls to pin the estimator
+    * on every branch, bounded so the exact column stays O(64·ball).
+    */
+  val Q177Probes: Int = 64
+
+  /** q177: the neighborhood function of the q69 co-purchase graph to
+    * 3 hops — full-graph estimates per hop, verified exactly on a
+    * 64-vertex probe set (the full Θ(|V|²) exact twin lives in
+    * [[neighborhood]] for spec-scale graphs; here it would dominate
+    * every bench run forever — the q126 probe discipline instead).
+    */
+  def hllReachQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Triangles.coPurchaseEdges(s, dir, maxDf = 18)
+    val bi = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    neighborhoodProbed(bi, hops = 3, nProbes = Q177Probes)
+  }
 
   /** q183: the sketch-only twin — the plan a 100 TB run uses (the
     * exact pair set is Θ(|V|²); registers are |V|·64 cells). Same
