@@ -6217,8 +6217,81 @@ object OracleSql {
         |    AS p3_4_cents,
         |  min(CASE WHEN cumw >= (9 * w_total + 9) // 10 THEN v END)
         |    AS p9_10_cents
-        |FROM r GROUP BY g, w_total ORDER BY g""".stripMargin
+        |FROM r GROUP BY g, w_total ORDER BY g""".stripMargin,
+
+    // q202: the aHash near-dup pairs replayed from the deterministic
+    // pixel matrix — the q82 mixer per (seed, pixel), block sums, the
+    // integer mean test bs*64 > total, 32+32-bit packing, then a
+    // BRUTE-FORCE pair scan (the oracle's privilege; the engine bands).
+    // The engine's byte-level payload encode/parse is verified by this
+    // replay: any offset slip changes hashes and fails the hash gate.
+    "q202_image_near_dup" ->
+      s"""WITH $ImageHashCte
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi))
+        |    + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+        |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi))
+        |  + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q203: the dHash (gradient) twin — bit (y,x) set when block
+    // (y,x+1) outweighs block (y,x); 56 bits, brute-force pair scan.
+    "q203_image_dhash_pairs" ->
+      s"""WITH $ImageHashCte,
+        |dh AS (
+        |  SELECT l.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN r.bs > l.bs
+        |      THEN 1::BIGINT << ((l.b // 8) * 7 + (l.b % 8)) END), 0)
+        |      AS BIGINT) AS dhash
+        |  FROM blocks l JOIN blocks r
+        |    ON r.doc_id = l.doc_id AND r.b = l.b + 1
+        |  WHERE l.b % 8 < 7
+        |  GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY 1, 2""".stripMargin
   )
+
+  /** The q202/q203 image-hash CTE chain: mirrors
+    * [[graft.multimodal.PerceptualHash]] — the deterministic 32×32
+    * pixel matrix (q82 mixer), 8×8 block sums, and the aHash packed
+    * into two non-negative 32-bit halves. Integer end to end.
+    */
+  private def ImageHashCte: String =
+    """seeds AS (
+      |  SELECT d.doc_id, g.i,
+      |    ((g.i // 32) // 4) * 8 + ((g.i % 32) // 4) AS b,
+      |    (CASE WHEN d.doc_id % 4 = 1 AND g.i % 101 = 0 THEN d.doc_id
+      |          WHEN d.doc_id % 4 <= 1 THEN d.doc_id - d.doc_id % 4
+      |          ELSE d.doc_id END) * 131071 + g.i AS x
+      |  FROM documents d CROSS JOIN generate_series(0, 1023) g(i)),
+      |mx AS (
+      |  SELECT doc_id, b,
+      |    (506952114 * ((x % 2147483647 + 2147483647) % 2147483647)
+      |      + 1013904223) % 2147483647 AS m1
+      |  FROM seeds),
+      |px AS (
+      |  SELECT doc_id, b,
+      |    ((1566083941 * ((m1 * m1) % 2147483647) + m1)
+      |      % 2147483647) & 255 AS p
+      |  FROM mx),
+      |blocks AS (
+      |  SELECT doc_id, b, CAST(sum(p) AS BIGINT) AS bs
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, CAST(sum(bs) AS BIGINT) AS ts
+      |  FROM blocks GROUP BY 1),
+      |hashes AS (
+      |  SELECT blocks.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN b >= 32 AND bs * 64 > ts
+      |      THEN 1::BIGINT << (b - 32) END), 0) AS BIGINT) AS hi,
+      |    CAST(coalesce(sum(CASE WHEN b < 32 AND bs * 64 > ts
+      |      THEN 1::BIGINT << b END), 0) AS BIGINT) AS lo
+      |  FROM blocks JOIN tot ON tot.doc_id = blocks.doc_id
+      |  GROUP BY 1)""".stripMargin
 
   /** The spatial fixture CTE (q158-q160): mirrors
     * [[graft.operators.Spatial.spatialPoints]] — integer arithmetic

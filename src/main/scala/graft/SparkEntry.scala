@@ -470,7 +470,13 @@ object SparkEntry {
     "q200_release_funnel"   -> (graft.pipeline.ReleaseFunnel.funnelQuery _),
     // grouped weighted nearest-rank quantiles (all-integer outputs)
     "q201_weighted_quantiles" ->
-      (graft.analytics.WeightedQuantiles.weightedQuantilesQuery _)
+      (graft.analytics.WeightedQuantiles.weightedQuantilesQuery _),
+    // perceptual image near-dup: aHash over real binary payloads,
+    // 4x16-bit LSH bands, exact Hamming recheck (content-level
+    // multimodal — q36's metadata walk never looks at pixels)
+    "q202_image_near_dup"   -> (graft.multimodal.PerceptualHash.imageNearDupQuery _),
+    // the gradient (dHash) twin: mean-insensitive fingerprint
+    "q203_image_dhash_pairs" -> (graft.multimodal.PerceptualHash.imageDhashQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

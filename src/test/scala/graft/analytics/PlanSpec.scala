@@ -956,6 +956,19 @@ class PlanSpec extends SparkSpec {
     assert(winSpecs.forall(_.contains("bucket")), winSpecs.mkString("\n"))
   }
 
+  test("q202: the image corpus scan prunes to doc_id only (pixels are " +
+    "generated, never read from the documents payload)") {
+    val df = graft.multimodal.PerceptualHash.imageNearDupQuery(spark, dir)
+    scans(df).foreach { scan =>
+      assert(scan.schema.fieldNames.toSeq == Seq("doc_id"),
+        scan.schema.fieldNames.mkString(","))
+    }
+    // band join must be keyed — never an all-pairs nested loop over
+    // the image table (the brute-force pair scan is oracle-only)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
