@@ -1010,15 +1010,22 @@ object OracleSql {
 
     // Group stats rounded to 6 dp on BOTH sides before the per-row z —
     // fp accumulation order differs between engines; rounding the tiny
-    // stats table pins the division inputs exactly.
+    // stats table pins the division inputs exactly. Every round() rides
+    // the VARCHAR→DECIMAL(30,12) round-trip (the q199 class: Spark
+    // rounds the double's shortest decimal string, DuckDB the
+    // approximate exact value — quotients like mu, sigma and z are
+    // exactly where the two conventions part).
     "q49_zscores" ->
       """WITH st AS (
         |  SELECT event_type,
-        |    round(avg(value), 6) AS mu,
-        |    round(stddev_samp(value), 6) AS sigma
+        |    CAST(round(CAST(CAST(avg(value) AS VARCHAR)
+        |      AS DECIMAL(30,12)), 6) AS DOUBLE) AS mu,
+        |    CAST(round(CAST(CAST(stddev_samp(value) AS VARCHAR)
+        |      AS DECIMAL(30,12)), 6) AS DOUBLE) AS sigma
         |  FROM events GROUP BY 1)
         |SELECT event_id, e.event_type,
-        |  round((value - mu) / nullif(sigma, 0), 4) AS z
+        |  CAST(round(CAST(CAST((value - mu) / nullif(sigma, 0) AS VARCHAR)
+        |    AS DECIMAL(30,12)), 4) AS DOUBLE) AS z
         |FROM events e JOIN st USING (event_type)
         |ORDER BY event_id""".stripMargin,
 
@@ -1469,8 +1476,10 @@ object OracleSql {
         |  FROM events e JOIN med m USING (event_type)
         |  GROUP BY e.event_type)
         |SELECT e.event_type,
-        |  round(any_value(s.med), 4) AS median,
-        |  round(any_value(s.mad), 4) AS mad,
+        |  CAST(round(CAST(CAST(any_value(s.med) AS VARCHAR)
+        |    AS DECIMAL(30,12)), 4) AS DOUBLE) AS median,
+        |  CAST(round(CAST(CAST(any_value(s.mad) AS VARCHAR)
+        |    AS DECIMAL(30,12)), 4) AS DOUBLE) AS mad,
         |  CAST(sum(CASE WHEN abs(e.value - s.med)
         |      > CAST(4.4478 AS DOUBLE) * s.mad THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers,
@@ -2038,11 +2047,17 @@ object OracleSql {
         |  FROM t),
         |r AS (
         |  SELECT day, n, trend, seasonal,
-        |    round(n - trend - seasonal, 4) AS resid
+        |    CAST(round(CAST(CAST(n - trend - seasonal AS VARCHAR)
+        |      AS DECIMAL(30,12)), 4) AS DOUBLE) AS resid
         |  FROM s),
-        |f AS (SELECT *, round(stddev_samp(resid) OVER (), 4) AS sd FROM r)
-        |SELECT day, n, round(trend, 4) AS trend,
-        |  round(seasonal, 4) AS seasonal, resid,
+        |f AS (SELECT *,
+        |  CAST(round(CAST(CAST(stddev_samp(resid) OVER () AS VARCHAR)
+        |    AS DECIMAL(30,12)), 4) AS DOUBLE) AS sd FROM r)
+        |SELECT day, n,
+        |  CAST(round(CAST(CAST(trend AS VARCHAR)
+        |    AS DECIMAL(30,12)), 4) AS DOUBLE) AS trend,
+        |  CAST(round(CAST(CAST(seasonal AS VARCHAR)
+        |    AS DECIMAL(30,12)), 4) AS DOUBLE) AS seasonal, resid,
         |  abs(resid) > CAST(2 AS DOUBLE) * sd AS is_anomaly
         |FROM f ORDER BY day""".stripMargin,
 
@@ -2796,8 +2811,10 @@ object OracleSql {
         |  LEFT JOIN ps ON ps.source = st.source AND ps.token = vocab.token
         |  JOIN cg ON cg.token = vocab.token, ng, v)
         |SELECT source, any_value(n_tokens) AS n_tokens,
-        |  round(sum(p * ln(p / q)), 6) AS kl,
-        |  round(sum(abs(p - q)) * 0.5, 6) AS tvd
+        |  CAST(round(CAST(CAST(sum(p * ln(p / q)) AS VARCHAR)
+        |    AS DECIMAL(30,12)), 6) AS DOUBLE) AS kl,
+        |  CAST(round(CAST(CAST(sum(abs(p - q)) * 0.5 AS VARCHAR)
+        |    AS DECIMAL(30,12)), 6) AS DOUBLE) AS tvd
         |FROM dense
         |GROUP BY source
         |ORDER BY source""".stripMargin,
@@ -3149,11 +3166,15 @@ object OracleSql {
         |n AS (
         |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
         |so AS (SELECT CAST(count(o_totalprice) AS DOUBLE) AS c,
-        |         round(avg(o_totalprice), 6) AS m,
-        |         round(stddev_pop(o_totalprice), 6) AS s FROM o),
+        |         CAST(round(CAST(CAST(avg(o_totalprice) AS VARCHAR)
+        |           AS DECIMAL(30,12)), 6) AS DOUBLE) AS m,
+        |         CAST(round(CAST(CAST(stddev_pop(o_totalprice) AS VARCHAR)
+        |           AS DECIMAL(30,12)), 6) AS DOUBLE) AS s FROM o),
         |sn AS (SELECT CAST(count(o_totalprice) AS DOUBLE) AS c,
-        |         round(avg(o_totalprice), 6) AS m,
-        |         round(stddev_pop(o_totalprice), 6) AS s FROM n),
+        |         CAST(round(CAST(CAST(avg(o_totalprice) AS VARCHAR)
+        |           AS DECIMAL(30,12)), 6) AS DOUBLE) AS m,
+        |         CAST(round(CAST(CAST(stddev_pop(o_totalprice) AS VARCHAR)
+        |           AS DECIMAL(30,12)), 6) AS DOUBLE) AS s FROM n),
         |num AS (
         |  SELECT 'count(o_totalprice)' AS metric, so.c AS old_value,
         |    sn.c AS new_value FROM so, sn
@@ -3170,8 +3191,9 @@ object OracleSql {
         |tvd1 AS (
         |  SELECT 'tvd(o_orderstatus)' AS metric,
         |    CAST(NULL AS DOUBLE) AS old_value, CAST(NULL AS DOUBLE) AS new_value,
-        |    round(sum(abs(coalesce(pos1.p, 0) - coalesce(pns1.p, 0))) / 2, 6)
-        |      AS abs_delta
+        |    CAST(round(CAST(CAST(
+        |        sum(abs(coalesce(pos1.p, 0) - coalesce(pns1.p, 0))) / 2
+        |      AS VARCHAR) AS DECIMAL(30,12)), 6) AS DOUBLE) AS abs_delta
         |  FROM pos1 FULL OUTER JOIN pns1 USING (v)),
         |pos2 AS (SELECT o_orderpriority AS v,
         |    CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM o) AS p
@@ -3182,10 +3204,13 @@ object OracleSql {
         |tvd2 AS (
         |  SELECT 'tvd(o_orderpriority)' AS metric,
         |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-        |    round(sum(abs(coalesce(pos2.p, 0) - coalesce(pns2.p, 0))) / 2, 6)
+        |    CAST(round(CAST(CAST(
+        |        sum(abs(coalesce(pos2.p, 0) - coalesce(pns2.p, 0))) / 2
+        |      AS VARCHAR) AS DECIMAL(30,12)), 6) AS DOUBLE)
         |  FROM pos2 FULL OUTER JOIN pns2 USING (v))
         |SELECT metric, old_value, new_value,
-        |  round(abs(new_value - old_value), 6) AS abs_delta FROM num
+        |  CAST(round(CAST(CAST(abs(new_value - old_value) AS VARCHAR)
+        |    AS DECIMAL(30,12)), 6) AS DOUBLE) AS abs_delta FROM num
         |UNION ALL SELECT * FROM tvd1
         |UNION ALL SELECT * FROM tvd2
         |ORDER BY metric""".stripMargin,

@@ -174,7 +174,38 @@ object Fuzz {
     "q200_release_funnel",
     // weighted quantiles: per-seed weight skews hit the exact ceil
     // thresholds (q201 joins via the lineitem generator's l_quantity)
-    "q201_weighted_quantiles")
+    "q201_weighted_quantiles",
+    // ---- round-12 wave: the rounding-boundary class the q199 find
+    // proved (Spark rounds the double's shortest decimal string,
+    // DuckDB the approximate exact value — they part when a
+    // data-dependent quotient's shortest string lands exactly on the
+    // half grid). Every family below emits rounded quotients of
+    // seed-dependent aggregates, so each 20-seed sweep samples the
+    // boundary ~running the gate 20 more times; plus the q202/q203
+    // image corpus (doc_id-derived, dense groups of 4 per seed).
+    "q35_value_percentiles",   // interpolated percentile arithmetic
+    "q37_ivf_ann_topk",        // centroid means + cosine ratios
+    "q47_winsorized_stats",    // clamped means at per-seed cut ranks
+    "q48_curation",            // quality-score quotients
+    "q49_zscores",             // (x−μ)/σ — the archetype quotient
+    "q61_repetition_stats",    // per-doc repetition ratios
+    "q72_corr_matrix",         // six rounded correlation quotients
+    "q77_mad_outliers",        // median/MAD scaled deviations
+    "q95_association_rules",   // support/confidence/lift quotients
+    "q98_gini_spend",          // Lorenz-fold Gini ratio
+    "q102_hybrid_rrf",         // reciprocal-rank fusion sums
+    "q103_seasonal_anomalies", // seasonal-baseline residual ratios
+    "q113_mixture_plan",       // mixture-weight renormalizations
+    "q118_scalar_quantization",// min-max scale quotients + recon error
+    "q125_drift_report",       // PSI/JS drift deltas
+    "q126_jl_projection",      // distance-ratio band census
+    "q129_corpus_card",        // corpus-level ratio panel
+    "q132_source_divergence",  // KL/JS divergence quotients
+    "q134_semdedup_trained",   // trained-centroid cosine thresholds
+    "q143_cm_quantiles",       // sketch-rank vs exact-rank ratios
+    "q181_conformal",          // split-conformal quantile arithmetic
+    "q202_image_near_dup",     // perceptual aHash banding per seed
+    "q203_image_dhash_pairs")  // gradient dHash banding per seed
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
@@ -325,16 +356,21 @@ object Fuzz {
     // weighted-quantile ceil thresholds land ON cum-weight boundaries;
     // prices from a small 2-dp domain so value-grain ties are dense
     val flags = Array("A", "N", "R")
+    // q72 correlation columns: 2-dp discount/tax from SMALL domains so
+    // the correlation quotients hit dense value ties and the rounded
+    // outputs sample the q199 shortest-string boundary per seed
     val rows = (0 until 240).flatMap { ok =>
       (1 to 1 + rnd.nextInt(8)).map(ln =>
         (ok.toLong, ln, rnd.nextInt(40).toLong,
           if (rnd.nextBoolean()) 1L else 10L + rnd.nextInt(41),
           (rnd.nextInt(200) + 1) * 25 / 100.0,
-          flags(rnd.nextInt(3))))
+          flags(rnd.nextInt(3)),
+          rnd.nextInt(11) / 100.0,
+          rnd.nextInt(9) / 100.0))
     }
     spark.createDataFrame(rows)
       .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
-        "l_extendedprice", "l_returnflag")
+        "l_extendedprice", "l_returnflag", "l_discount", "l_tax")
   }
 
   /** Seeded customer keys for the spatial family (~350 unique keys),

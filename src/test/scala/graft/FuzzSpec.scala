@@ -1,10 +1,11 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Engine-side half of the differential fuzz harness
   * ([[graft.tools.Fuzz]]): the DuckDB replay (`tools/fuzz_diff.py`, 20
-  * seeds × 11 families, archived in FUZZ_r11.json) is the cross-engine
+  * seeds × 88 families, archived in FUZZ_r{N}.json) is the cross-engine
   * leg; this spec holds the legs that don't need a second engine —
   *
   *   - generator determinism (a fuzz harness whose corpora aren't
@@ -16,7 +17,13 @@ import org.apache.spark.sql.functions._
   *     lag/running-sum), q122 (typed flatMapGroups state machine) and
   *     q149 (Spark's native session_window) are three independent
   *     implementations of the same `diff > gap` cut rule, and on every
-  *     generated corpus all three must agree on the session set.
+  *     generated corpus all three must agree on the session set;
+  *   - the STREAMING-PARITY block (round 12): the MemoryStream twins of
+  *     q59/q147 (stream-stream inner/outer attribution incl. the
+  *     expiry-emitted null rows), q136 (watermark dedup — conditional
+  *     agreement plus the one-sided first-divergence law) and the
+  *     fenced streaming IVM chain, each driven by all 20 seeded
+  *     corpora and compared against its batch twin.
   */
 class FuzzSpec extends SparkSpec {
 
@@ -128,6 +135,167 @@ class FuzzSpec extends SparkSpec {
     // ...while the exact binary value sits BELOW it
     assert(new java.math.BigDecimal(unrounded)
       .compareTo(new java.math.BigDecimal("155.73375")) < 0)
+  }
+
+  // ==== streaming-parity block (round 12): the MemoryStream twins
+  // driven by the SAME 20 seeded corpora as the cross-engine sweep.
+  // The batch legs of these families are DuckDB-verified per seed; the
+  // tests below close the remaining gap — that the STREAMING paths
+  // (stream-stream outer join expiry emission, watermark dedup state,
+  // the fenced IVM chain) compute the same answer from the same data.
+
+  private val allSeeds = 0 until 20
+
+  test("q59/q147 streaming parity on every fuzz corpus: the outer " +
+    "attribution stream (expiry-emitted nulls included) equals the " +
+    "batch twin once sentinels close every horizon") {
+    import spark.implicits._
+    import graft.stream.StreamJoins
+    import graft.stream.StreamJoins.{Click, Impression}
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- allSeeds) {
+      val ev = Fuzz.genEvents(spark, seed)
+        .select("event_id", "ts", "user_id", "event_type").collect()
+      val imps = ev.filter(_.getString(3) == "view")
+        .map(r => Impression(r.getLong(0), r.getLong(2), r.getTimestamp(1)))
+      val clicks = ev.filter(_.getString(3) == "click")
+        .map(r => Click(r.getLong(0), r.getLong(2), r.getTimestamp(1)))
+      val maxTs = ev.map(_.getTimestamp(1).getTime).max
+      def sentinel(id: Long, plusH: Int) = // user -1 never joins corpus rows
+        new java.sql.Timestamp(maxTs + plusH * 3600L * 1000L)
+      val impStream = MemoryStream[Impression]
+      val clickStream = MemoryStream[Click]
+      val joined = StreamJoins.attributionOuter(
+        impStream.toDF(), clickStream.toDF(), "1 hour")
+      val q = joined.writeStream.format("memory")
+        .queryName(s"sfz_attr_$seed").outputMode("append").start()
+      try {
+        impStream.addData(imps.toSeq)
+        clickStream.addData(clicks.toSeq)
+        q.processAllAvailable()
+        // sentinel pushes the watermark past every corpus horizon;
+        // outer-state eviction runs a batch behind -> nudge again
+        for (h <- Seq(3, 4)) {
+          impStream.addData(Impression(-h.toLong, -1L, sentinel(-h, h)))
+          clickStream.addData(Click(-h.toLong, -1L, sentinel(-h, h)))
+          q.processAllAvailable()
+        }
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getAs[Long]("imp_id"),
+            Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong),
+            r.getAs[java.sql.Timestamp]("imp_ts").getTime)
+        val streamed = spark.table(s"sfz_attr_$seed").collect()
+          .map(key).filter(_._1 >= 0L).toSet
+        val batch = StreamJoins.attributionOuter(
+            imps.toSeq.toDF(), clicks.toSeq.toDF(), "1 hour")
+          .collect().map(key).toSet
+        assert(batch.nonEmpty, s"seed $seed produced no impressions")
+        assert(streamed == batch, s"seed $seed: stream-only " +
+          s"${streamed.diff(batch).take(3)}; batch-only ${batch.diff(streamed).take(3)}")
+        // q59 inner parity rides along: matched rows are the inner join
+        assert(streamed.count(_._2.isDefined) == batch.count(_._2.isDefined))
+      } finally q.stop()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q136 streaming contract on every fuzz corpus: groups the " +
+    "watermark provably clears agree exactly; every disagreeing " +
+    "group's FIRST divergence is a streaming drop of a batch-kept row") {
+    import spark.implicits._
+    import graft.stream.DedupWithin
+    import graft.stream.DedupWithin.KEv
+    implicit val sqlCtx = spark.sqlContext
+    val delayUs = 6L * 3600L * 1000000L // 6-hour horizon for the fuzz walks
+    var agreeTotal = 0; var groupTotal = 0
+    for (seed <- allSeeds) {
+      val evs = Fuzz.genEvents(spark, seed)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("t")).as[KEv].collect()
+        .sortBy(e => (e.t, e.event_id))
+      val batch = DedupWithin.dedupWithin(evs.toSeq.toDS(), delayUs)
+        .collect().map(_.event_id).toSet
+      val input = MemoryStream[(Long, String, Long, java.sql.Timestamp)](spark)
+      val q = DedupWithin.streamingDedup(
+          input.toDF().toDF("user_id", "event_type", "event_id", "ts"),
+          "6 hours")
+        .writeStream.format("memory").queryName(s"sfz_ddw_$seed")
+        .outputMode("append").start()
+      try {
+        // feed in 8 global-time-ordered chunks so the watermark advances
+        evs.grouped(math.max(1, evs.length / 8 + 1)).foreach { chunk =>
+          input.addData(chunk.toSeq.map(e => (e.user_id, e.event_type,
+            e.event_id, new java.sql.Timestamp(e.t / 1000L))))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.table(s"sfz_ddw_$seed")
+        .select("event_id").as[Long].collect().toSet
+      evs.groupBy(e => (e.user_id, e.event_type)).foreach { case (k, g) =>
+        val ordered = g.sortBy(e => (e.t, e.event_id))
+        groupTotal += 1
+        if (ordered.forall(e => batch(e.event_id) == streamed(e.event_id)))
+          agreeTotal += 1
+        else {
+          val first = ordered.find(e => batch(e.event_id) != streamed(e.event_id)).get
+          assert(batch(first.event_id) && !streamed(first.event_id),
+            s"seed $seed group $k: first divergence event ${first.event_id} " +
+              "is streaming-kept but batch-dropped — the one-sided law broke")
+        }
+      }
+      spark.catalog.clearCache()
+    }
+    // the contract must be exercised from BOTH sides: a healthy share of
+    // groups agrees outright (measured 1110/3168 = 0.35 across the 20
+    // seeds — the boundary generator deliberately parks most gaps inside
+    // the late-eviction window), and the disagreeing tail must exist or
+    // the one-sided law above was never tested
+    assert(agreeTotal.toDouble / groupTotal >= 0.25,
+      s"agreement collapsed: $agreeTotal/$groupTotal")
+    assert(agreeTotal < groupTotal,
+      "no group ever diverged — the boundary generator lost its teeth")
+  }
+
+  test("fenced streaming IVM on every fuzz corpus: two JSON delta " +
+    "drains through the epoch-fenced chain equal a from-scratch batch " +
+    "rebuild (integer-valued totals, so float order cannot mask a miss)") {
+    import graft.etl.Ivm
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("key", LongType),
+      StructField("sign", LongType), StructField("value", DoubleType)))
+    for (seed <- allSeeds) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"ivm-fuzz-$seed").toString
+      val in = s"$root/in"; val table = s"$root/view"; val ckpt = s"$root/ckpt"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val orders = Fuzz.genOrders(spark, seed)
+        .select(col("o_orderkey").as("okey"), col("o_custkey").as("key"),
+          round(col("o_totalprice")).as("value")) // whole doubles: exact sums
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      def drop(name: String, rows: Seq[(Long, Long, Double)], sign: Long): Unit =
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+          rows.map { case (_, k, v) =>
+            s"""{"key":$k,"sign":$sign,"value":$v}"""
+          }.mkString("\n"))
+      def drain(): String =
+        Ivm.maintainStream(
+          spark.readStream.schema(schema).json(in), table, ckpt)
+          .getOrElse(sys.error(s"seed $seed: no committed snapshot"))
+      drop("b1.json", orders.toSeq, sign = 1L)
+      drain()
+      val dels = orders.filter(_._1 % 7L == 0L)
+      drop("b2.json", dels.toSeq, sign = -1L)
+      val finalPath = drain()
+      val got = spark.read.parquet(finalPath).collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"),
+          r.getAs[Double]("total"))).toSet
+      val want = orders.filter(_._1 % 7L != 0L)
+        .groupBy(_._2).map { case (k, rows) =>
+          (k, rows.length.toLong, rows.map(_._3).sum)
+        }.toSet
+      assert(got == want, s"seed $seed: maintained view != batch rebuild; " +
+        s"stream-only ${got.diff(want).take(3)}, batch-only ${want.diff(got).take(3)}")
+    }
   }
 
   test("spatial corpus stays boundary-concentrated: offsets straddle the " +
