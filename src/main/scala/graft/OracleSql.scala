@@ -6277,6 +6277,43 @@ object OracleSql {
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
         |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q204: the audio energy-delta fingerprint replayed from the
+    // deterministic PCM stream — the q82 mixer per (seed, sample),
+    // signed-16 reconstruction, per-frame Σ|s|, bit t = e(t+1) > e(t)
+    // packed into 32+32-bit halves, then a brute-force pair scan (the
+    // oracle's privilege; the engine bands). The engine's big-endian
+    // s16 payload decode is verified end-to-end by this replay.
+    "q204_audio_near_dup" ->
+      s"""WITH $AudioFpCte
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi))
+        |    + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+        |FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi))
+        |  + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q205: keyframe (scene-cut) selection replayed from the
+    // deterministic 16-frame pixel streams — per-frame 4×4 block sums,
+    // the 16-bit integer mean test bs*16 > total, the lag Hamming and
+    // the > 4 cut threshold. Frame 0 is always emitted (ham_prev
+    // NULL). The engine computes this shuffle-free inside one flatMap;
+    // the oracle uses the window lag — two mechanisms, one answer.
+    "q205_video_keyframes" ->
+      s"""WITH $VideoHashCte,
+        |lagged AS (
+        |  SELECT doc_id, f, h,
+        |    CAST(bit_count(xor(h,
+        |      lag(h) OVER (PARTITION BY doc_id ORDER BY f))) AS INTEGER)
+        |      AS ham
+        |  FROM fhash)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(h AS INTEGER) AS frame_hash,
+        |  CASE WHEN f = 0 THEN NULL ELSE ham END AS ham_prev
+        |FROM lagged
+        |WHERE f = 0 OR ham > 4
         |ORDER BY 1, 2""".stripMargin
   )
 
@@ -6317,6 +6354,88 @@ object OracleSql {
       |      THEN 1::BIGINT << b END), 0) AS BIGINT) AS lo
       |  FROM blocks JOIN tot ON tot.doc_id = blocks.doc_id
       |  GROUP BY 1)""".stripMargin
+
+  /** The q204 audio-fingerprint CTE chain: mirrors
+    * [[graft.multimodal.AudioFingerprint]] — the deterministic
+    * 1040-sample signed-16 PCM stream (q82 mixer, 524287 seed
+    * multiplier), 65 frame energies Σ|s|, and the 64 energy-delta bits
+    * packed into two non-negative 32-bit halves. Integer end to end.
+    * The LEFT JOIN keeps zero-bit clips (a monotonically falling
+    * energy track packs to (0, 0)).
+    */
+  private def AudioFpCte: String =
+    """aseeds AS (
+      |  SELECT d.doc_id, g.t // 16 AS f,
+      |    (CASE WHEN d.doc_id % 4 = 1 AND g.t % 211 = 0 THEN d.doc_id
+      |          WHEN d.doc_id % 4 <= 1 THEN d.doc_id - d.doc_id % 4
+      |          ELSE d.doc_id END) * 524287 + g.t AS x
+      |  FROM documents d CROSS JOIN generate_series(0, 1039) g(t)),
+      |amx AS (
+      |  SELECT doc_id, f,
+      |    (506952114 * ((x % 2147483647 + 2147483647) % 2147483647)
+      |      + 1013904223) % 2147483647 AS m1
+      |  FROM aseeds),
+      |asmp AS (
+      |  SELECT doc_id, f,
+      |    (((1566083941 * ((m1 * m1) % 2147483647) + m1)
+      |      % 2147483647) & 65535) - 32768 AS s
+      |  FROM amx),
+      |aen AS (
+      |  SELECT doc_id, f, CAST(sum(abs(s)) AS BIGINT) AS e
+      |  FROM asmp GROUP BY 1, 2),
+      |abits AS (
+      |  SELECT e1.doc_id, e1.f AS b
+      |  FROM aen e1 JOIN aen e2
+      |    ON e2.doc_id = e1.doc_id AND e2.f = e1.f + 1
+      |  WHERE e2.e > e1.e),
+      |afp AS (
+      |  SELECT d.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN b >= 32
+      |      THEN 1::BIGINT << (b - 32) END), 0) AS BIGINT) AS hi,
+      |    CAST(coalesce(sum(CASE WHEN b < 32
+      |      THEN 1::BIGINT << b END), 0) AS BIGINT) AS lo
+      |  FROM documents d LEFT JOIN abits ON abits.doc_id = d.doc_id
+      |  GROUP BY 1)""".stripMargin
+
+  /** The q205 video frame-hash CTE chain: mirrors
+    * [[graft.multimodal.VideoKeyframes]] — 16 frames of deterministic
+    * 16×16 pixels (scene base stream + per-frame jitter on every 53rd
+    * pixel), 4×4 block sums, and the 16-bit integer mean test
+    * bs·16 > total per frame. Ends with `fhash(doc_id, f, h)`.
+    */
+  private def VideoHashCte: String =
+    """vseeds AS (
+      |  SELECT d.doc_id, g.f, p.i,
+      |    ((p.i // 16) // 4) * 4 + ((p.i % 16) // 4) AS b,
+      |    (d.doc_id * 1000003 + (g.f // (2 + d.doc_id % 3)) * 8191
+      |      + CASE WHEN p.i % 53 = 0 THEN (g.f + 1) * 127 ELSE 0 END)
+      |      * 131071 + p.i AS x
+      |  FROM documents d
+      |  CROSS JOIN generate_series(0, 15) g(f)
+      |  CROSS JOIN generate_series(0, 255) p(i)),
+      |vmx AS (
+      |  SELECT doc_id, f, b,
+      |    (506952114 * ((x % 2147483647 + 2147483647) % 2147483647)
+      |      + 1013904223) % 2147483647 AS m1
+      |  FROM vseeds),
+      |vpx AS (
+      |  SELECT doc_id, f, b,
+      |    ((1566083941 * ((m1 * m1) % 2147483647) + m1)
+      |      % 2147483647) & 255 AS p
+      |  FROM vmx),
+      |vblocks AS (
+      |  SELECT doc_id, f, b, CAST(sum(p) AS BIGINT) AS bs
+      |  FROM vpx GROUP BY 1, 2, 3),
+      |vtot AS (
+      |  SELECT doc_id, f, CAST(sum(bs) AS BIGINT) AS ts
+      |  FROM vblocks GROUP BY 1, 2),
+      |fhash AS (
+      |  SELECT vblocks.doc_id, vblocks.f,
+      |    CAST(coalesce(sum(CASE WHEN bs * 16 > ts
+      |      THEN 1::BIGINT << b END), 0) AS BIGINT) AS h
+      |  FROM vblocks JOIN vtot
+      |    ON vtot.doc_id = vblocks.doc_id AND vtot.f = vblocks.f
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** The spatial fixture CTE (q158-q160): mirrors
     * [[graft.operators.Spatial.spatialPoints]] — integer arithmetic

@@ -476,7 +476,14 @@ object SparkEntry {
     // multimodal — q36's metadata walk never looks at pixels)
     "q202_image_near_dup"   -> (graft.multimodal.PerceptualHash.imageNearDupQuery _),
     // the gradient (dHash) twin: mean-insensitive fingerprint
-    "q203_image_dhash_pairs" -> (graft.multimodal.PerceptualHash.imageDhashQuery _)
+    "q203_image_dhash_pairs" -> (graft.multimodal.PerceptualHash.imageDhashQuery _),
+    // audio near-dup: energy-delta fingerprint (Haitsma-Kalker shape)
+    // over real s16-BE PCM payloads, reusing the image leg's 4x16-bit
+    // band join — the audio leg of the content-level multimodal suite
+    "q204_audio_near_dup"   -> (graft.multimodal.AudioFingerprint.audioNearDupQuery _),
+    // video keyframe sampling: per-frame 16-bit aHash + scene-cut
+    // thresholding, shuffle-free (all frames live in one payload row)
+    "q205_video_keyframes"  -> (graft.multimodal.VideoKeyframes.keyframesQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

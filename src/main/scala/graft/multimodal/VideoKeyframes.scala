@@ -1,0 +1,185 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Content-level VIDEO frame sampling — keyframe (scene-cut) selection
+  * over real multi-frame `binary` payloads, the video leg of the
+  * perceptual suite ([[PerceptualHash]] images, [[AudioFingerprint]]
+  * audio; [[Mp4Meta]] walks container boxes, never pixels). This is
+  * the standard training-data video op: a 100 TB corpus can't afford
+  * to keep every frame, so the pipeline samples one frame per SCENE —
+  * detected as a jump in consecutive frames' perceptual hashes
+  * (shot-boundary detection by frame-difference thresholding; the
+  * perceptual-hash variant of Zhang et al., "Automatic partitioning of
+  * full-motion video", Multimedia Systems 1993).
+  *
+  * Per frame: 16×16 grayscale → 4×4 block grid → 16-bit aHash (bit b:
+  * block sum · 16 > frame total — equal block sizes clear both
+  * denominators, the [[PerceptualHash]] integer mean test). Frame 0 is
+  * always a keyframe; frame f > 0 is a keyframe iff
+  * Hamming(hash(f), hash(f−1)) > 4 — within-scene jitter moves 0–2
+  * bits, a scene cut ~8 of 16.
+  *
+  * Exactness discipline: pixels, block sums, hashes, Hamming distances
+  * and the threshold are ALL integer, so the DuckDB oracle replays the
+  * selected keyframes bit-for-bit from the same deterministic pixel
+  * streams — the engine's multi-frame byte decode (magic, frame
+  * count/dims parse, per-frame pixel walk) is oracle-verified
+  * end-to-end.
+  *
+  * Corpus: one 16-frame 16×16 clip per `documents` row ("V8" magic +
+  * big-endian u16 frame count/width/height + raw frames), generated
+  * DISTRIBUTED. Scene structure: doc d cuts every 2 + (d mod 3)
+  * frames (8/6/4 scenes per clip); frames within a scene share a base
+  * pixel stream with ~5 of 256 pixels jittered per frame (motion), so
+  * consecutive within-scene hashes differ by ~0–2 bits while cross-
+  * scene frames are fresh draws (~8 bits).
+  *
+  * 100 TB shape: ZERO SHUFFLE — every frame of a clip lives in one
+  * payload row, so decode → per-frame hash → cut detection → keyframe
+  * emission is a single `flatMap` per partition; no window exchange,
+  * no join, no driver involvement. The only exchange in the plan is
+  * the output presentation sort.
+  */
+object VideoKeyframes {
+
+  val FrameW = 16              // frame side (pixels)
+  val Grid = 4                 // hash grid side (blocks)
+  val BlockPx = FrameW / Grid  // 4×4 pixels per block
+  val NFrames = 16
+  val FramePx = FrameW * FrameW
+  val HeaderLen = 8            // 'V' '8' n_hi n_lo w_hi w_lo h_hi h_lo
+  val CutThreshold = 4         // Hamming > 4 → scene cut
+
+  /** Scene index of frame `f` in doc `d`: cuts every 2 + (d mod 3)
+    * frames.
+    */
+  def scene(docId: Long, f: Int): Long = f / (2 + docId % 3)
+
+  /** Pixel `i` of frame `f` in clip `docId`: frames of a scene share
+    * the scene's base stream; every 53rd pixel takes a per-frame
+    * jitter seed (~5 of 256 pixels of motion per frame). Seed spaces
+    * are disjoint from the image (131071·i over doc_id) and audio
+    * (524287·t) legs via the 1000003/8191/127 mix.
+    */
+  def pixel(docId: Long, f: Int, i: Int): Int = {
+    val base = docId * 1000003L + scene(docId, f) * 8191L
+    val seed = if (i % 53 == 0) base + (f + 1) * 127L else base
+    (PerceptualHash.mixLong(seed * 131071L + i) & 255L).toInt
+  }
+
+  /** The raw "V8" clip payload: 2-byte magic, big-endian u16 frame
+    * count, width, height, then `n` frames of w·h pixel bytes.
+    */
+  def encode(docId: Long): Array[Byte] = {
+    val out = new Array[Byte](HeaderLen + NFrames * FramePx)
+    out(0) = 'V'; out(1) = '8'
+    out(2) = (NFrames >> 8).toByte; out(3) = (NFrames & 0xFF).toByte
+    out(4) = (FrameW >> 8).toByte; out(5) = (FrameW & 0xFF).toByte
+    out(6) = (FrameW >> 8).toByte; out(7) = (FrameW & 0xFF).toByte
+    var f = 0
+    while (f < NFrames) {
+      var i = 0
+      while (i < FramePx) {
+        out(HeaderLen + f * FramePx + i) = pixel(docId, f, i).toByte
+        i += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Parse a V8 payload into per-frame 16-bit aHashes — the REAL
+    * multi-frame decode (magic check, count/dim parse, per-frame
+    * pixel walk, integer mean test). Any payload this rejects is not
+    * a V8 clip.
+    */
+  def frameHashes(content: Array[Byte]): Array[Int] = {
+    require(content.length >= HeaderLen
+      && content(0) == 'V' && content(1) == '8', "not a V8 payload")
+    val n = ((content(2) & 0xFF) << 8) | (content(3) & 0xFF)
+    val w = ((content(4) & 0xFF) << 8) | (content(5) & 0xFF)
+    val h = ((content(6) & 0xFF) << 8) | (content(7) & 0xFF)
+    require(content.length == HeaderLen + n * w * h, "truncated V8 payload")
+    require(w % Grid == 0 && h % Grid == 0, s"dims not /$Grid: ${w}x$h")
+    val (bw, bh) = (w / Grid, h / Grid)
+    val out = new Array[Int](n)
+    var f = 0
+    while (f < n) {
+      val bs = new Array[Long](Grid * Grid)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val rowBlock = (y / bh) * Grid
+        var x = 0
+        while (x < w) {
+          val p = (content(HeaderLen + f * w * h + y * w + x) & 0xFF).toLong
+          bs(rowBlock + x / bw) += p
+          total += p
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0
+      var b = 0
+      while (b < Grid * Grid) {
+        if (bs(b) * (Grid * Grid).toLong > total) hash |= 1 << b
+        b += 1
+      }
+      out(f) = hash
+      f += 1
+    }
+    out
+  }
+
+  case class VideoPayload(media_id: Long, content: Array[Byte])
+  case class Keyframe(media_id: Long, frame_idx: Int, frame_hash: Int,
+                      ham_prev: Option[Int])
+
+  /** The synthetic clip corpus: one V8 payload per documents row,
+    * generated per-partition on the executors.
+    */
+  def videoCorpus(spark: SparkSession, docs: DataFrame): Dataset[VideoPayload] = {
+    import spark.implicits._
+    // spread the byte-thin id scan before the CPU-dense decode stage
+    // (the [[PerceptualHash.imageCorpus]] rationale)
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(id => VideoPayload(id, encode(id))))
+  }
+
+  /** Decode + keyframe stage: one flatMap per partition — all frames
+    * of a clip are in its payload row, so cut detection needs no lag
+    * window and no shuffle. Emits frame 0 (ham_prev = None) plus every
+    * frame whose hash moved > [[CutThreshold]] bits from its
+    * predecessor.
+    */
+  def keyframes(spark: SparkSession,
+      clips: Dataset[VideoPayload]): Dataset[Keyframe] = {
+    import spark.implicits._
+    clips.flatMap { c =>
+      val hs = frameHashes(c.content)
+      hs.indices.flatMap { f =>
+        if (f == 0) Some(Keyframe(c.media_id, 0, hs(0), None))
+        else {
+          val ham = java.lang.Integer.bitCount(hs(f) ^ hs(f - 1))
+          if (ham > CutThreshold) Some(Keyframe(c.media_id, f, hs(f), Some(ham)))
+          else None
+        }
+      }
+    }
+  }
+
+  /** q205: sampled keyframes (scene starts) per clip over the
+    * documents-derived video corpus.
+    */
+  def keyframesQuery(s: SparkSession, dir: String): DataFrame =
+    keyframes(s, videoCorpus(s, Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id").as("doc_id"), col("frame_idx"),
+        col("frame_hash"), col("ham_prev"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+}

@@ -205,7 +205,13 @@ object Fuzz {
     "q143_cm_quantiles",       // sketch-rank vs exact-rank ratios
     "q181_conformal",          // split-conformal quantile arithmetic
     "q202_image_near_dup",     // perceptual aHash banding per seed
-    "q203_image_dhash_pairs")  // gradient dHash banding per seed
+    "q203_image_dhash_pairs",  // gradient dHash banding per seed
+    // audio/video content legs: the doc_id-keyed corpora re-derive per
+    // seed (each random documents key set shifts the planted mod-4
+    // near-dup groups and mod-3 scene lengths), replaying the full
+    // decode -> fingerprint -> band/cut chain against DuckDB
+    "q204_audio_near_dup",     // energy-delta fingerprint banding
+    "q205_video_keyframes")    // per-frame hash + scene-cut threshold
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

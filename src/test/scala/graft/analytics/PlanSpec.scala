@@ -969,6 +969,40 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q204: the audio corpus scan prunes to doc_id and the band join " +
+    "is keyed (the brute-force pair scan is oracle-only)") {
+    val df = graft.multimodal.AudioFingerprint.audioNearDupQuery(spark, dir)
+    scans(df).foreach { scan =>
+      assert(scan.schema.fieldNames.toSeq == Seq("doc_id"),
+        scan.schema.fieldNames.mkString(","))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q205: keyframe selection is SHUFFLE-FREE past the scan — no " +
+    "join, no aggregate exchange; the only exchange is the output sort") {
+    val df = graft.multimodal.VideoKeyframes.keyframesQuery(spark, dir)
+    scans(df).foreach { scan =>
+      assert(scan.schema.fieldNames.toSeq == Seq("doc_id"),
+        scan.schema.fieldNames.mkString(","))
+    }
+    // every frame of a clip lives in its payload row, so cut detection
+    // needs no lag window and no join — a plan that grew either means
+    // someone refactored the flatMap into a shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    // exactly two exchanges: the 8-byte-per-row corpus spread before the
+    // CPU-dense decode (deliberate — see imageCorpus) and the
+    // presentation ORDER BY; the decode->hash->cut chain itself adds none
+    assert(shuffles.size <= 2, plan)
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
