@@ -5643,18 +5643,22 @@ object OracleSql {
         |  FROM cells)
         |SELECT decile, n_t, n_c,
         |  CASE WHEN n_t > 0 THEN
-        |    round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6)
+        |    CAST(round(CAST(CAST(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(30,12)), 6) AS DOUBLE)
         |  END AS rate_treated,
         |  CASE WHEN n_c > 0 THEN
-        |    round(CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+        |    CAST(round(CAST(CAST(CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(30,12)), 6) AS DOUBLE)
         |  END AS rate_control,
         |  CASE WHEN n_t > 0 AND n_c > 0 THEN
-        |    round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
-        |      - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+        |    CAST(round(CAST(CAST(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(30,12)), 6) AS DOUBLE)
         |  END AS uplift,
         |  CASE WHEN cum_nc > 0 THEN
-        |    round(CAST(cum_ct AS DOUBLE) - CAST(cum_cc AS DOUBLE)
-        |      * CAST(cum_nt AS DOUBLE) / CAST(cum_nc AS DOUBLE), 4)
+        |    CAST(round(CAST(CAST(CAST(cum_ct AS DOUBLE) - CAST(cum_cc AS DOUBLE)
+        |      * CAST(cum_nt AS DOUBLE) / CAST(cum_nc AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(30,12)), 4) AS DOUBLE)
         |  END AS qini
         |FROM cum ORDER BY decile""".stripMargin,
 
@@ -5850,8 +5854,10 @@ object OracleSql {
         |    GROUP BY 1, 2)
         |  GROUP BY 1)
         |SELECT c.bin, c.n, c.conv,
-        |  round(CAST(c.conv AS DOUBLE) / CAST(c.n AS DOUBLE), 6) AS rate,
-        |  round(f.fitted, 6) AS fitted
+        |  CAST(round(CAST(CAST(CAST(c.conv AS DOUBLE) / CAST(c.n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(30,12)), 6) AS DOUBLE) AS rate,
+        |  CAST(round(CAST(CAST(f.fitted AS VARCHAR) AS DECIMAL(30,12)), 6)
+        |    AS DOUBLE) AS fitted
         |FROM cells c JOIN fit f ON f.bin = c.bin
         |ORDER BY c.bin""".stripMargin,
 
@@ -6314,7 +6320,186 @@ object OracleSql {
         |  CASE WHEN f = 0 THEN NULL ELSE ham END AS ham_prev
         |FROM lagged
         |WHERE f = 0 OR ham > 4
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q206: the trained PQ codebook audit replayed — hash-ordered init
+    // (the q37 seed), two argmin-L2 Lloyd rounds per subspace with
+    // round(mean,6)->FLOAT between rounds, final assignment, then the
+    // all-integer (n_members, sse_micro) rollup. The micro conversion
+    // reproduces Spark's shortest-string round() via the
+    // VARCHAR->DECIMAL(30,12) round-trip (lossless here: d2*1e6 fits
+    // 12 fractional digits).
+    "q206_pq_codebook" ->
+      s"""WITH $PqCtes
+        |SELECT CAST(s AS INTEGER) AS subspace, cid AS centroid_id,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum($PqMicroD2) AS BIGINT) AS sse_micro
+        |FROM pcode GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q207: PQ-ADC top-k replayed — per-query M x K distance tables in
+    // integer micro-units, approximate distance as the INTEGER sum of
+    // each vector's M table entries (order-free by construction), rank
+    // by (adist_micro, neighbor_id).
+    "q207_pq_adc_topk" -> {
+      def l2(sv: String, c: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, ${graft.similarity.ProductQuantization.SubDim + 1}), " +
+          s"i -> ($sv[i] - $c[i]) * ($sv[i] - $c[i]))), " +
+          s"(a, x) -> a + x)"
+      s"""WITH $PqCtes,
+        |pquery AS (
+        |  SELECT s, vec_id AS query_id, sv FROM psub WHERE vec_id < 8),
+        |pdt AS (
+        |  SELECT q.query_id, q.s, t.cid,
+        |    CAST(round(CAST(CAST((${l2("q.sv", "t.c")}) * 1000000.0
+        |      AS VARCHAR) AS DECIMAL(30,12)), 0) AS BIGINT) AS du
+        |  FROM pquery q JOIN pc2 t ON t.s = q.s),
+        |pscore AS (
+        |  SELECT d.query_id, c.vec_id,
+        |    CAST(sum(d.du) AS BIGINT) AS adist_micro
+        |  FROM pcode c JOIN pdt d ON d.s = c.s AND d.cid = c.cid
+        |  WHERE d.query_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |prnk AS (
+        |  SELECT query_id, vec_id, adist_micro,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist_micro, vec_id) AS BIGINT) AS rnk
+        |  FROM pscore)
+        |SELECT query_id, rnk, vec_id AS neighbor_id, adist_micro
+        |FROM prnk WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    // q208: IVF-PQ replayed end to end — the q37 coarse chain (cosine
+    // Lloyd, list assignment, nprobe=4 query probing), double residuals
+    // vs the FLOAT coarse centroids, the shared PQ chain retrained on
+    // residuals (`pe` = residuals), per-(query, probed-list) residual
+    // ADC tables in micro-units, integer sums over probed candidates.
+    "q208_ivfpq_topk" -> {
+      import graft.functions.VectorHash._
+      def cos(dv: String, nrm: String, cdv: String, cnrm: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, len($dv) + 1), i -> $dv[i] * $cdv[i])), " +
+          s"(s, x) -> s + x) / ($nrm * $cnrm)"
+      def cn(out: String, src: String): String =
+        s"""$out AS (
+        |  SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)) AS cdv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (s, x) -> s + x)) AS cnrm
+        |  FROM $src)"""
+      def lloyd(a: String, from: String, m: String, cNext: String): String =
+        s"""$a AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT n.vec_id, t.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (${cos("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n, $from t) s
+        |  WHERE rn = 1),
+        |$m AS (
+        |  SELECT cid, pos, round(avg(vv), 6) AS m
+        |  FROM (
+        |    SELECT a.cid,
+        |      unnest(range(1, len(e.dv) + 1)) AS pos,
+        |      unnest(e.dv) AS vv
+        |    FROM $a a JOIN e ON e.vec_id = a.vec_id) u
+        |  GROUP BY cid, pos),
+        |$cNext AS (
+        |  SELECT cid, list_transform(list(m ORDER BY pos),
+        |    x -> CAST(x AS FLOAT)) AS c
+        |  FROM $m GROUP BY cid)"""
+      def pqL2(sv: String, c: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, ${graft.similarity.ProductQuantization.SubDim + 1}), " +
+          s"i -> ($sv[i] - $c[i]) * ($sv[i] - $c[i]))), " +
+          s"(a, x) -> a + x)"
+      val sub = graft.similarity.ProductQuantization.SubDim
+      val mm = graft.similarity.ProductQuantization.M
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding AS v,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, dv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(dv, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM e),
+        |sd AS (
+        |  SELECT vec_id,
+        |    (($PlaneA1 * (vec_id % $PlaneP) + $PlaneB1) % $PlaneP) AS m1
+        |  FROM e),
+        |sh2 AS (
+        |  SELECT vec_id,
+        |    (($PlaneA2 * ((m1 * m1) % $PlaneP) + m1) % $PlaneP) AS h
+        |  FROM sd),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY sh2.h, sh2.vec_id) - 1
+        |      AS BIGINT) AS cid,
+        |    e.v AS c
+        |  FROM sh2 JOIN e ON e.vec_id = sh2.vec_id
+        |  QUALIFY row_number() OVER (ORDER BY sh2.h, sh2.vec_id) <= 16),
+        |${cn("c0n", "c0")},
+        |${lloyd("a1", "c0n", "m1r", "c1")},
+        |${cn("c1n", "c1")},
+        |${lloyd("a2", "c1n", "m2r", "c2")},
+        |${cn("c2n", "c2")},
+        |lists AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT n.vec_id, t.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (${cos("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n, c2n t) s
+        |  WHERE rn = 1),
+        |pe AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(1, len(e.dv) + 1),
+        |      i -> e.dv[i] - CAST(t.c[i] AS DOUBLE)) AS dv
+        |  FROM e JOIN lists l ON l.vec_id = e.vec_id
+        |  JOIN c2 t ON t.cid = l.cid),
+        |$PqChain,
+        |pr AS (
+        |  SELECT query_id, cid AS list_id FROM (
+        |    SELECT n.vec_id AS query_id, t.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (${cos("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n, c2n t WHERE n.vec_id < 8) s
+        |  WHERE rn <= 4),
+        |qres AS (
+        |  SELECT pr.query_id, pr.list_id,
+        |    list_transform(range(1, len(e.dv) + 1),
+        |      i -> e.dv[i] - CAST(t.c[i] AS DOUBLE)) AS rdv
+        |  FROM pr JOIN e ON e.vec_id = pr.query_id
+        |  JOIN c2 t ON t.cid = pr.list_id),
+        |qsub AS (
+        |  SELECT query_id, list_id, g.s,
+        |    list_slice(rdv, g.s * $sub + 1, g.s * $sub + $sub) AS sv
+        |  FROM qres CROSS JOIN generate_series(0, ${mm - 1}) g(s)),
+        |qdt AS (
+        |  SELECT q.query_id, q.list_id, q.s, t.cid,
+        |    CAST(round(CAST(CAST((${pqL2("q.sv", "t.c")}) * 1000000.0
+        |      AS VARCHAR) AS DECIMAL(30,12)), 0) AS BIGINT) AS du
+        |  FROM qsub q JOIN pc2 t ON t.s = q.s),
+        |cand AS (
+        |  SELECT d.query_id, c.vec_id,
+        |    CAST(sum(d.du) AS BIGINT) AS adist_micro
+        |  FROM pcode c
+        |  JOIN lists l ON l.vec_id = c.vec_id
+        |  JOIN qdt d ON d.list_id = l.cid AND d.s = c.s AND d.cid = c.cid
+        |  WHERE d.query_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |crnk AS (
+        |  SELECT query_id, vec_id, adist_micro,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist_micro, vec_id) AS BIGINT) AS rnk
+        |  FROM cand)
+        |SELECT query_id, rnk, vec_id AS neighbor_id, adist_micro
+        |FROM crnk WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin
+    }
   )
 
   /** The q202/q203 image-hash CTE chain: mirrors
@@ -6436,6 +6621,91 @@ object OracleSql {
       |  FROM vblocks JOIN vtot
       |    ON vtot.doc_id = vblocks.doc_id AND vtot.f = vblocks.f
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The exact micro-unit conversion of a squared distance: reproduces
+    * Spark's `round(d2 * 1e6, 0).cast("long")` (shortest-decimal-string
+    * HALF_UP) via the VARCHAR→DECIMAL(30,12) round-trip.
+    */
+  private def PqMicroD2: String =
+    "CAST(round(CAST(CAST(d2 * 1000000.0 AS VARCHAR) " +
+      "AS DECIMAL(30,12)), 0) AS BIGINT)"
+
+  /** The q206/q207 product-quantization training chain: mirrors
+    * [[graft.similarity.ProductQuantization]] — M = 8 subspaces of 8
+    * dims, K = 16 centroids, hash-ordered init from the q37 seed, two
+    * argmin-L2 Lloyd rounds (ties → smaller cid; per-dimension
+    * round(mean, 6) → FLOAT → DOUBLE between rounds — the q37
+    * drift-swallowing contract), ending with the final code table
+    * `pcode(s, vec_id, cid, d2)`.
+    */
+  private def PqCtes: String =
+    """pe AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      |  FROM embeddings),
+      |""".stripMargin + PqChain
+
+  /** The PQ body over any prior CTE `pe(vec_id, dv)` — q206/q207 feed
+    * it raw embeddings, q208 feeds coarse residuals.
+    */
+  private def PqChain: String = {
+    import graft.functions.VectorHash._
+    import graft.similarity.ProductQuantization.{M => PqM, SubDim => PqSub, K => PqK}
+    def l2(sv: String, c: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, ${PqSub + 1}), i -> ($sv[i] - $c[i]) * ($sv[i] - $c[i]))), " +
+        s"(a, x) -> a + x)"
+    // one Lloyd round: argmin-L2 assignment off codebook `from`, then
+    // the rounded per-dimension mean rebuild into codebook `cNext`
+    def lloyd(a: String, from: String, m: String, cNext: String): String =
+      s"""$a AS (
+      |  SELECT s, vec_id, cid FROM (
+      |    SELECT b.s, b.vec_id, t.cid,
+      |      row_number() OVER (PARTITION BY b.s, b.vec_id ORDER BY
+      |        (${l2("b.sv", "t.c")}) ASC NULLS LAST, t.cid) AS rn
+      |    FROM psub b JOIN $from t ON t.s = b.s) q
+      |  WHERE rn = 1),
+      |$m AS (
+      |  SELECT s, cid, pos, round(avg(vv), 6) AS m
+      |  FROM (
+      |    SELECT a.s, a.cid,
+      |      unnest(range(1, ${PqSub + 1})) AS pos,
+      |      unnest(b.sv) AS vv
+      |    FROM $a a JOIN psub b ON b.s = a.s AND b.vec_id = a.vec_id) u
+      |  GROUP BY 1, 2, 3),
+      |$cNext AS (
+      |  SELECT s, cid, list_transform(list(m ORDER BY pos),
+      |    x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c
+      |  FROM $m GROUP BY 1, 2)"""
+    s"""psub AS (
+      |  SELECT g.s, vec_id,
+      |    list_slice(dv, g.s * $PqSub + 1, g.s * $PqSub + $PqSub) AS sv
+      |  FROM pe CROSS JOIN generate_series(0, ${PqM - 1}) g(s)),
+      |psd AS (
+      |  SELECT vec_id,
+      |    (($PlaneA1 * (vec_id % $PlaneP) + $PlaneB1) % $PlaneP) AS m1
+      |  FROM pe),
+      |psh AS (
+      |  SELECT vec_id,
+      |    (($PlaneA2 * ((m1 * m1) % $PlaneP) + m1) % $PlaneP) AS h
+      |  FROM psd),
+      |pinit AS (
+      |  SELECT vec_id,
+      |    CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid
+      |  FROM psh QUALIFY row_number() OVER (ORDER BY h, vec_id) <= $PqK),
+      |pc0 AS (
+      |  SELECT psub.s, pinit.cid, psub.sv AS c
+      |  FROM pinit JOIN psub ON psub.vec_id = pinit.vec_id),
+      |${lloyd("pa1", "pc0", "pm1", "pc1")},
+      |${lloyd("pa2", "pc1", "pm2", "pc2")},
+      |pcode AS (
+      |  SELECT s, vec_id, cid, d2 FROM (
+      |    SELECT b.s, b.vec_id, t.cid,
+      |      (${l2("b.sv", "t.c")}) AS d2,
+      |      row_number() OVER (PARTITION BY b.s, b.vec_id ORDER BY
+      |        (${l2("b.sv", "t.c")}) ASC NULLS LAST, t.cid) AS rn
+      |    FROM psub b JOIN pc2 t ON t.s = b.s) q
+      |  WHERE rn = 1)""".stripMargin
+  }
 
   /** The spatial fixture CTE (q158-q160): mirrors
     * [[graft.operators.Spatial.spatialPoints]] — integer arithmetic

@@ -483,7 +483,16 @@ object SparkEntry {
     "q204_audio_near_dup"   -> (graft.multimodal.AudioFingerprint.audioNearDupQuery _),
     // video keyframe sampling: per-frame 16-bit aHash + scene-cut
     // thresholding, shuffle-free (all frames live in one payload row)
-    "q205_video_keyframes"  -> (graft.multimodal.VideoKeyframes.keyframesQuery _)
+    "q205_video_keyframes"  -> (graft.multimodal.VideoKeyframes.keyframesQuery _),
+    // product quantization: per-subspace Lloyd-trained 8x16 codebooks,
+    // all-integer reconstruction audit (completes the vector tier:
+    // q118 scalar-quantizes, q37/q134 route, PQ stores and searches)
+    "q206_pq_codebook"      -> (graft.similarity.ProductQuantization.codebookAuditQuery _),
+    // PQ-ADC search: integer micro-unit distance tables, order-free sums
+    "q207_pq_adc_topk"      -> (graft.similarity.ProductQuantization.adcTopKQuery _),
+    // IVF-PQ: the production composition — coarse routing + residual
+    // PQ codes + per-(query, probed-list) ADC tables (FAISS IVFPQ)
+    "q208_ivfpq_topk"       -> (graft.similarity.IvfPq.ivfPqTopKQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

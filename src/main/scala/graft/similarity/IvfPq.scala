@@ -1,0 +1,122 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** IVF-PQ — the composition billion-vector ANN indexes actually ship
+  * (FAISS IVFPQ; Jégou et al. TPAMI'11 §IV.B): the q37 coarse
+  * quantizer routes every vector to an inverted list, and within lists
+  * vectors are stored as PQ codes of their RESIDUAL x − c(list) (the
+  * residual is what's left after the coarse centroid explains the
+  * vector, so the same K codewords spend their resolution on a much
+  * smaller ball than raw-vector PQ). Search probes the query's
+  * nprobe nearest lists; per probed list the query's own residual
+  * builds an M×K ADC distance table, and every candidate's distance is
+  * M integer table lookups summed.
+  *
+  * This composes three verified pieces, re-verified end-to-end as one
+  * oracle: the q37 coarse Lloyd chain (cosine argmax, round(mean,6)),
+  * the q206 PQ Lloyd chain (argmin-L2 on residual subspaces, one
+  * codebook shared across lists — the FAISS default), and the q207
+  * integer micro-unit ADC (order-free sums, zero rounded-quotient
+  * exposure).
+  *
+  * 100 TB shape: everything is the q37/q207 shapes glued — broadcast
+  * centroid/codebook tables, map-side-combined argmax/argmin, the code
+  * table at ~6 bytes/vector (list id + M 4-bit codes); the candidate
+  * set is the probed lists' membership (≈ nprobe/nlist of the corpus),
+  * not the corpus, and the float vectors are read exactly once.
+  */
+object IvfPq {
+
+  val NList = 16       // coarse lists (the q37 convention)
+  val NProbe = 4       // probed lists per query (the q37 convention)
+  val NQueries = 8
+  val TopK = 5
+
+  /** The coarse table re-projected under fresh column ids — ivfAssign's
+    * output already carries `coarse` lineage, so re-joining the same
+    * frame would be an ambiguous self-join.
+    */
+  private def listTable(coarse: DataFrame): DataFrame =
+    coarse.select(col("centroid_id").as("list_id"),
+      col("centroid").as("list_centroid"))
+
+  /** (vec_id, list_id, res): coarse assignment + double residuals. */
+  def residuals(emb: DataFrame, coarse: DataFrame): DataFrame = {
+    val assigned = Similarity.ivfAssign(emb, coarse, nprobe = 1)
+    assigned
+      .join(broadcast(listTable(coarse)),
+        col("centroid_id") === col("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("embedding"), col("list_centroid"),
+          (x, c) => x.cast("double") - c.cast("double")).as("res"))
+  }
+
+  /** q208: IVF-PQ top-k. Coarse train → residual encode → PQ train on
+    * residuals (one shared codebook) → per-(query, probed-list) ADC
+    * tables → integer distance sums over probed candidates only.
+    */
+  def ivfPqTopKQuery(s: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(Tables.embeddings(s, dir))
+
+  /** The IVF-PQ pipeline over any (vec_id, embedding, …) table. */
+  def ivfPqTopK(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coarse = Similarity.kmeansCentroids(emb, NList, iters = 2)
+      .localCheckpoint()
+    val res = residuals(emb, coarse).localCheckpoint()
+
+    // PQ on residuals: the q206 chain over (vec_id, embedding = res)
+    val resEmb = res.select(col("vec_id"), col("res").as("embedding"))
+    val subs = ProductQuantization.subspaces(resEmb).localCheckpoint()
+    val codebook = ProductQuantization.trainCodebook(resEmb)
+      .localCheckpoint()
+    val codes = ProductQuantization.assign(subs, codebook)
+      .select(col("s"), col("vec_id"), col("cid"))
+      .join(res.select(col("vec_id"), col("list_id")), "vec_id")
+
+    // query-side: nprobe nearest lists by the same coarse cosine rule,
+    // then the query's residual PER PROBED LIST and its ADC table
+    val probes = Similarity
+      .ivfAssign(emb.filter(col("vec_id") < NQueries), coarse, NProbe)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        col("centroid_id").as("probe_id"))
+    val qres = probes
+      .join(broadcast(listTable(coarse)), col("probe_id") === col("list_id"))
+      .select(col("query_id"), col("list_id"),
+        zip_with(col("embedding"), col("list_centroid"),
+          (x, c) => x.cast("double") - c.cast("double")).as("res"))
+    val qsubs = qres.select(col("query_id"), col("list_id"),
+        explode(sequence(lit(0), lit(ProductQuantization.M - 1))).as("s"),
+        col("res"))
+      .select(col("query_id"), col("list_id"), col("s"),
+        slice(col("res"), col("s") * ProductQuantization.SubDim + 1,
+          lit(ProductQuantization.SubDim)).as("sv"))
+    val dt = qsubs.join(broadcast(codebook), "s")
+      .select(col("query_id"), col("list_id"), col("s"), col("cid"),
+        round(aggregate(zip_with(col("sv"), col("c"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v) * 1e6, 0).cast("long").as("du"))
+
+    // ADC over probed candidates only: join on (list, s, cid)
+    val scored = codes
+      .join(broadcast(dt),
+        codes("list_id") === dt("list_id") && codes("s") === dt("s")
+          && codes("cid") === dt("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("du")).as("adist_micro"), count(lit(1)).as("n_s"))
+      .filter(col("n_s") === ProductQuantization.M)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_micro"), col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"), col("adist_micro"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}

@@ -211,7 +211,13 @@ object Fuzz {
     // near-dup groups and mod-3 scene lengths), replaying the full
     // decode -> fingerprint -> band/cut chain against DuckDB
     "q204_audio_near_dup",     // energy-delta fingerprint banding
-    "q205_video_keyframes")    // per-frame hash + scene-cut threshold
+    "q205_video_keyframes",    // per-frame hash + scene-cut threshold
+    // PQ: per-seed embedding corpora (planted scaled-copy/negated
+    // pairs) re-train the subspace codebooks — the Lloyd argmin ties,
+    // empty-cluster drops and integer micro conversions per seed
+    "q206_pq_codebook",        // trained codebook audit (all-integer)
+    "q207_pq_adc_topk",        // ADC integer distance sums
+    "q208_ivfpq_topk")         // coarse routing + residual PQ + ADC
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

@@ -1003,6 +1003,34 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 2, plan)
   }
 
+  test("q206/q207: every PQ codebook/distance-table join is broadcast — " +
+    "the n-row side is never sort-merge-joined against M*K rows") {
+    for (fn <- Seq(graft.similarity.ProductQuantization.codebookAuditQuery _,
+                   graft.similarity.ProductQuantization.adcTopKQuery _)) {
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
+  test("q208: the only corpus-scale joins are vec_id-keyed (the narrow " +
+    "code⋈list zip); every dimension-sized table is broadcast") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = graft.similarity.IvfPq.ivfPqTopKQuery(spark, dir)
+    val smjs = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case j: SortMergeJoinExec => j
+    }
+    // codes(n·M rows) ⋈ lists(n rows) is corpus-scale on BOTH sides —
+    // a co-partitioned shuffle join is the RIGHT strategy there; any
+    // other SMJ means a codebook/centroid/distance table lost its
+    // broadcast hint (ivfAssign's broadcast-cross scoring is the
+    // documented BNLJ exception, as in q37)
+    smjs.foreach { j =>
+      assert(j.leftKeys.mkString(",").contains("vec_id"),
+        s"non-vec_id SortMergeJoin: $j")
+    }
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
