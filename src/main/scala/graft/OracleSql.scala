@@ -6499,7 +6499,59 @@ object OracleSql {
         |SELECT query_id, rnk, vec_id AS neighbor_id, adist_micro
         |FROM crnk WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin
-    }
+    },
+
+    // q209: the media dedup plan replayed — the q202 image pairs and
+    // q204 audio pairs re-derived, closed transitively by the q40
+    // recursive min-label walk, then the keeper/action/evidence rollup.
+    // keeper is computed independently of cluster_id on both sides, so
+    // a component-label convention drift fails the hash gate.
+    "q209_media_dedup_plan" ->
+      s"""WITH RECURSIVE $ImageHashCte,
+        |$AudioFpCte,
+        |ie AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi))
+        |    + bit_count(xor(a.lo, b.lo)) <= 3),
+        |ae AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi))
+        |    + bit_count(xor(a.lo, b.lo)) <= 3),
+        |medges AS (
+        |  SELECT id_a, id_b, 'image' AS modality FROM ie
+        |  UNION ALL
+        |  SELECT id_a, id_b, 'audio' FROM ae),
+        |med AS (
+        |  SELECT id_a AS src, id_b AS dst FROM medges
+        |  UNION
+        |  SELECT id_b, id_a FROM medges),
+        |mwalk(id, lbl) AS (
+        |  SELECT src, src FROM med
+        |  UNION
+        |  SELECT e.src, w.lbl FROM med e JOIN mwalk w ON w.id = e.dst),
+        |mcc AS (
+        |  SELECT id AS doc_id, min(lbl) AS cluster_id
+        |  FROM mwalk GROUP BY id),
+        |mmem AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |    min(doc_id) AS keeper
+        |  FROM mcc GROUP BY 1),
+        |mmods AS (
+        |  SELECT c.cluster_id,
+        |    string_agg(DISTINCT e.modality, ',' ORDER BY e.modality)
+        |      AS modalities
+        |  FROM medges e JOIN mcc c ON c.doc_id = e.id_a
+        |  GROUP BY 1)
+        |SELECT mcc.doc_id, mcc.cluster_id, m.keeper,
+        |  CASE WHEN mcc.doc_id = m.keeper THEN 'keep' ELSE 'drop' END
+        |    AS action,
+        |  m.n_members, md.modalities
+        |FROM mcc
+        |JOIN mmem m ON m.cluster_id = mcc.cluster_id
+        |JOIN mmods md ON md.cluster_id = mcc.cluster_id
+        |ORDER BY mcc.doc_id""".stripMargin
   )
 
   /** The q202/q203 image-hash CTE chain: mirrors

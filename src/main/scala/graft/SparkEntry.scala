@@ -492,7 +492,10 @@ object SparkEntry {
     "q207_pq_adc_topk"      -> (graft.similarity.ProductQuantization.adcTopKQuery _),
     // IVF-PQ: the production composition — coarse routing + residual
     // PQ codes + per-(query, probed-list) ADC tables (FAISS IVFPQ)
-    "q208_ivfpq_topk"       -> (graft.similarity.IvfPq.ivfPqTopKQuery _)
+    "q208_ivfpq_topk"       -> (graft.similarity.IvfPq.ivfPqTopKQuery _),
+    // media dedup plan: image+audio near-dup graphs closed by CC,
+    // one keep/drop decision per clustered row with evidence trail
+    "q209_media_dedup_plan" -> (graft.multimodal.MediaDedup.mediaDedupPlanQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -217,7 +217,10 @@ object Fuzz {
     // empty-cluster drops and integer micro conversions per seed
     "q206_pq_codebook",        // trained codebook audit (all-integer)
     "q207_pq_adc_topk",        // ADC integer distance sums
-    "q208_ivfpq_topk")         // coarse routing + residual PQ + ADC
+    "q208_ivfpq_topk",         // coarse routing + residual PQ + ADC
+    // media dedup plan: per-seed doc_id sets shift the planted pair
+    // graph; engine star-contraction CC vs oracle recursive min-label
+    "q209_media_dedup_plan")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
