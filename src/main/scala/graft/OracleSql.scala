@@ -6344,7 +6344,7 @@ object OracleSql {
     "q207_pq_adc_topk" -> {
       def l2(sv: String, c: String): String =
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-          s"list_transform(range(1, ${graft.similarity.ProductQuantization.SubDim + 1}), " +
+          s"list_transform(range(1, len($sv) + 1), " +
           s"i -> ($sv[i] - $c[i]) * ($sv[i] - $c[i]))), " +
           s"(a, x) -> a + x)"
       s"""WITH $PqCtes,
@@ -6412,10 +6412,9 @@ object OracleSql {
         |  FROM $m GROUP BY cid)"""
       def pqL2(sv: String, c: String): String =
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-          s"list_transform(range(1, ${graft.similarity.ProductQuantization.SubDim + 1}), " +
+          s"list_transform(range(1, len($sv) + 1), " +
           s"i -> ($sv[i] - $c[i]) * ($sv[i] - $c[i]))), " +
           s"(a, x) -> a + x)"
-      val sub = graft.similarity.ProductQuantization.SubDim
       val mm = graft.similarity.ProductQuantization.M
       s"""WITH e AS (
         |  SELECT vec_id, embedding AS v,
@@ -6476,7 +6475,8 @@ object OracleSql {
         |  JOIN c2 t ON t.cid = pr.list_id),
         |qsub AS (
         |  SELECT query_id, list_id, g.s,
-        |    list_slice(rdv, g.s * $sub + 1, g.s * $sub + $sub) AS sv
+        |    list_slice(rdv, g.s * (len(rdv) // $mm) + 1,
+        |      (g.s + 1) * (len(rdv) // $mm)) AS sv
         |  FROM qres CROSS JOIN generate_series(0, ${mm - 1}) g(s)),
         |qdt AS (
         |  SELECT q.query_id, q.list_id, q.s, t.cid,
@@ -6683,8 +6683,9 @@ object OracleSql {
       "AS DECIMAL(30,12)), 0) AS BIGINT)"
 
   /** The q206/q207 product-quantization training chain: mirrors
-    * [[graft.similarity.ProductQuantization]] — M = 8 subspaces of 8
-    * dims, K = 16 centroids, hash-ordered init from the q37 seed, two
+    * [[graft.similarity.ProductQuantization]] — M = 8 subspaces of
+    * d/M dims (dimension-generic, like the engine), K = 16 centroids,
+    * hash-ordered init from the q37 seed, two
     * argmin-L2 Lloyd rounds (ties → smaller cid; per-dimension
     * round(mean, 6) → FLOAT → DOUBLE between rounds — the q37
     * drift-swallowing contract), ending with the final code table
@@ -6701,10 +6702,10 @@ object OracleSql {
     */
   private def PqChain: String = {
     import graft.functions.VectorHash._
-    import graft.similarity.ProductQuantization.{M => PqM, SubDim => PqSub, K => PqK}
+    import graft.similarity.ProductQuantization.{M => PqM, K => PqK}
     def l2(sv: String, c: String): String =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(1, ${PqSub + 1}), i -> ($sv[i] - $c[i]) * ($sv[i] - $c[i]))), " +
+        s"list_transform(range(1, len($sv) + 1), i -> ($sv[i] - $c[i]) * ($sv[i] - $c[i]))), " +
         s"(a, x) -> a + x)"
     // one Lloyd round: argmin-L2 assignment off codebook `from`, then
     // the rounded per-dimension mean rebuild into codebook `cNext`
@@ -6720,7 +6721,7 @@ object OracleSql {
       |  SELECT s, cid, pos, round(avg(vv), 6) AS m
       |  FROM (
       |    SELECT a.s, a.cid,
-      |      unnest(range(1, ${PqSub + 1})) AS pos,
+      |      unnest(range(1, len(b.sv) + 1)) AS pos,
       |      unnest(b.sv) AS vv
       |    FROM $a a JOIN psub b ON b.s = a.s AND b.vec_id = a.vec_id) u
       |  GROUP BY 1, 2, 3),
@@ -6730,7 +6731,8 @@ object OracleSql {
       |  FROM $m GROUP BY 1, 2)"""
     s"""psub AS (
       |  SELECT g.s, vec_id,
-      |    list_slice(dv, g.s * $PqSub + 1, g.s * $PqSub + $PqSub) AS sv
+      |    list_slice(dv, g.s * (len(dv) // $PqM) + 1,
+      |      (g.s + 1) * (len(dv) // $PqM)) AS sv
       |  FROM pe CROSS JOIN generate_series(0, ${PqM - 1}) g(s)),
       |psd AS (
       |  SELECT vec_id,

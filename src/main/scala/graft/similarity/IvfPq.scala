@@ -93,8 +93,9 @@ object IvfPq {
         explode(sequence(lit(0), lit(ProductQuantization.M - 1))).as("s"),
         col("res"))
       .select(col("query_id"), col("list_id"), col("s"),
-        slice(col("res"), col("s") * ProductQuantization.SubDim + 1,
-          lit(ProductQuantization.SubDim)).as("sv"))
+        slice(col("res"),
+          col("s") * (size(col("res")) / ProductQuantization.M) + 1,
+          size(col("res")) / ProductQuantization.M).as("sv"))
     val dt = qsubs.join(broadcast(codebook), "s")
       .select(col("query_id"), col("list_id"), col("s"), col("cid"),
         round(aggregate(zip_with(col("sv"), col("c"),

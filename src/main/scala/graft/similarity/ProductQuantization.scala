@@ -43,7 +43,7 @@ import graft.Tables
 object ProductQuantization {
 
   val M = 8            // subspaces
-  val SubDim = 8       // dims per subspace (d = 64)
+  val SubDim = 8       // dims per subspace at the driver corpus' d = 64
   val K = 16           // centroids per subspace (4-bit codes)
   val Iters = 2        // Lloyd rounds (the q37 convention)
   val NQueries = 8     // query ids: vec_id < 8
@@ -72,8 +72,12 @@ object ProductQuantization {
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(M - 1))).as("s"), col("dv"))
+      // subspace width d/M derived from the vector itself — the PQ
+      // family is dimension-generic (d = 64 → 8-dim subspaces on the
+      // driver corpus; the fuzz corpora run it at d = 16)
       .select(col("s"), col("vec_id"),
-        slice(col("dv"), col("s") * SubDim + 1, lit(SubDim)).as("sv"))
+        slice(col("dv"), col("s") * (size(col("dv")) / M) + 1,
+          size(col("dv")) / M).as("sv"))
 
   /** Hash-ordered init (the [[Similarity.ivfCentroids]] discipline):
     * the K seed vectors are chosen ONCE by vec_id hash order and
@@ -86,7 +90,8 @@ object ProductQuantization {
       .select(col("cid"), explode(sequence(lit(0), lit(M - 1))).as("s"),
         col("dv"))
       .select(col("s"), col("cid"),
-        slice(col("dv"), col("s") * SubDim + 1, lit(SubDim)).as("c"))
+        slice(col("dv"), col("s") * (size(col("dv")) / M) + 1,
+          size(col("dv")) / M).as("c"))
     init
   }
 

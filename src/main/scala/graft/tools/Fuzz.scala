@@ -490,6 +490,15 @@ object Fuzz {
   def main(args: Array[String]): Unit = {
     val root = if (args.nonEmpty) args(0) else "/tmp/graft-fuzz"
     val nSeeds = if (args.length > 1) args(1).toInt else 20
+    // dev-loop filter (args(2) = comma list): re-run a subset of
+    // families into an existing sweep dir after an engine fix — the
+    // corpora are seed-deterministic, so outputs stay consistent with
+    // the other families' existing dumps
+    val only: Set[String] = if (args.length > 2)
+      args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+    else Families.toSet
+    require(only.subsetOf(Families.toSet),
+      s"unknown families: ${(only -- Families.toSet).mkString(",")}")
     val spark = graft.SessionDefaults(SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -498,8 +507,8 @@ object Fuzz {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val queries = graft.SparkEntry.queries.filter(q => Families.contains(q._1))
-    require(queries.size == Families.size, "unknown family name")
+    val queries = graft.SparkEntry.queries.filter(q => only.contains(q._1))
+    require(queries.size == only.size, "unknown family name")
     (0 until nSeeds).foreach { seed =>
       val dir = s"$root/s$seed"
       writeCorpus(spark, seed, dir)

@@ -317,4 +317,29 @@ class FuzzSpec extends SparkSpec {
     assert(keys.count(_ % 256L == 0L) > 15, "cell-corner homes must exist")
     assert(keys.exists(_ > 1000000000L), "big-modulus keys must exist")
   }
+
+  test("the round-12 PQ dimension find stays pinned: product quantization " +
+    "is dimension-generic — the 16-dim fuzz corpus gets complete codes " +
+    "and a full ADC result, not the empty frame the 64-hardcoded slicing " +
+    "produced") {
+    // found by the 94-family sweep: subspace slicing hardcoded d = 64
+    // (s*8+1..s*8+8), so on the 16-dim fuzz embeddings subspaces s >= 2
+    // sliced past the vector, l2 folded over null pads, every code row
+    // failed the n_s = M completeness filter, and q207/q208 returned 0
+    // rows while the oracle returned 40. Subspace width is now d/M on
+    // both sides.
+    import graft.similarity.ProductQuantization
+    val emb = Fuzz.genEmbeddings(spark, 3)
+    val dim = emb.select(size(col("embedding"))).collect()(0).getInt(0)
+    assert(dim == 16, s"fuzz corpus moved to $dim dims — repin this case")
+    val codes = ProductQuantization.assign(
+      ProductQuantization.subspaces(emb),
+      ProductQuantization.trainCodebook(emb))
+    assert(codes.count() === emb.count() * ProductQuantization.M,
+      "every vector must carry a code in EVERY subspace")
+    val adc = ProductQuantization.adcTopK(emb).collect()
+    assert(adc.length ===
+      ProductQuantization.NQueries * ProductQuantization.TopK)
+    assert(adc.forall(_.getLong(3) >= 0L))
+  }
 }

@@ -15,6 +15,13 @@ import pandas as pd
 
 root = sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft-fuzz'
 oracle = json.load(open(f'{root}/oracle_sql.json'))
+# optional argv[2]: comma list of families — diff only those (the dev
+# loop after a targeted Fuzz re-run of a subset)
+if len(sys.argv) > 2:
+    only = set(x.strip() for x in sys.argv[2].split(',') if x.strip())
+    missing = only - set(oracle)
+    assert not missing, f"unknown families: {missing}"
+    oracle = {k: v for k, v in oracle.items() if k in only}
 seeds = sorted((d for d in os.listdir(root) if d.startswith('s')),
                key=lambda s: int(s[1:]))
 fails, n_ok = [], 0
