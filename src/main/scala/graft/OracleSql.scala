@@ -6349,7 +6349,8 @@ object OracleSql {
           s"(a, x) -> a + x)"
       s"""WITH $PqCtes,
         |pquery AS (
-        |  SELECT s, vec_id AS query_id, sv FROM psub WHERE vec_id < 8),
+        |  SELECT s, vec_id AS query_id, sv FROM psub
+        |  WHERE vec_id < ${graft.similarity.ProductQuantization.NQueries}),
         |pdt AS (
         |  SELECT q.query_id, q.s, t.cid,
         |    CAST(round(CAST(CAST((${l2("q.sv", "t.c")}) * 1000000.0
@@ -6367,7 +6368,8 @@ object OracleSql {
         |      ORDER BY adist_micro, vec_id) AS BIGINT) AS rnk
         |  FROM pscore)
         |SELECT query_id, rnk, vec_id AS neighbor_id, adist_micro
-        |FROM prnk WHERE rnk <= 5
+        |FROM prnk
+        |WHERE rnk <= ${graft.similarity.ProductQuantization.TopK}
         |ORDER BY query_id, rnk""".stripMargin
     },
 
@@ -6378,6 +6380,7 @@ object OracleSql {
     // ADC tables in micro-units, integer sums over probed candidates.
     "q208_ivfpq_topk" -> {
       import graft.functions.VectorHash._
+      import graft.similarity.IvfPq.{NList, NProbe, NQueries, TopK}
       def cos(dv: String, nrm: String, cdv: String, cnrm: String): String =
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
           s"list_transform(range(1, len($dv) + 1), i -> $dv[i] * $cdv[i])), " +
@@ -6438,7 +6441,7 @@ object OracleSql {
         |      AS BIGINT) AS cid,
         |    e.v AS c
         |  FROM sh2 JOIN e ON e.vec_id = sh2.vec_id
-        |  QUALIFY row_number() OVER (ORDER BY sh2.h, sh2.vec_id) <= 16),
+        |  QUALIFY row_number() OVER (ORDER BY sh2.h, sh2.vec_id) <= $NList),
         |${cn("c0n", "c0")},
         |${lloyd("a1", "c0n", "m1r", "c1")},
         |${cn("c1n", "c1")},
@@ -6465,8 +6468,8 @@ object OracleSql {
         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
         |        (${cos("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
         |        DESC NULLS LAST, t.cid) AS rn
-        |    FROM n, c2n t WHERE n.vec_id < 8) s
-        |  WHERE rn <= 4),
+        |    FROM n, c2n t WHERE n.vec_id < $NQueries) s
+        |  WHERE rn <= $NProbe),
         |qres AS (
         |  SELECT pr.query_id, pr.list_id,
         |    list_transform(range(1, len(e.dv) + 1),
@@ -6497,7 +6500,7 @@ object OracleSql {
         |      ORDER BY adist_micro, vec_id) AS BIGINT) AS rnk
         |  FROM cand)
         |SELECT query_id, rnk, vec_id AS neighbor_id, adist_micro
-        |FROM crnk WHERE rnk <= 5
+        |FROM crnk WHERE rnk <= $TopK
         |ORDER BY query_id, rnk""".stripMargin
     },
 
@@ -6644,9 +6647,9 @@ object OracleSql {
     """vseeds AS (
       |  SELECT d.doc_id, g.f, p.i,
       |    ((p.i // 16) // 4) * 4 + ((p.i % 16) // 4) AS b,
-      |    (d.doc_id * 1000003 + (g.f // (2 + d.doc_id % 3)) * 8191
+      |    ((d.doc_id * 1000003 + (g.f // (2 + d.doc_id % 3)) * 8191
       |      + CASE WHEN p.i % 53 = 0 THEN (g.f + 1) * 127 ELSE 0 END)
-      |      * 131071 + p.i AS x
+      |      % 2147483647) * 131071 + p.i AS x
       |  FROM documents d
       |  CROSS JOIN generate_series(0, 15) g(f)
       |  CROSS JOIN generate_series(0, 255) p(i)),

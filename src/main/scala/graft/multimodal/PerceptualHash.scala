@@ -50,7 +50,7 @@ object PerceptualHash {
   val BlockPx = W / Grid     // 4×4 pixels per block
   val HeaderLen = 6          // 'G' '8' w_hi w_lo h_hi h_lo
 
-  private val P = 2147483647L
+  val P = 2147483647L
 
   /** JVM twin of the q82/q177 quadratic mixer (`analytics.Hll`'s
     * Column form) — same constants, same mod-2³¹−1 arithmetic, so the

@@ -64,11 +64,19 @@ object VideoKeyframes {
     * jitter seed (~5 of 256 pixels of motion per frame). Seed spaces
     * are disjoint from the image (131071·i over doc_id) and audio
     * (524287·t) legs via the 1000003/8191/127 mix.
+    *
+    * The seed reduces mod 2³¹−1 BEFORE the 131071 multiply (and the
+    * oracle does the same): the mixer only ever reads the product mod
+    * P, so the reduction changes no pixel — but without it the raw
+    * product overflows Int64 once doc_id exceeds ~7e7, where Scala
+    * wraps silently while DuckDB raises, a divergent failure mode
+    * instead of a caught mismatch.
     */
   def pixel(docId: Long, f: Int, i: Int): Int = {
     val base = docId * 1000003L + scene(docId, f) * 8191L
     val seed = if (i % 53 == 0) base + (f + 1) * 127L else base
-    (PerceptualHash.mixLong(seed * 131071L + i) & 255L).toInt
+    (PerceptualHash.mixLong((seed % PerceptualHash.P) * 131071L + i)
+      & 255L).toInt
   }
 
   /** The raw "V8" clip payload: 2-byte magic, big-endian u16 frame

@@ -72,7 +72,7 @@ object IvfPq {
     // PQ on residuals: the q206 chain over (vec_id, embedding = res)
     val resEmb = res.select(col("vec_id"), col("res").as("embedding"))
     val subs = ProductQuantization.subspaces(resEmb).localCheckpoint()
-    val codebook = ProductQuantization.trainCodebook(resEmb)
+    val codebook = ProductQuantization.trainCodebook(resEmb, subs)
       .localCheckpoint()
     val codes = ProductQuantization.assign(subs, codebook)
       .select(col("s"), col("vec_id"), col("cid"))

@@ -110,10 +110,24 @@ object ProductQuantization {
   /** `Iters` Lloyd rounds per subspace: assign, recompute means
     * (round 6 → FLOAT → double, the q37 drift-swallowing contract),
     * drop emptied clusters. Returns the trained (s, cid, c) codebook.
+    *
+    * `subs` must be [[subspaces]] of the same embeddings, prebuilt and
+    * checkpointed by the caller — every consumer (audit, ADC, IVF-PQ)
+    * also needs the subspace view for the final assignment, and
+    * rebuilding it here would repeat its corpus-sized repartition
+    * exchange per training.
     */
-  def trainCodebook(embeddings: DataFrame): DataFrame = {
-    val subs = subspaces(embeddings).localCheckpoint()
-    var codebook = initCodebook(embeddings).localCheckpoint()
+  def trainCodebook(embeddings: DataFrame, subs: DataFrame): DataFrame =
+    trainLoop(subs, initCodebook(embeddings).localCheckpoint())
+
+  /** Convenience for one-shot callers (specs): builds its own subspace
+    * view. Query paths pass a shared one — see the 2-arg overload.
+    */
+  def trainCodebook(embeddings: DataFrame): DataFrame =
+    trainCodebook(embeddings, subspaces(embeddings).localCheckpoint())
+
+  private def trainLoop(subs: DataFrame, init: DataFrame): DataFrame = {
+    var codebook = init
     for (_ <- 0 until Iters) {
       codebook = assign(subs, codebook)
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
@@ -145,7 +159,8 @@ object ProductQuantization {
     */
   def codebookAuditQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val codes = assign(subspaces(emb), trainCodebook(emb))
+    val subs = subspaces(emb).localCheckpoint()
+    val codes = assign(subs, trainCodebook(emb, subs))
     codes.groupBy(col("s").as("subspace"), col("cid").as("centroid_id"))
       .agg(count(lit(1)).as("n_members"),
         sum(micro(col("d2"))).as("sse_micro"))
@@ -166,7 +181,7 @@ object ProductQuantization {
   def adcTopK(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val subs = subspaces(emb).localCheckpoint()
-    val codebook = trainCodebook(emb)
+    val codebook = trainCodebook(emb, subs)
     val codes = assign(subs, codebook)
       .select(col("s"), col("vec_id"), col("cid"))
     // per-query distance table: |Q|·M·K rows, broadcast
