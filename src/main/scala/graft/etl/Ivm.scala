@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -60,11 +60,12 @@ object Ivm {
     * current minimum cannot be absorbed from (key, n, vmin) state alone —
     * the classic non-distributive-aggregate gap of IVM [Gupta & Mumick
     * §4]. [[maintain]] therefore refuses min/max by construction (its
-    * state is (n, total)); [[maintainMin]] is the explicit fallback leg:
-    * inserts and min-preserving deletes merge incrementally, and ONLY the
-    * groups whose delta retracts their stored minimum are rebuilt from
-    * the base facts — a semi-join-pruned, affected-groups-only scan, not
-    * a view rebuild.
+    * state is (n, total)); [[maintainMin]]/[[maintainMax]] are the
+    * explicit fallback legs (one shared direction-flipped core):
+    * inserts and extremum-preserving deletes merge incrementally, and
+    * ONLY the groups whose delta retracts their stored extremum are
+    * rebuilt from the base facts — a semi-join-pruned,
+    * affected-groups-only scan, not a view rebuild.
     *
     * 100 TB shape: the incremental path is delta ⊕ view exactly like
     * [[maintain]]; the fallback path reads base restricted to the dirty
@@ -86,43 +87,74 @@ object Ivm {
     *              groups whose minimum was retracted
     */
   def maintainMin(view: DataFrame, delta: DataFrame,
-                  base: DataFrame): DataFrame = {
-    val v = view.select(col("key"), col("n"), col("vmin"))
+                  base: DataFrame): DataFrame =
+    maintainExtremum(view, delta, base, isMin = true)
+
+  /** The MAX mirror of [[maintainMin]]: maintained state (key, n, vmax),
+    * inserts and max-preserving deletes merge incrementally, a delta
+    * retracting the stored maximum rebuilds that group from the
+    * post-delta base, a delete ABOVE the maintained maximum raises.
+    * Same fallback economics, same corruption discipline — one shared
+    * core, direction-flipped comparators.
+    */
+  def maintainMax(view: DataFrame, delta: DataFrame,
+                  base: DataFrame): DataFrame =
+    maintainExtremum(view, delta, base, isMin = false)
+
+  /** The shared extremum-maintenance core — min and max are the same
+    * algorithm under a flipped order: "beyond the stored extremum" is
+    * corruption, "equal to it with sign −1" dirties the group,
+    * inserts fold with least/greatest, dirty groups rebuild from base.
+    */
+  private def maintainExtremum(view: DataFrame, delta: DataFrame,
+                               base: DataFrame, isMin: Boolean): DataFrame = {
+    val vc = if (isMin) "vmin" else "vmax"
+    val fn = if (isMin) "Ivm.maintainMin" else "Ivm.maintainMax"
+    val sideMsg = if (isMin) "delete below the maintained minimum for "
+                  else "delete above the maintained maximum for "
+    def beyond(value: Column, ext: Column): Column =
+      if (isMin) value < ext else value > ext
+    def insFold(c: Column): Column = if (isMin) min(c) else max(c)
+    def combine(a: Column, b: Column): Column =
+      if (isMin) least(a, b) else greatest(a, b)
+    val v = view.select(col("key"), col("n"), col(vc))
     val d = delta
-      .join(v.select(col("key"), col("vmin")), Seq("key"), "left")
+      .join(v.select(col("key"), col(vc)), Seq("key"), "left")
       .withColumn("bad",
-        col("sign") < 0 && (col("vmin").isNull || col("value") < col("vmin")))
+        col("sign") < 0
+          && (col(vc).isNull || beyond(col("value"), col(vc))))
       .groupBy(col("key"))
       .agg(sum(col("sign")).cast("long").as("dn"),
-        min(when(col("sign") > 0, col("value"))).as("ins_min"),
-        max(col("sign") < 0 && col("value") === col("vmin")).as("dirty"),
+        insFold(when(col("sign") > 0, col("value"))).as("ins_ext"),
+        max(col("sign") < 0 && col("value") === col(vc)).as("dirty"),
         max(col("bad")).as("bad"))
       .withColumn("dn",
         when(col("bad"), raise_error(concat(
-          lit("Ivm.maintainMin: delete below the maintained minimum for "),
+          lit(s"$fn: $sideMsg"),
           lit("key "), col("key").cast("string"),
           lit(" — the view never contained that row"))))
           .otherwise(col("dn")))
     val merged = v.join(d, Seq("key"), "full_outer")
       .select(col("key"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-        least(col("vmin"), col("ins_min")).as("inc_min"),
+        combine(col(vc), col("ins_ext")).as("inc_ext"),
         coalesce(col("dirty"), lit(false)).as("dirty"))
       .withColumn("n",
         when(col("n") < 0, raise_error(concat(
-          lit("Ivm.maintainMin: maintained count went negative for key "),
+          lit(s"$fn: maintained count went negative for key "),
           col("key").cast("string"))))
           .otherwise(col("n")))
       .filter(col("n") > 0)
-    // the fallback leg: rebuild ONLY the retracted-minimum groups from
+    // the fallback leg: rebuild ONLY the retracted-extremum groups from
     // the post-delta base (semi-join-pruned; survivors stay incremental)
     val dirtyKeys = merged.filter(col("dirty")).select(col("key"))
     val rebuilt = base.join(dirtyKeys, Seq("key"), "left_semi")
-      .groupBy(col("key")).agg(min(col("value")).as("rb_min"))
+      .groupBy(col("key"))
+      .agg((if (isMin) min(col("value")) else max(col("value"))).as("rb_ext"))
     merged.join(rebuilt, Seq("key"), "left")
       .select(col("key"), col("n"),
-        when(col("dirty"), col("rb_min")).otherwise(col("inc_min"))
-          .as("vmin"))
+        when(col("dirty"), col("rb_ext")).otherwise(col("inc_ext"))
+          .as(vc))
   }
 
   /** A continuously-maintained view: the Z-set merge COMPOSED with the

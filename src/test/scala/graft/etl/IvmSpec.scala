@@ -187,6 +187,61 @@ class IvmSpec extends SparkSpec {
     assert(s3 == Set(1L, 2L), s"zero-count group survived: $s3")
   }
 
+  test("maintainMax: inserts and max-preserving deletes stay " +
+    "incremental; a retracted maximum rebuilds group-scoped from base") {
+    // world: key 1 -> {1.0, 5.0, 5.0}; key 2 -> {3.0, 7.0}
+    val view = Seq((1L, 3L, 5.0), (2L, 2L, 7.0)).toDF("key", "n", "vmax")
+    // insert-only + delete-below-max delta: base values are POISONED
+    // (all 999) to prove the incremental path never consults base
+    val d1 = Seq((1L, 1L, 9.0), (2L, -1L, 3.0), (3L, 1L, 0.5))
+      .toDF("key", "sign", "value")
+    val poisoned = Seq((1L, 999.0), (2L, 999.0), (3L, 999.0))
+      .toDF("key", "value")
+    val s1 = Ivm.maintainMax(view, d1, poisoned).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"),
+        r.getAs[Double]("vmax"))).toSet
+    assert(s1 == Set((1L, 4L, 9.0), (2L, 1L, 7.0), (3L, 1L, 0.5)),
+      s"incremental leg consulted base or mis-merged: $s1")
+    // retract key 1's maximum (9.0): ONLY that group rebuilds from the
+    // post-delta base; keys 2/3 (untouched) must ignore base's poison
+    val view1 = Seq((1L, 4L, 9.0), (2L, 1L, 7.0), (3L, 1L, 0.5))
+      .toDF("key", "n", "vmax")
+    val d2 = Seq((1L, -1L, 9.0)).toDF("key", "sign", "value")
+    val base2 = Seq((1L, 1.0), (1L, 5.0), (1L, 5.0),
+      (2L, 7.0), (3L, 0.5)).toDF("key", "value")
+      .withColumn("value",
+        when(col("key") =!= 1L, lit(999.0)).otherwise(col("value")))
+    val s2 = Ivm.maintainMax(view1, d2, base2).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"),
+        r.getAs[Double]("vmax"))).toSet
+    assert(s2 == Set((1L, 3L, 5.0), (2L, 1L, 7.0), (3L, 1L, 0.5)),
+      s"retraction rebuild wrong or over-scoped: $s2")
+    // a group fully deleted is eliminated without any rebuild
+    val d3 = Seq((3L, -1L, 0.5)).toDF("key", "sign", "value")
+    val s3 = Ivm.maintainMax(view1, d3,
+        Seq.empty[(Long, Double)].toDF("key", "value")).collect()
+      .map(r => r.getAs[Long]("key")).toSet
+    assert(s3 == Set(1L, 2L), s"zero-count group survived: $s3")
+  }
+
+  test("maintainMax contract: a delete above the maintained maximum, or " +
+    "against an absent group, raises instead of folding into a rebuild") {
+    val view = Seq((1L, 2L, 3.0)).toDF("key", "n", "vmax")
+    val base = Seq((1L, 3.0)).toDF("key", "value")
+    val above = Seq((1L, -1L, 9.0)).toDF("key", "sign", "value")
+    val eAbove = intercept[Exception] {
+      Ivm.maintainMax(view, above, base).collect()
+    }
+    assert(eAbove.getMessage.contains("above the maintained maximum"),
+      s"wrong error: ${eAbove.getMessage}")
+    val absent = Seq((9L, -1L, 1.0)).toDF("key", "sign", "value")
+    val eAbsent = intercept[Exception] {
+      Ivm.maintainMax(view, absent, base).collect()
+    }
+    assert(eAbsent.getMessage.contains("never contained"),
+      s"wrong error: ${eAbsent.getMessage}")
+  }
+
   test("maintainMin contract: a delete below the maintained minimum, or " +
     "against an absent group, raises instead of folding into a rebuild") {
     val view = Seq((1L, 2L, 3.0)).toDF("key", "n", "vmin")
