@@ -6504,14 +6504,17 @@ object OracleSql {
         |ORDER BY query_id, rnk""".stripMargin
     },
 
-    // q209: the media dedup plan replayed — the q202 image pairs and
-    // q204 audio pairs re-derived, closed transitively by the q40
-    // recursive min-label walk, then the keeper/action/evidence rollup.
-    // keeper is computed independently of cluster_id on both sides, so
-    // a component-label convention drift fails the hash gate.
+    // q209: the media dedup plan replayed — the q202 image pairs, q204
+    // audio pairs and q210 video pairs re-derived, closed transitively
+    // by the q40 recursive min-label walk, then the
+    // keeper/action/evidence rollup. keeper is computed independently
+    // of cluster_id on both sides, so a component-label convention
+    // drift fails the hash gate.
     "q209_media_dedup_plan" ->
       s"""WITH RECURSIVE $ImageHashCte,
         |$AudioFpCte,
+        |$VideoHashCte,
+        |$VideoKfSetCtes,
         |ie AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
@@ -6522,10 +6525,14 @@ object OracleSql {
         |  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
         |  WHERE bit_count(xor(a.hi, b.hi))
         |    + bit_count(xor(a.lo, b.lo)) <= 3),
+        |ve AS (
+        |  SELECT id_a, id_b FROM vpairs),
         |medges AS (
         |  SELECT id_a, id_b, 'image' AS modality FROM ie
         |  UNION ALL
-        |  SELECT id_a, id_b, 'audio' FROM ae),
+        |  SELECT id_a, id_b, 'audio' FROM ae
+        |  UNION ALL
+        |  SELECT id_a, id_b, 'video' FROM ve),
         |med AS (
         |  SELECT id_a AS src, id_b AS dst FROM medges
         |  UNION
@@ -6554,7 +6561,19 @@ object OracleSql {
         |FROM mcc
         |JOIN mmem m ON m.cluster_id = mcc.cluster_id
         |JOIN mmods md ON md.cluster_id = mcc.cluster_id
-        |ORDER BY mcc.doc_id""".stripMargin
+        |ORDER BY mcc.doc_id""".stripMargin,
+
+    // q210: the video near-dup pairs replayed — keyframe hash sets
+    // from the q205 chain, then a BRUTE-FORCE all-pairs shared-hash
+    // count (the oracle's privilege; the engine's inverted index is
+    // complete for J >= 1/2 by the shared >= 1 pigeonhole) and the
+    // exact integer Jaccard test 3*shared >= |A| + |B|.
+    "q210_video_near_dup" ->
+      s"""WITH $VideoHashCte,
+        |$VideoKfSetCtes
+        |SELECT id_a, id_b, n_shared, n_a, n_b
+        |FROM vpairs
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** The q202/q203 image-hash CTE chain: mirrors
@@ -6637,21 +6656,33 @@ object OracleSql {
       |  FROM documents d LEFT JOIN abits ON abits.doc_id = d.doc_id
       |  GROUP BY 1)""".stripMargin
 
-  /** The q205 video frame-hash CTE chain: mirrors
+  /** The q205/q210 video frame-hash CTE chain: mirrors
     * [[graft.multimodal.VideoKeyframes]] — 16 frames of deterministic
     * 16×16 pixels (scene base stream + per-frame jitter on every 53rd
-    * pixel), 4×4 block sums, and the 16-bit integer mean test
-    * bs·16 > total per frame. Ends with `fhash(doc_id, f, h)`.
+    * pixel; doc ≡ 3 mod 4 re-derives from its ≡ 2 neighbor with a
+    * re-seeded last scene — the planted near-dup), 4×4 block sums, and
+    * the 16-bit integer mean test bs·16 > total per frame. Ends with
+    * `fhash(doc_id, f, h)`.
     */
   private def VideoHashCte: String =
-    """vseeds AS (
-      |  SELECT d.doc_id, g.f, p.i,
+    """vfr AS (
+      |  SELECT d.doc_id,
+      |    d.doc_id - CASE WHEN d.doc_id % 4 = 3 THEN 1 ELSE 0 END AS eff,
+      |    g.f,
+      |    g.f // (2 + (d.doc_id
+      |      - CASE WHEN d.doc_id % 4 = 3 THEN 1 ELSE 0 END) % 3) AS sc,
+      |    15 // (2 + (d.doc_id
+      |      - CASE WHEN d.doc_id % 4 = 3 THEN 1 ELSE 0 END) % 3)
+      |      AS last_sc
+      |  FROM documents d CROSS JOIN generate_series(0, 15) g(f)),
+      |vseeds AS (
+      |  SELECT v.doc_id, v.f, p.i,
       |    ((p.i // 16) // 4) * 4 + ((p.i % 16) // 4) AS b,
-      |    ((d.doc_id * 1000003 + (g.f // (2 + d.doc_id % 3)) * 8191
-      |      + CASE WHEN p.i % 53 = 0 THEN (g.f + 1) * 127 ELSE 0 END)
+      |    (((CASE WHEN v.doc_id % 4 = 3 AND v.sc = v.last_sc
+      |        THEN v.doc_id ELSE v.eff END) * 1000003 + v.sc * 8191
+      |      + CASE WHEN p.i % 53 = 0 THEN (v.f + 1) * 127 ELSE 0 END)
       |      % 2147483647) * 131071 + p.i AS x
-      |  FROM documents d
-      |  CROSS JOIN generate_series(0, 15) g(f)
+      |  FROM vfr v
       |  CROSS JOIN generate_series(0, 255) p(i)),
       |vmx AS (
       |  SELECT doc_id, f, b,
@@ -6676,6 +6707,34 @@ object OracleSql {
       |  FROM vblocks JOIN vtot
       |    ON vtot.doc_id = vblocks.doc_id AND vtot.f = vblocks.f
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The q210 keyframe-set chain over `fhash`: the q205 lag/cut
+    * selection, per-clip DISTINCT keyframe-hash sets, brute-force
+    * shared-count pair scan, exact integer J ≥ 1/2 filter. Ends with
+    * `vpairs(id_a, id_b, n_shared, n_a, n_b)`.
+    */
+  private def VideoKfSetCtes: String =
+    """vlag AS (
+      |  SELECT doc_id, f, h,
+      |    bit_count(xor(h, lag(h) OVER (PARTITION BY doc_id ORDER BY f)))
+      |      AS ham
+      |  FROM fhash),
+      |vkf AS (
+      |  SELECT DISTINCT doc_id, h FROM vlag WHERE f = 0 OR ham > 4),
+      |vsz AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM vkf GROUP BY 1),
+      |vsh AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM vkf a JOIN vkf b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |vpairs AS (
+      |  SELECT id_a, id_b, n_shared, sa.n AS n_a, sb.n AS n_b
+      |  FROM vsh
+      |  JOIN vsz sa ON sa.doc_id = vsh.id_a
+      |  JOIN vsz sb ON sb.doc_id = vsh.id_b
+      |  WHERE 3 * n_shared >= sa.n + sb.n)""".stripMargin
 
   /** The exact micro-unit conversion of a squared distance: reproduces
     * Spark's `round(d2 * 1e6, 0).cast("long")` (shortest-decimal-string

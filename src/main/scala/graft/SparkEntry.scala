@@ -493,9 +493,13 @@ object SparkEntry {
     // IVF-PQ: the production composition — coarse routing + residual
     // PQ codes + per-(query, probed-list) ADC tables (FAISS IVFPQ)
     "q208_ivfpq_topk"       -> (graft.similarity.IvfPq.ivfPqTopKQuery _),
-    // media dedup plan: image+audio near-dup graphs closed by CC,
+    // media dedup plan: image+audio+video near-dup graphs closed by CC,
     // one keep/drop decision per clustered row with evidence trail
-    "q209_media_dedup_plan" -> (graft.multimodal.MediaDedup.mediaDedupPlanQuery _)
+    "q209_media_dedup_plan" -> (graft.multimodal.MediaDedup.mediaDedupPlanQuery _),
+    // video near-dup: keyframe-set similarity over the q205 scene
+    // signatures (inverted-index candidates, exact integer Jaccard
+    // test) — the third modality of the media dedup plan
+    "q210_video_near_dup"   -> (graft.multimodal.VideoKeyframes.videoNearDupQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -7,14 +7,15 @@ import graft.Tables
 import graft.dedup.Dedup
 
 /** The media dedup PLAN — wires the perceptual legs into the text
-  * suite's keeper machinery: union the image (q202, aHash Hamming ≤ 3)
-  * and audio (q204, energy-delta Hamming ≤ 3) near-dup pair graphs,
-  * close them transitively ([[Dedup.connectedComponents]] — the
-  * Kiveris star-contraction the golden-record ER already rides), and
+  * suite's keeper machinery: union the image (q202, aHash Hamming ≤ 3),
+  * audio (q204, energy-delta Hamming ≤ 3) and video (q210,
+  * keyframe-set Jaccard ≥ 1/2) near-dup pair graphs, close them
+  * transitively ([[Dedup.connectedComponents]] — the Kiveris
+  * star-contraction the golden-record ER already rides), and
   * emit one keep/drop decision per clustered media row with the
   * cluster's evidence trail (which modalities linked it, how many
   * members). This is the list a curation job actually executes: the
-  * pairs (q202/q204) are evidence, the plan is the action.
+  * pairs (q202/q204/q210) are evidence, the plan is the action.
   *
   * Keeper rule: smallest doc_id per component — the q24/q48 keeper
   * convention, and also the star-forest root, so `keeper` must equal
@@ -40,7 +41,11 @@ object MediaDedup {
         AudioFingerprint.fingerprintClips(spark,
           AudioFingerprint.audioCorpus(spark, docs)).toDF(), maxHamming = 3)
       .select(col("id_a"), col("id_b"), lit("audio").as("modality"))
-    val edges = img.unionByName(aud).localCheckpoint()
+    val vid = VideoKeyframes.videoNearDupPairs(
+        VideoKeyframes.keyframes(spark,
+          VideoKeyframes.videoCorpus(spark, docs)).toDF())
+      .select(col("id_a"), col("id_b"), lit("video").as("modality"))
+    val edges = img.unionByName(aud).unionByName(vid).localCheckpoint()
 
     val cc = Dedup.connectedComponents(
       edges.select(col("id_a"), col("id_b")))

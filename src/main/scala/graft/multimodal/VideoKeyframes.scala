@@ -32,11 +32,14 @@ import graft.Tables
   *
   * Corpus: one 16-frame 16×16 clip per `documents` row ("V8" magic +
   * big-endian u16 frame count/width/height + raw frames), generated
-  * DISTRIBUTED. Scene structure: doc d cuts every 2 + (d mod 3)
+  * DISTRIBUTED. Scene structure: doc d cuts every 2 + (eff(d) mod 3)
   * frames (8/6/4 scenes per clip); frames within a scene share a base
   * pixel stream with ~5 of 256 pixels jittered per frame (motion), so
   * consecutive within-scene hashes differ by ~0–2 bits while cross-
-  * scene frames are fresh draws (~8 bits).
+  * scene frames are fresh draws (~8 bits). Doc ≡ 3 (mod 4) is a
+  * planted near-duplicate of its ≡ 2 neighbor — identical except a
+  * re-seeded final scene (see [[pixel]]) — the recall target of the
+  * q210 set-similarity near-dup leg.
   *
   * 100 TB shape: ZERO SHUFFLE — every frame of a clip lives in one
   * payload row, so decode → per-frame hash → cut detection → keyframe
@@ -54,10 +57,20 @@ object VideoKeyframes {
   val HeaderLen = 8            // 'V' '8' n_hi n_lo w_hi w_lo h_hi h_lo
   val CutThreshold = 4         // Hamming > 4 → scene cut
 
-  /** Scene index of frame `f` in doc `d`: cuts every 2 + (d mod 3)
-    * frames.
+  /** The clip a doc's pixel streams derive from: doc_id ≡ 3 (mod 4) is
+    * a planted NEAR-DUPLICATE of its ≡ 2 neighbor (same scene
+    * structure, same streams, one re-seeded scene — see [[pixel]]);
+    * every other residue is a fresh clip. Disjoint from the image and
+    * audio legs' planted groups (≡ 1 of ≡ 0), so the media dedup plan
+    * (q209) gets video-only clusters alongside the image+audio ones.
     */
-  def scene(docId: Long, f: Int): Long = f / (2 + docId % 3)
+  def effId(docId: Long): Long = if (docId % 4 == 3) docId - 1 else docId
+
+  /** Scene length of doc `d`'s clip: 2 + (eff mod 3) frames. */
+  def sceneLen(docId: Long): Int = (2 + effId(docId) % 3).toInt
+
+  /** Scene index of frame `f` in doc `d`. */
+  def scene(docId: Long, f: Int): Long = f / sceneLen(docId)
 
   /** Pixel `i` of frame `f` in clip `docId`: frames of a scene share
     * the scene's base stream; every 53rd pixel takes a per-frame
@@ -71,9 +84,21 @@ object VideoKeyframes {
     * product overflows Int64 once doc_id exceeds ~7e7, where Scala
     * wraps silently while DuckDB raises, a divergent failure mode
     * instead of a caught mismatch.
+    *
+    * Near-dup planting: a variant clip (doc ≡ 3 mod 4) shares its
+    * base's scene structure and pixel streams EXACTLY except the LAST
+    * scene, which re-seeds from its own doc_id — a fresh final shot
+    * spliced onto an otherwise identical clip (re-edit with a new
+    * outro, the standard video near-dup shape). All earlier scenes
+    * being pixel-identical makes their keyframe hashes EXACT matches,
+    * which is what the set-similarity pair rule (q210) keys on.
     */
   def pixel(docId: Long, f: Int, i: Int): Int = {
-    val base = docId * 1000003L + scene(docId, f) * 8191L
+    val eff = effId(docId)
+    val sc = scene(docId, f)
+    val lastScene = (NFrames - 1) / sceneLen(docId)
+    val seedDoc = if (docId % 4 == 3 && sc == lastScene) docId else eff
+    val base = seedDoc * 1000003L + sc * 8191L
     val seed = if (i % 53 == 0) base + (f + 1) * 127L else base
     (PerceptualHash.mixLong((seed % PerceptualHash.P) * 131071L + i)
       & 255L).toInt
@@ -190,4 +215,52 @@ object VideoKeyframes {
       .select(col("media_id").as("doc_id"), col("frame_idx"),
         col("frame_hash"), col("ham_prev"))
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Video NEAR-DUPLICATE pairs by keyframe-set similarity — the q25
+    * set-similarity shape over [[keyframes]] output: a clip is its SET
+    * of distinct keyframe hashes (the scene signature), and two clips
+    * sharing most of it are near-duplicates (re-edits, re-encodes,
+    * spliced outros). Candidate generation is an INVERTED INDEX on the
+    * exact keyframe hash value — every pair with Jaccard ≥ 1/2 shares
+    * ≥ 1 hash, so the hash-equality join is the complete candidate
+    * generator and the exact integer test `3·shared ≥ |A| + |B|`
+    * (⟺ J ≥ 1/2) runs only on collisions; the corpus is never paired
+    * n². ALL-INTEGER output: (id_a, id_b, n_shared, n_a, n_b).
+    *
+    * 100 TB shape: the index exchange is keyed on the hash value; a
+    * 16-bit frame hash caps bucket width at ~|corpus|/2¹⁶ in
+    * expectation, so at true corpus scale the per-frame grid widens
+    * (Grid is the parameter — 8×8 gives the image leg's 64 bits) to
+    * keep buckets collision-sized; the shape is unchanged. The
+    * brute-force all-pairs scan exists only in the DuckDB oracle.
+    */
+  def videoNearDupPairs(keyframes: DataFrame): DataFrame = {
+    val kf = keyframes
+      .select(col("media_id"), col("frame_hash")).distinct()
+    val sizes = kf.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_kf"))
+    val a = kf.select(col("media_id").as("id_a"), col("frame_hash"))
+    val b = kf.select(col("media_id").as("id_b"), col("frame_hash"))
+    // sizes is corpus-sized (one row per clip) — shuffled equi-joins,
+    // never a broadcast; the candidate side is collision-sized anyway
+    a.join(b, Seq("frame_hash")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("media_id").as("id_a"),
+        col("n_kf").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("media_id").as("id_b"),
+        col("n_kf").as("n_b")), Seq("id_b"))
+      .filter(lit(3) * col("n_shared") >= col("n_a") + col("n_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("n_a"), col("n_b"))
+  }
+
+  /** q210: video near-dup pairs (keyframe-set Jaccard ≥ 1/2) over the
+    * documents-derived clip corpus — the third modality of the media
+    * dedup plan (q209).
+    */
+  def videoNearDupQuery(s: SparkSession, dir: String): DataFrame =
+    videoNearDupPairs(
+        keyframes(s, videoCorpus(s, Tables.documents(s, dir))).toDF())
+      .orderBy(col("id_a"), col("id_b"))
 }

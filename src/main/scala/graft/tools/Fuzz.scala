@@ -220,7 +220,11 @@ object Fuzz {
     "q208_ivfpq_topk",         // coarse routing + residual PQ + ADC
     // media dedup plan: per-seed doc_id sets shift the planted pair
     // graph; engine star-contraction CC vs oracle recursive min-label
-    "q209_media_dedup_plan")
+    "q209_media_dedup_plan",
+    // video near-dup (round 13): per-seed doc_id sets shift the planted
+    // 4k+2/4k+3 splice groups and scene lengths — engine inverted-index
+    // candidates + integer Jaccard vs oracle brute-force set scan
+    "q210_video_near_dup")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

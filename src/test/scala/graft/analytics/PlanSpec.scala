@@ -1003,6 +1003,18 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 2, plan)
   }
 
+  test("q210: the video pair join is keyed on the frame hash (inverted " +
+    "index) — never an all-pairs loop; the scan prunes to doc_id") {
+    val df = graft.multimodal.VideoKeyframes.videoNearDupQuery(spark, dir)
+    scans(df).foreach { scan =>
+      assert(scan.schema.fieldNames.toSeq == Seq("doc_id"),
+        scan.schema.fieldNames.mkString(","))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q206/q207: every PQ codebook/distance-table join is broadcast — " +
     "the n-row side is never sort-merge-joined against M*K rows") {
     for (fn <- Seq(graft.similarity.ProductQuantization.codebookAuditQuery _,

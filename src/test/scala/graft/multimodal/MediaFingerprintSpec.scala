@@ -134,7 +134,7 @@ class MediaFingerprintSpec extends SparkSpec {
     assert((0L until nDocs).forall(d => found((d, 0))), "missing frame 0")
     val planted = (for {
       d <- 0L until nDocs
-      len = 2 + (d % 3).toInt
+      len = VideoKeyframes.sceneLen(d)
       f <- 0 until VideoKeyframes.NFrames by len
     } yield (d, f)).toSet
     val hits = (found & planted).size
@@ -143,5 +143,53 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(recall >= 0.93, s"scene recall $recall ($hits/${planted.size})")
     assert(falseCuts <= found.size / 100,
       s"$falseCuts false cuts of ${found.size} keyframes")
+  }
+
+  // ---- q210 video near-dup ----
+
+  test("planted variant clips (doc 4k+2 vs 4k+3) share all pre-splice " +
+    "scene streams exactly; fresh clips share none") {
+    // variant = base except the re-seeded last scene
+    val base = VideoKeyframes.frameHashes(VideoKeyframes.encode(6L))
+    val variant = VideoKeyframes.frameHashes(VideoKeyframes.encode(7L))
+    val len = VideoKeyframes.sceneLen(7L)
+    val lastStart = ((VideoKeyframes.NFrames - 1) / len) * len
+    (0 until lastStart).foreach { f =>
+      assert(base(f) === variant(f), s"pre-splice frame $f diverged")
+    }
+    // residues 0/1/2 are mutually fresh streams
+    val other = VideoKeyframes.frameHashes(VideoKeyframes.encode(8L))
+    assert(base.toSet.intersect(other.toSet).size <= 2,
+      "fresh clips share too many frame hashes")
+  }
+
+  test("q210 on testdata: inverted-index pairs match the brute-force " +
+    "set scan, every pair is planted, recall above the floor") {
+    val kf = VideoKeyframes.keyframes(spark,
+      VideoKeyframes.videoCorpus(spark, graft.Tables.documents(spark, dir)))
+      .toDF()
+    // in-test brute force over the keyframe hash sets
+    val sets = kf.select(col("media_id"), col("frame_hash")).distinct()
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).map { case (d, hs) => (d, hs.map(_._2).toSet) }
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      shared = (sa & sb).size
+      if 3 * shared >= sa.size + sb.size
+    } yield (a, b, shared.toLong, sa.size.toLong, sb.size.toLong)).toSet
+    val engine = VideoKeyframes.videoNearDupPairs(kf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(engine === brute)
+
+    val pairs = engine.map(p => (p._1, p._2))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(a % 4 === 2L && b === a + 1, s"un-planted pair ($a, $b)")
+    }
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    val nGroups = (2L until nDocs by 4L).count(_ + 1 < nDocs)
+    val recall = pairs.size.toDouble / nGroups
+    assert(recall >= 0.9, s"video recall $recall (${pairs.size}/$nGroups)")
   }
 }
