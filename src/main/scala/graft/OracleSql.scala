@@ -6379,40 +6379,7 @@ object OracleSql {
     // residuals (`pe` = residuals), per-(query, probed-list) residual
     // ADC tables in micro-units, integer sums over probed candidates.
     "q208_ivfpq_topk" -> {
-      import graft.functions.VectorHash._
       import graft.similarity.IvfPq.{NList, NProbe, NQueries, TopK}
-      def cos(dv: String, nrm: String, cdv: String, cnrm: String): String =
-        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-          s"list_transform(range(1, len($dv) + 1), i -> $dv[i] * $cdv[i])), " +
-          s"(s, x) -> s + x) / ($nrm * $cnrm)"
-      def cn(out: String, src: String): String =
-        s"""$out AS (
-        |  SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)) AS cdv,
-        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-        |      (s, x) -> s + x)) AS cnrm
-        |  FROM $src)"""
-      def lloyd(a: String, from: String, m: String, cNext: String): String =
-        s"""$a AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT n.vec_id, t.cid,
-        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |        (${cos("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
-        |        DESC NULLS LAST, t.cid) AS rn
-        |    FROM n, $from t) s
-        |  WHERE rn = 1),
-        |$m AS (
-        |  SELECT cid, pos, round(avg(vv), 6) AS m
-        |  FROM (
-        |    SELECT a.cid,
-        |      unnest(range(1, len(e.dv) + 1)) AS pos,
-        |      unnest(e.dv) AS vv
-        |    FROM $a a JOIN e ON e.vec_id = a.vec_id) u
-        |  GROUP BY cid, pos),
-        |$cNext AS (
-        |  SELECT cid, list_transform(list(m ORDER BY pos),
-        |    x -> CAST(x AS FLOAT)) AS c
-        |  FROM $m GROUP BY cid)"""
       def pqL2(sv: String, c: String): String =
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
           s"list_transform(range(1, len($sv) + 1), " +
@@ -6428,30 +6395,12 @@ object OracleSql {
         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(dv, x -> x * x)), (s, x) -> s + x)) AS nrm
         |  FROM e),
-        |sd AS (
-        |  SELECT vec_id,
-        |    (($PlaneA1 * (vec_id % $PlaneP) + $PlaneB1) % $PlaneP) AS m1
-        |  FROM e),
-        |sh2 AS (
-        |  SELECT vec_id,
-        |    (($PlaneA2 * ((m1 * m1) % $PlaneP) + m1) % $PlaneP) AS h
-        |  FROM sd),
-        |c0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY sh2.h, sh2.vec_id) - 1
-        |      AS BIGINT) AS cid,
-        |    e.v AS c
-        |  FROM sh2 JOIN e ON e.vec_id = sh2.vec_id
-        |  QUALIFY row_number() OVER (ORDER BY sh2.h, sh2.vec_id) <= $NList),
-        |${cn("c0n", "c0")},
-        |${lloyd("a1", "c0n", "m1r", "c1")},
-        |${cn("c1n", "c1")},
-        |${lloyd("a2", "c1n", "m2r", "c2")},
-        |${cn("c2n", "c2")},
+        |${IvfCoarseChainSql("e", "n", NList)},
         |lists AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT n.vec_id, t.cid,
         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |        (${cos("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        (${IvfCosSql("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
         |        DESC NULLS LAST, t.cid) AS rn
         |    FROM n, c2n t) s
         |  WHERE rn = 1),
@@ -6466,7 +6415,7 @@ object OracleSql {
         |  SELECT query_id, cid AS list_id FROM (
         |    SELECT n.vec_id AS query_id, t.cid,
         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |        (${cos("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        (${IvfCosSql("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
         |        DESC NULLS LAST, t.cid) AS rn
         |    FROM n, c2n t WHERE n.vec_id < $NQueries) s
         |  WHERE rn <= $NProbe),
@@ -6573,7 +6522,129 @@ object OracleSql {
         |$VideoKfSetCtes
         |SELECT id_a, id_b, n_shared, n_a, n_b
         |FROM vpairs
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q211: incremental IVF-PQ maintenance replayed — the coarse and
+    // PQ chains trained on the BASE corpus only (vec_id % 5 <> 4), ALL
+    // vectors assigned through the frozen codebooks, the maintained
+    // table (base codes ∪ batch codes) full-outer-diffed against the
+    // from-scratch re-encode (the q152 law: 0 mismatches per list),
+    // plus the occupancy/SSE/PSI drift readout.
+    "q211_vector_index_maintain" -> {
+      import graft.similarity.IvfPq.NList
+      import graft.similarity.VectorIndexMaintain.BatchMod
+      val mm = graft.similarity.ProductQuantization.M
+      val newRes = BatchMod - 1
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding AS v,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, dv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(dv, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM e),
+        |eb AS (SELECT * FROM e WHERE vec_id % $BatchMod <> $newRes),
+        |nb AS (SELECT * FROM n WHERE vec_id % $BatchMod <> $newRes),
+        |${IvfCoarseChainSql("eb", "nb", NList)},
+        |lists AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT n.vec_id, t.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (${IvfCosSql("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n, c2n t) s
+        |  WHERE rn = 1),
+        |pe AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(1, len(e.dv) + 1),
+        |      i -> e.dv[i] - CAST(t.c[i] AS DOUBLE)) AS dv
+        |  FROM eb e JOIN lists l ON l.vec_id = e.vec_id
+        |  JOIN c2 t ON t.cid = l.cid),
+        |$PqChain,
+        |ren AS (
+        |  SELECT e.vec_id, l.cid AS list_id,
+        |    list_transform(range(1, len(e.dv) + 1),
+        |      i -> e.dv[i] - CAST(t.c[i] AS DOUBLE)) AS rdv
+        |  FROM e JOIN lists l ON l.vec_id = e.vec_id
+        |  JOIN c2 t ON t.cid = l.cid
+        |  WHERE e.vec_id % $BatchMod = $newRes),
+        |nsub AS (
+        |  SELECT vec_id, g.s,
+        |    list_slice(rdv, g.s * (len(rdv) // $mm) + 1,
+        |      (g.s + 1) * (len(rdv) // $mm)) AS sv
+        |  FROM ren CROSS JOIN generate_series(0, ${mm - 1}) g(s)),
+        |${PqAssignSql("ncode", "nsub")},
+        |rea AS (
+        |  SELECT e.vec_id, l.cid AS list_id,
+        |    list_transform(range(1, len(e.dv) + 1),
+        |      i -> e.dv[i] - CAST(t.c[i] AS DOUBLE)) AS rdv
+        |  FROM e JOIN lists l ON l.vec_id = e.vec_id
+        |  JOIN c2 t ON t.cid = l.cid),
+        |asub AS (
+        |  SELECT vec_id, g.s,
+        |    list_slice(rdv, g.s * (len(rdv) // $mm) + 1,
+        |      (g.s + 1) * (len(rdv) // $mm)) AS sv
+        |  FROM rea CROSS JOIN generate_series(0, ${mm - 1}) g(s)),
+        |${PqAssignSql("acode", "asub")},
+        |maint AS (
+        |  SELECT p.s, p.vec_id, p.cid, l.cid AS list_id
+        |  FROM pcode p JOIN lists l ON l.vec_id = p.vec_id
+        |  UNION ALL
+        |  SELECT nc.s, nc.vec_id, nc.cid, r.list_id
+        |  FROM ncode nc JOIN ren r ON r.vec_id = nc.vec_id),
+        |reb AS (
+        |  SELECT a.s, a.vec_id, a.cid, l.cid AS list_id
+        |  FROM acode a JOIN lists l ON l.vec_id = a.vec_id),
+        |mm0 AS (
+        |  SELECT coalesce(m.list_id, r.list_id) AS list_id
+        |  FROM maint m FULL OUTER JOIN reb r
+        |    ON r.vec_id = m.vec_id AND r.s = m.s
+        |  WHERE m.cid IS NULL OR r.cid IS NULL
+        |    OR m.cid <> r.cid OR m.list_id <> r.list_id),
+        |mmagg AS (
+        |  SELECT list_id, CAST(count(*) AS BIGINT) AS n_code_mismatch
+        |  FROM mm0 GROUP BY 1),
+        |ob AS (
+        |  SELECT cid AS list_id, CAST(count(*) AS BIGINT) AS n_base
+        |  FROM lists WHERE vec_id % $BatchMod <> $newRes GROUP BY 1),
+        |onw AS (
+        |  SELECT cid AS list_id, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM lists WHERE vec_id % $BatchMod = $newRes GROUP BY 1),
+        |sse AS (
+        |  SELECT r.list_id,
+        |    CAST(sum(CAST(round(CAST(CAST(nc.d2 * 1000000.0 AS VARCHAR)
+        |      AS DECIMAL(30,12)), 0) AS BIGINT)) AS BIGINT)
+        |      AS new_sse_micro
+        |  FROM ncode nc JOIN ren r ON r.vec_id = nc.vec_id
+        |  GROUP BY 1),
+        |occ AS (
+        |  SELECT c2.cid AS list_id,
+        |    CAST(coalesce(ob.n_base, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(onw.n_new, 0) AS BIGINT) AS n_new,
+        |    CAST(coalesce(sse.new_sse_micro, 0) AS BIGINT)
+        |      AS new_sse_micro,
+        |    CAST(coalesce(mmagg.n_code_mismatch, 0) AS BIGINT)
+        |      AS n_code_mismatch
+        |  FROM c2
+        |  LEFT JOIN ob ON ob.list_id = c2.cid
+        |  LEFT JOIN onw ON onw.list_id = c2.cid
+        |  LEFT JOIN sse ON sse.list_id = c2.cid
+        |  LEFT JOIN mmagg ON mmagg.list_id = c2.cid),
+        |tt AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+        |    CAST(sum(n_new) AS BIGINT) AS t_new,
+        |    CAST(count(*) AS BIGINT) AS n_lists
+        |  FROM occ)
+        |SELECT list_id, n_base, n_new, new_sse_micro, n_code_mismatch,
+        |  CAST(round(CAST(CAST(
+        |    ((n_base + 1) / CAST(t_base + n_lists AS DOUBLE)
+        |      - (n_new + 1) / CAST(t_new + n_lists AS DOUBLE))
+        |    * ln(((n_base + 1) / CAST(t_base + n_lists AS DOUBLE))
+        |        / ((n_new + 1) / CAST(t_new + n_lists AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(30,12)), 6) AS DOUBLE) AS psi_contrib
+        |FROM occ, tt ORDER BY list_id""".stripMargin
+    }
   )
 
   /** The q202/q203 image-hash CTE chain: mirrors
@@ -6707,6 +6778,101 @@ object OracleSql {
       |  FROM vblocks JOIN vtot
       |    ON vtot.doc_id = vblocks.doc_id AND vtot.f = vblocks.f
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Index-order cosine between a corpus row (dv, nrm) and a
+    * normalized-centroid row (cdv, cnrm) — the q37 fold the coarse
+    * quantizer scores with (q208/q211).
+    */
+  private def IvfCosSql(dv: String, nrm: String, cdv: String,
+                        cnrm: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($dv) + 1), i -> $dv[i] * $cdv[i])), " +
+      s"(s, x) -> s + x) / ($nrm * $cnrm)"
+
+  /** Normalized centroid view `$out(cid, cdv, cnrm)` over `$src(cid, c)`. */
+  private def IvfCnSql(out: String, src: String): String =
+    s"""$out AS (
+    |  SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)) AS cdv,
+    |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    |      list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+    |      (s, x) -> s + x)) AS cnrm
+    |  FROM $src)"""
+
+  /** One coarse Lloyd round trained on corpus `$eSrc`/`$nSrc`: argmax
+    * cosine assignment off `$from`, round(mean,6)→FLOAT rebuild into
+    * `$cNext` — the q37 contract.
+    */
+  private def IvfLloydSql(a: String, from: String, m: String,
+      cNext: String, eSrc: String, nSrc: String): String =
+    s"""$a AS (
+    |  SELECT vec_id, cid FROM (
+    |    SELECT n.vec_id, t.cid,
+    |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+    |        (${IvfCosSql("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+    |        DESC NULLS LAST, t.cid) AS rn
+    |    FROM $nSrc n, $from t) s
+    |  WHERE rn = 1),
+    |$m AS (
+    |  SELECT cid, pos, round(avg(vv), 6) AS m
+    |  FROM (
+    |    SELECT a.cid,
+    |      unnest(range(1, len(e.dv) + 1)) AS pos,
+    |      unnest(e.dv) AS vv
+    |    FROM $a a JOIN $eSrc e ON e.vec_id = a.vec_id) u
+    |  GROUP BY cid, pos),
+    |$cNext AS (
+    |  SELECT cid, list_transform(list(m ORDER BY pos),
+    |    x -> CAST(x AS FLOAT)) AS c
+    |  FROM $m GROUP BY cid)"""
+
+  /** The q37-convention coarse chain trained on `$eSrc`/`$nSrc`: plane
+    * seed hash, hash-ordered init (`c0`), two Lloyd rounds, ending at
+    * codebook `c2` (float lists) + normalized view `c2n`.
+    */
+  private def IvfCoarseChainSql(eSrc: String, nSrc: String,
+                                nlist: Int): String = {
+    import graft.functions.VectorHash._
+    s"""sd AS (
+    |  SELECT vec_id,
+    |    (($PlaneA1 * (vec_id % $PlaneP) + $PlaneB1) % $PlaneP) AS m1
+    |  FROM $eSrc),
+    |sh2 AS (
+    |  SELECT vec_id,
+    |    (($PlaneA2 * ((m1 * m1) % $PlaneP) + m1) % $PlaneP) AS h
+    |  FROM sd),
+    |c0 AS (
+    |  SELECT CAST(row_number() OVER (ORDER BY sh2.h, sh2.vec_id) - 1
+    |      AS BIGINT) AS cid,
+    |    e.v AS c
+    |  FROM sh2 JOIN $eSrc e ON e.vec_id = sh2.vec_id
+    |  QUALIFY row_number() OVER (ORDER BY sh2.h, sh2.vec_id)
+    |    <= $nlist),
+    |${IvfCnSql("c0n", "c0")},
+    |${IvfLloydSql("a1", "c0n", "m1r", "c1", eSrc, nSrc)},
+    |${IvfCnSql("c1n", "c1")},
+    |${IvfLloydSql("a2", "c1n", "m2r", "c2", eSrc, nSrc)},
+    |${IvfCnSql("c2n", "c2")}"""
+  }
+
+  /** Argmin-L2 PQ assignment of subspace CTE `$sub(s, vec_id, sv)`
+    * against the trained `pc2`, with reconstruction d2 — ends as
+    * `$out(s, vec_id, cid, d2)`.
+    */
+  private def PqAssignSql(out: String, sub: String): String = {
+    def l2(sv: String, c: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($sv) + 1), " +
+        s"i -> ($sv[i] - $c[i]) * ($sv[i] - $c[i]))), " +
+        s"(a, x) -> a + x)"
+    s"""$out AS (
+    |  SELECT s, vec_id, cid, d2 FROM (
+    |    SELECT b.s, b.vec_id, t.cid,
+    |      (${l2("b.sv", "t.c")}) AS d2,
+    |      row_number() OVER (PARTITION BY b.s, b.vec_id ORDER BY
+    |        (${l2("b.sv", "t.c")}) ASC NULLS LAST, t.cid) AS rn
+    |    FROM $sub b JOIN pc2 t ON t.s = b.s) q
+    |  WHERE rn = 1)"""
+  }
 
   /** The q210 keyframe-set chain over `fhash`: the q205 lag/cut
     * selection, per-clip DISTINCT keyframe-hash sets, brute-force

@@ -499,7 +499,12 @@ object SparkEntry {
     // video near-dup: keyframe-set similarity over the q205 scene
     // signatures (inverted-index candidates, exact integer Jaccard
     // test) — the third modality of the media dedup plan
-    "q210_video_near_dup"   -> (graft.multimodal.VideoKeyframes.videoNearDupQuery _)
+    "q210_video_near_dup"   -> (graft.multimodal.VideoKeyframes.videoNearDupQuery _),
+    // incremental IVF-PQ maintenance: a new batch assigns to the
+    // FROZEN base-trained codebooks (broadcast scoring, no retrain),
+    // maintained ≡ rebuilt gated per list, PSI occupancy drift readout
+    "q211_vector_index_maintain" ->
+      (graft.similarity.VectorIndexMaintain.maintainQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

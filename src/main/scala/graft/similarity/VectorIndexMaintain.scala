@@ -1,0 +1,137 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** INCREMENTAL maintenance of the IVF-PQ vector index — the q152 IVM
+  * law applied to vectors. Production ANN indexes are never retrained
+  * per ingest (FAISS's add-after-train contract; Jégou et al.
+  * TPAMI'11 train once on a sample): a new embedding batch ASSIGNS to
+  * the EXISTING coarse centroids and PQ codebooks — pure broadcast
+  * scoring, the q37/q206 assign stages reused verbatim with zero Lloyd
+  * rounds — and the maintained code table is the stored base codes
+  * plus the appended batch codes. The retrain decision is driven by a
+  * DRIFT readout: the q156 PSI shape over coarse-list occupancy (base
+  * distribution vs the new batch's), plus the batch's reconstruction
+  * error through the frozen codebooks — when either degrades, you
+  * retrain; until then, ingest is assignment-only.
+  *
+  * The maintenance LAW (what the oracle gates): the maintained code
+  * table must equal a from-scratch encode of the union corpus through
+  * the SAME codebooks — assignment is per-vector, so append-only
+  * maintenance is exact, and `n_code_mismatch` must be 0 on every
+  * list. The engine computes the two sides as genuinely different
+  * plans (stored-union vs re-encode-all) and diffs them; a drifted
+  * broadcast, a stale codebook, or a torn append all surface here.
+  *
+  * Exactness discipline: occupancy and mismatch counts are integers;
+  * the batch's reconstruction error is the q206 micro-unit integer
+  * sum (order-free); the PSI contribution is the q156 Laplace-smoothed
+  * form rounded at 6 dp, replayed by the oracle through the
+  * VARCHAR→DECIMAL(30,12) round-trip.
+  *
+  * 100 TB shape: the only work per ingest batch is |batch| broadcast
+  * scorings (coarse cosine + M·K ADC assigns) and a batch-sized
+  * append — the base corpus is NOT re-read (the verification re-encode
+  * exists for the gate; production appends through the fenced snapshot
+  * sink, [[graft.stream.Ingest.advanceSnapshotFenced]] — the replay
+  * spec proves a redelivered batch is a no-op, see
+  * VectorMaintainSpec). Occupancy/PSI state is nlist rows.
+  */
+object VectorIndexMaintain {
+
+  /** vec_id % BatchMod == BatchMod−1 is the "new ingest batch" (~20%);
+    * the rest is the base corpus the index was trained on.
+    */
+  val BatchMod = 5L
+
+  /** q211: maintain the IVF-PQ index through one ingest batch — per
+    * coarse list: base/new occupancy, the new batch's reconstruction
+    * error through the FROZEN codebooks, the maintained-vs-rebuilt
+    * mismatch count (the law: all 0), and the PSI drift contribution.
+    */
+  def maintainQuery(s: SparkSession, dir: String): DataFrame =
+    maintain(Tables.embeddings(s, dir))
+
+  def maintain(emb: DataFrame): DataFrame = {
+    val base = emb.filter(col("vec_id") % BatchMod =!= BatchMod - 1)
+    val batch = emb.filter(col("vec_id") % BatchMod === BatchMod - 1)
+
+    // ---- index build time: codebooks trained ONCE, on base only ----
+    val coarse = Similarity.kmeansCentroids(base, IvfPq.NList, iters = 2)
+      .localCheckpoint()
+    val resBase = IvfPq.residuals(base, coarse).localCheckpoint()
+    val baseEmb = resBase.select(col("vec_id"), col("res").as("embedding"))
+    val subsBase = ProductQuantization.subspaces(baseEmb).localCheckpoint()
+    val codebook = ProductQuantization.trainCodebook(baseEmb, subsBase)
+      .localCheckpoint()
+    val baseCodes = ProductQuantization.assign(subsBase, codebook)
+      .select(col("s"), col("vec_id"), col("cid"))
+      .join(resBase.select(col("vec_id"), col("list_id")), "vec_id")
+
+    // ---- ingest time: the batch ONLY flows through assign stages ----
+    val resBatch = IvfPq.residuals(batch, coarse).localCheckpoint()
+    val batchAssigned = ProductQuantization.assign(
+        ProductQuantization.subspaces(
+          resBatch.select(col("vec_id"), col("res").as("embedding"))),
+        codebook)
+      .join(resBatch.select(col("vec_id"), col("list_id")), "vec_id")
+      .localCheckpoint()
+    val maintained = baseCodes.unionByName(
+      batchAssigned.select(col("s"), col("vec_id"), col("cid"),
+        col("list_id")))
+
+    // ---- the law: maintained ≡ from-scratch encode of the union ----
+    val resAll = IvfPq.residuals(emb, coarse).localCheckpoint()
+    val rebuilt = ProductQuantization.assign(
+        ProductQuantization.subspaces(
+          resAll.select(col("vec_id"), col("res").as("embedding"))),
+        codebook)
+      .select(col("s"), col("vec_id"), col("cid"))
+      .join(resAll.select(col("vec_id"), col("list_id")), "vec_id")
+    val mismatch = maintained
+      .select(col("vec_id"), col("s"), col("cid").as("m_cid"),
+        col("list_id").as("m_list"))
+      .join(rebuilt.select(col("vec_id"), col("s"), col("cid").as("r_cid"),
+        col("list_id").as("r_list")), Seq("vec_id", "s"), "full_outer")
+      .filter(col("m_cid").isNull || col("r_cid").isNull
+        || col("m_cid") =!= col("r_cid") || col("m_list") =!= col("r_list"))
+      .groupBy(coalesce(col("m_list"), col("r_list")).as("list_id"))
+      .agg(count(lit(1)).as("n_code_mismatch"))
+
+    // ---- drift readout: occupancy, batch SSE, PSI ----
+    val occBase = resBase.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_base"))
+    val occNew = resBatch.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_new"))
+    val sseNew = batchAssigned
+      .groupBy(col("list_id"))
+      .agg(sum(round(col("d2") * 1e6, 0).cast("long")).as("new_sse_micro"))
+    val lists = coarse.select(col("centroid_id").as("list_id"))
+    val occ = lists
+      .join(occBase, Seq("list_id"), "left")
+      .join(occNew, Seq("list_id"), "left")
+      .join(sseNew, Seq("list_id"), "left")
+      .join(mismatch, Seq("list_id"), "left")
+      .select(col("list_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("new_sse_micro"), lit(0L)).as("new_sse_micro"),
+        coalesce(col("n_code_mismatch"), lit(0L)).as("n_code_mismatch"))
+    val tot = occ.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_new")).as("t_new"), count(lit(1)).as("n_lists"))
+    // the q156 Laplace-smoothed PSI term per list: empty cells get the
+    // +1 floor so the log never sees a zero
+    val pb = (col("n_base") + 1).cast("double") /
+      (col("t_base") + col("n_lists")).cast("double")
+    val pn = (col("n_new") + 1).cast("double") /
+      (col("t_new") + col("n_lists")).cast("double")
+    occ.crossJoin(broadcast(tot)) // one-row scalar attach
+      .select(col("list_id"), col("n_base"), col("n_new"),
+        col("new_sse_micro"), col("n_code_mismatch"),
+        round((pb - pn) * log(pb / pn), 6).as("psi_contrib"))
+      .orderBy(col("list_id"))
+  }
+}

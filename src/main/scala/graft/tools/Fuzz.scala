@@ -224,7 +224,11 @@ object Fuzz {
     // video near-dup (round 13): per-seed doc_id sets shift the planted
     // 4k+2/4k+3 splice groups and scene lengths — engine inverted-index
     // candidates + integer Jaccard vs oracle brute-force set scan
-    "q210_video_near_dup")
+    "q210_video_near_dup",
+    // incremental IVF-PQ maintenance (round 13): per-seed embedding
+    // corpora re-train the base codebooks and shift the %5 batch split;
+    // the maintained-vs-rebuilt law, batch SSE and PSI replayed per seed
+    "q211_vector_index_maintain")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

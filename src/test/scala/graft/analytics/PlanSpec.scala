@@ -1043,6 +1043,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q211: the maintenance joins are vec_id/list-keyed; every " +
+    "codebook/centroid table is broadcast (the q208 discipline)") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = graft.similarity.VectorIndexMaintain.maintainQuery(spark, dir)
+    val smjs = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case j: SortMergeJoinExec => j
+    }
+    smjs.foreach { j =>
+      val keys = j.leftKeys.mkString(",")
+      assert(keys.contains("vec_id") || keys.contains("list_id")
+        || keys.contains("s"),
+        s"non-keyed SortMergeJoin: $j")
+    }
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
