@@ -6644,6 +6644,118 @@ object OracleSql {
         |        / ((n_new + 1) / CAST(t_new + n_lists AS DOUBLE)))
         |    AS VARCHAR) AS DECIMAL(30,12)), 6) AS DOUBLE) AS psi_contrib
         |FROM occ, tt ORDER BY list_id""".stripMargin
+    },
+
+    // q212: the recall@k-vs-nprobe curve replayed — the q208 chain
+    // built once, the probe ranking kept to the sweep's maximum, per-np
+    // candidate sets by rank filter, integer ADC ranking per (np,
+    // query), then intersection counts against the exact L2 top-k
+    // truth (brute force: the oracle's privilege AND the tuning run's —
+    // over the query sample only).
+    "q212_pq_recall_curve" -> {
+      import graft.similarity.IvfPq.{NList, NQueries, RecallProbes, TopK}
+      def pqL2(sv: String, c: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, len($sv) + 1), " +
+          s"i -> ($sv[i] - $c[i]) * ($sv[i] - $c[i]))), " +
+          s"(a, x) -> a + x)"
+      val mm = graft.similarity.ProductQuantization.M
+      val maxNp = RecallProbes.max
+      val npList = RecallProbes.mkString("[", ", ", "]")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding AS v,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, dv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(dv, x -> x * x)), (s, x) -> s + x)) AS nrm
+        |  FROM e),
+        |${IvfCoarseChainSql("e", "n", NList)},
+        |lists AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT n.vec_id, t.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (${IvfCosSql("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n, c2n t) s
+        |  WHERE rn = 1),
+        |pe AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(1, len(e.dv) + 1),
+        |      i -> e.dv[i] - CAST(t.c[i] AS DOUBLE)) AS dv
+        |  FROM e JOIN lists l ON l.vec_id = e.vec_id
+        |  JOIN c2 t ON t.cid = l.cid),
+        |$PqChain,
+        |pr8 AS (
+        |  SELECT query_id, cid AS list_id, rn AS prn FROM (
+        |    SELECT n.vec_id AS query_id, t.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (${IvfCosSql("n.dv", "n.nrm", "t.cdv", "t.cnrm")})
+        |        DESC NULLS LAST, t.cid) AS rn
+        |    FROM n, c2n t WHERE n.vec_id < $NQueries) s
+        |  WHERE rn <= $maxNp),
+        |qres AS (
+        |  SELECT pr8.query_id, pr8.list_id, pr8.prn,
+        |    list_transform(range(1, len(e.dv) + 1),
+        |      i -> e.dv[i] - CAST(t.c[i] AS DOUBLE)) AS rdv
+        |  FROM pr8 JOIN e ON e.vec_id = pr8.query_id
+        |  JOIN c2 t ON t.cid = pr8.list_id),
+        |qsub AS (
+        |  SELECT query_id, list_id, prn, g.s,
+        |    list_slice(rdv, g.s * (len(rdv) // $mm) + 1,
+        |      (g.s + 1) * (len(rdv) // $mm)) AS sv
+        |  FROM qres CROSS JOIN generate_series(0, ${mm - 1}) g(s)),
+        |qdt AS (
+        |  SELECT q.query_id, q.list_id, q.prn, q.s, t.cid,
+        |    CAST(round(CAST(CAST((${pqL2("q.sv", "t.c")}) * 1000000.0
+        |      AS VARCHAR) AS DECIMAL(30,12)), 0) AS BIGINT) AS du
+        |  FROM qsub q JOIN pc2 t ON t.s = q.s),
+        |nps AS (SELECT CAST(unnest($npList) AS INTEGER) AS np),
+        |cand AS (
+        |  SELECT n2.np, d.query_id, c.vec_id,
+        |    CAST(sum(d.du) AS BIGINT) AS adist_micro
+        |  FROM nps n2
+        |  JOIN qdt d ON d.prn <= n2.np
+        |  JOIN lists l ON l.cid = d.list_id
+        |  JOIN pcode c ON c.vec_id = l.vec_id AND c.s = d.s
+        |    AND c.cid = d.cid
+        |  WHERE d.query_id <> c.vec_id
+        |  GROUP BY 1, 2, 3
+        |  HAVING count(*) = $mm),
+        |ann AS (
+        |  SELECT np, query_id, vec_id FROM (
+        |    SELECT np, query_id, vec_id,
+        |      row_number() OVER (PARTITION BY np, query_id
+        |        ORDER BY adist_micro, vec_id) AS rnk
+        |    FROM cand) r
+        |  WHERE rnk <= $TopK),
+        |tt0 AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    CAST(round(CAST(CAST((${pqL2("q.dv", "e.dv")}) * 1000000.0
+        |      AS VARCHAR) AS DECIMAL(30,12)), 0) AS BIGINT) AS dist_micro
+        |  FROM e q, e
+        |  WHERE q.vec_id < $NQueries AND e.vec_id <> q.vec_id),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY dist_micro, vec_id) AS rnk
+        |    FROM tt0) r
+        |  WHERE rnk <= $TopK),
+        |ret AS (
+        |  SELECT np, CAST(count(*) AS BIGINT) AS n_returned
+        |  FROM ann GROUP BY 1),
+        |hit AS (
+        |  SELECT a.np, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM ann a JOIN truth t
+        |    ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+        |  GROUP BY 1)
+        |SELECT r.np AS nprobe, r.n_returned,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(${NQueries * TopK} AS BIGINT) AS n_total
+        |FROM ret r LEFT JOIN hit h ON h.np = r.np
+        |ORDER BY r.np""".stripMargin
     }
   )
 

@@ -504,7 +504,11 @@ object SparkEntry {
     // FROZEN base-trained codebooks (broadcast scoring, no retrain),
     // maintained ≡ rebuilt gated per list, PSI occupancy drift readout
     "q211_vector_index_maintain" ->
-      (graft.similarity.VectorIndexMaintain.maintainQuery _)
+      (graft.similarity.VectorIndexMaintain.maintainQuery _),
+    // the recall@k-vs-nprobe tuning curve: one index build, a 1/2/4/8
+    // probe sweep, each leg intersected with the exact L2 top-k truth
+    // over the query sample — all-integer (n_hits, n_total) rows
+    "q212_pq_recall_curve"  -> (graft.similarity.IvfPq.recallCurveQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -55,20 +55,22 @@ object IvfPq {
           (x, c) => x.cast("double") - c.cast("double")).as("res"))
   }
 
-  /** q208: IVF-PQ top-k. Coarse train → residual encode → PQ train on
-    * residuals (one shared codebook) → per-(query, probed-list) ADC
-    * tables → integer distance sums over probed candidates only.
+  /** The trained index state: coarse centroids, the shared residual-PQ
+    * codebook, and the code table (list id + M codes per vector) — the
+    * ~6 bytes/vector object a 100 TB deployment persists; everything
+    * the search side needs, with the float vectors already forgotten.
     */
-  def ivfPqTopKQuery(s: SparkSession, dir: String): DataFrame =
-    ivfPqTopK(Tables.embeddings(s, dir))
+  case class Index(coarse: DataFrame, codebook: DataFrame,
+                   codes: DataFrame)
 
-  /** The IVF-PQ pipeline over any (vec_id, embedding, …) table. */
-  def ivfPqTopK(emb: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Train the IVF-PQ index: coarse Lloyd → residual encode → shared
+    * PQ codebook on residuals → code table. Checkpointed so multiple
+    * searches (q208's one shot, q212's nprobe sweep) share one build.
+    */
+  def buildIndex(emb: DataFrame): Index = {
     val coarse = Similarity.kmeansCentroids(emb, NList, iters = 2)
       .localCheckpoint()
     val res = residuals(emb, coarse).localCheckpoint()
-
     // PQ on residuals: the q206 chain over (vec_id, embedding = res)
     val resEmb = res.select(col("vec_id"), col("res").as("embedding"))
     val subs = ProductQuantization.subspaces(resEmb).localCheckpoint()
@@ -77,11 +79,35 @@ object IvfPq {
     val codes = ProductQuantization.assign(subs, codebook)
       .select(col("s"), col("vec_id"), col("cid"))
       .join(res.select(col("vec_id"), col("list_id")), "vec_id")
+      .localCheckpoint()
+    Index(coarse, codebook, codes)
+  }
+
+  /** q208: IVF-PQ top-k. Coarse train → residual encode → PQ train on
+    * residuals (one shared codebook) → per-(query, probed-list) ADC
+    * tables → integer distance sums over probed candidates only.
+    */
+  def ivfPqTopKQuery(s: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(Tables.embeddings(s, dir))
+
+  /** The IVF-PQ pipeline over any (vec_id, embedding, …) table. */
+  def ivfPqTopK(emb: DataFrame): DataFrame =
+    searchTopK(emb, buildIndex(emb), NProbe)
+
+  /** The search side over a trained [[Index]]: probe the query's
+    * `nprobe` nearest lists, build per-(query, probed-list) residual
+    * ADC tables, integer-sum over probed candidates, rank.
+    */
+  def searchTopK(emb: DataFrame, idx: Index, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coarse = idx.coarse
+    val codebook = idx.codebook
+    val codes = idx.codes
 
     // query-side: nprobe nearest lists by the same coarse cosine rule,
     // then the query's residual PER PROBED LIST and its ADC table
     val probes = Similarity
-      .ivfAssign(emb.filter(col("vec_id") < NQueries), coarse, NProbe)
+      .ivfAssign(emb.filter(col("vec_id") < NQueries), coarse, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding"),
         col("centroid_id").as("probe_id"))
     val qres = probes
@@ -119,5 +145,64 @@ object IvfPq {
       .select(col("query_id"), col("rnk"),
         col("vec_id").as("neighbor_id"), col("adist_micro"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The nprobe sweep of the q212 recall readout. */
+  val RecallProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** q212: the recall@k-vs-nprobe curve — the one-page answer to "what
+    * nprobe do I run". ONE index build, [[RecallProbes]] searches, each
+    * intersected with the EXACT L2 top-k truth ([[exactTopK]] — the
+    * brute force a tuning run affords over its query sample, never the
+    * corpus pair set). ALL-INTEGER output per nprobe: rows returned,
+    * truth hits, truth size — recall is n_hits/n_total at whatever
+    * grain the reader wants, with zero rounded-quotient exposure.
+    */
+  def recallCurveQuery(s: SparkSession, dir: String): DataFrame =
+    recallCurve(Tables.embeddings(s, dir))
+
+  def recallCurve(emb: DataFrame): DataFrame = {
+    val idx = buildIndex(emb)
+    val truth = exactTopK(emb)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val legs = RecallProbes.map { np =>
+      searchTopK(emb, idx, np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val ret = legs.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_returned"))
+    val hits = legs.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    ret.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"), col("n_returned"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit((NQueries * TopK).toLong).as("n_total"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** Exact L2 top-[[TopK]] over the full float vectors for the
+    * [[NQueries]] query sample — micro-unit integer distances,
+    * (dist_micro, vec_id) total order. |Q|·n broadcast scoring: the
+    * queries are broadcast, the corpus streams once.
+    */
+  def exactTopK(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val d = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("dv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_micro"), col("vec_id"))
+    d.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dist_micro",
+        round(aggregate(zip_with(col("qv"), col("dv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v) * 1e6, 0).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"), col("dist_micro"))
   }
 }

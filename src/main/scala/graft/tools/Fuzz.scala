@@ -228,7 +228,11 @@ object Fuzz {
     // incremental IVF-PQ maintenance (round 13): per-seed embedding
     // corpora re-train the base codebooks and shift the %5 batch split;
     // the maintained-vs-rebuilt law, batch SSE and PSI replayed per seed
-    "q211_vector_index_maintain")
+    "q211_vector_index_maintain",
+    // recall curve (round 13): per-seed corpora move every probe
+    // ranking and exact-truth boundary; the planted scaled-copy pairs
+    // (cos = 1, tiny L2) sit in most truth sets by construction
+    "q212_pq_recall_curve")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

@@ -76,4 +76,48 @@ class IvfPqSpec extends SparkSpec {
     assert(precision >= 0.9,
       s"in-cluster precision@5 $precision ($inCluster/${out.length})")
   }
+
+  test("q212 recall curve: recall is monotone non-decreasing in nprobe, " +
+    "every leg returns a full top-k, and clustered data nears 1.0") {
+    // the driver corpus (near-uniform noise): monotone is the contract
+    val drv = IvfPq.recallCurve(graft.Tables.embeddings(spark, dir))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(drv.map(_._1).toSeq === IvfPq.RecallProbes)
+    drv.foreach { case (np, ret, hits, total) =>
+      assert(ret === total, s"nprobe $np returned $ret of $total")
+      assert(hits >= 0L && hits <= total)
+    }
+    drv.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3,
+        s"recall fell ${a._3} -> ${b._3} at nprobe ${a._1} -> ${b._1}")
+    }
+    // resolvable data: recall@k is only a fair PQ target when the
+    // exact top-k is separated at code resolution — inside a tight
+    // 20-member cluster the residual codes collapse and membership is
+    // noise-ranked (the q207 Spearman lesson). 40 clusters of 5: the 4
+    // same-cluster peers are the resolvable top-4 (cross-cluster gap
+    // ~1.4 vs ~0.1 within), the 5th is noise — so full-probe recall
+    // must clear 4/5 minus routing slack
+    val rnd = new scala.util.Random(13)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(40)(unit())
+    val small = (0 until 200).map { i =>
+      val c = centers(i % 40).map(_ + 0.03 * rnd.nextGaussian())
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (i.toLong, c.map(x => (x / n).toFloat).toSeq, i % 40)
+    }.toDF("vec_id", "embedding", "label")
+    val cl = IvfPq.recallCurve(small).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    cl.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"clustered recall fell at nprobe ${b._1}")
+    }
+    val last = cl.maxBy(_._1)
+    assert(last._2.toDouble / last._3 >= 0.7,
+      s"clustered recall@nprobe=${last._1} = ${last._2}/${last._3}")
+  }
 }
