@@ -232,7 +232,16 @@ object Fuzz {
     // recall curve (round 13): per-seed corpora move every probe
     // ranking and exact-truth boundary; the planted scaled-copy pairs
     // (cos = 1, tiny L2) sit in most truth sets by construction
-    "q212_pq_recall_curve")
+    "q212_pq_recall_curve",
+    // ---- the iterative-graph family (round 13): the most intricate
+    // unrolled-round oracles in the repo (fixed-iteration PageRank with
+    // dangling mass, BFS frontiers, wedge counts, mutual-degree
+    // pruning, Adamic-Adar, Bellman-Ford relax rounds) over the
+    // adversarial generator structures — dense rank/weight ties,
+    // the hub-supplier star, pendant leaves, reserved-range island
+    // components, and whatever the df cap disconnects per seed
+    "q57_pagerank", "q58_bfs_depths", "q69_triangle_counts",
+    "q94_kcore", "q145_link_prediction", "q146_weighted_paths")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
@@ -376,9 +385,26 @@ object Fuzz {
     * domain (40 parts), so the q161 co-purchase projection gets dense
     * shared-part collisions — weight ties everywhere, the MST
     * tie-break's hard case.
+    *
+    * Round-13 adversarial GRAPH structures (the iterative-family fuzz —
+    * q57/q58/q69/q94/q145/q146):
+    *   - `l_suppkey` (own RNG stream, so the pre-existing draws are
+    *     bit-stable): a dense 12-supplier domain (rank/degree ties on
+    *     every PageRank round), a HUB supplier on ~15% of lines (a
+    *     degenerate star center of the purchase graph), per-order
+    *     PENDANT suppliers (degree-1 leaves — the BFS frontier tail),
+    *     and a 3-supplier near-island cluster.
+    *   - planted part rows (line numbers 9/10 — unique per order,
+    *     outside the 1..8 draw range): orders 0..4 carry two parts from
+    *     a reserved range nothing else touches (2-vertex ISLAND
+    *     components the CC/AA/BFS legs must keep disconnected), and hub
+    *     part 850 rides orders 6..20 with one unique leaf each (a
+    *     15-leaf STAR that survives the df ≤ 18 cap). Every planted
+    *     co-purchase edge has shared_count 1 — maximal weight ties.
     */
   def genLineitem(spark: SparkSession, seed: Int): DataFrame = {
     val rnd = new Random(seed * 32452843 + 4)
+    val srnd = new Random(seed * 104651 + 9)
     // q201 columns: quantities skew heavily (1 or a 10-50 burst) so the
     // weighted-quantile ceil thresholds land ON cum-weight boundaries;
     // prices from a small 2-dp domain so value-grain ties are dense
@@ -387,17 +413,38 @@ object Fuzz {
     // the correlation quotients hit dense value ties and the rounded
     // outputs sample the q199 shortest-string boundary per seed
     val rows = (0 until 240).flatMap { ok =>
-      (1 to 1 + rnd.nextInt(8)).map(ln =>
+      (1 to 1 + rnd.nextInt(8)).map { ln =>
+        val sk = srnd.nextInt(20) match {
+          case x if x < 12 => srnd.nextInt(12).toLong // dense tie domain
+          case x if x < 15 => 40L                     // the hub (star)
+          case x if x < 18 => 100L + ok               // pendant leaf
+          case _ => 1000L + ok % 3                    // near-island trio
+        }
         (ok.toLong, ln, rnd.nextInt(40).toLong,
           if (rnd.nextBoolean()) 1L else 10L + rnd.nextInt(41),
           (rnd.nextInt(200) + 1) * 25 / 100.0,
           flags(rnd.nextInt(3)),
           rnd.nextInt(11) / 100.0,
-          rnd.nextInt(9) / 100.0))
+          rnd.nextInt(9) / 100.0,
+          sk)
+      }
     }
-    spark.createDataFrame(rows)
+    val planted =
+      (0 until 5).flatMap { ok => Seq(
+        (ok.toLong, 9, 900L + ok * 2, 1L, 25.0, "N", 0.0, 0.0,
+          (ok % 12).toLong),
+        (ok.toLong, 10, 901L + ok * 2, 1L, 25.0, "N", 0.0, 0.0,
+          (ok % 12).toLong))
+      } ++
+      (6 to 20).flatMap { ok => Seq(
+        (ok.toLong, 9, 850L, 1L, 25.0, "N", 0.0, 0.0, (ok % 12).toLong),
+        (ok.toLong, 10, 851L + ok, 1L, 25.0, "N", 0.0, 0.0,
+          (ok % 12).toLong))
+      }
+    spark.createDataFrame(rows ++ planted)
       .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
-        "l_extendedprice", "l_returnflag", "l_discount", "l_tax")
+        "l_extendedprice", "l_returnflag", "l_discount", "l_tax",
+        "l_suppkey")
   }
 
   /** Seeded customer keys for the spatial family (~350 unique keys),
