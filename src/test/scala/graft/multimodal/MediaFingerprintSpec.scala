@@ -163,6 +163,21 @@ class MediaFingerprintSpec extends SparkSpec {
       "fresh clips share too many frame hashes")
   }
 
+  test("q210 small-set leg: J >= 1/2 pairs among <= 2-keyframe clips " +
+    "(shared = 1 is legal there) survive the pair-key blocking rework") {
+    import spark.implicits._
+    // clip 1: {7}, clip 2: {7, 9}  -> shared 1, 3*1 >= 1+2  (J = 1/2)
+    // clip 3: {7, 9, 11}           -> vs 2: shared 2, 3*2 >= 2+3
+    //                              -> vs 1: shared 1, 3*1 <  1+3 (out)
+    // clip 4: {21}                 -> shares nothing
+    val kf = Seq((1L, 7), (2L, 7), (2L, 9), (3L, 7), (3L, 9), (3L, 11),
+      (4L, 21)).toDF("media_id", "frame_hash")
+    val got = VideoKeyframes.videoNearDupPairs(kf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 1L), (2L, 3L, 2L)),
+      s"small-set completeness broke: $got")
+  }
+
   test("q210 on testdata: inverted-index pairs match the brute-force " +
     "set scan, every pair is planted, recall above the floor") {
     val kf = VideoKeyframes.keyframes(spark,
