@@ -6756,6 +6756,55 @@ object OracleSql {
         |  CAST(${NQueries * TopK} AS BIGINT) AS n_total
         |FROM ret r LEFT JOIN hit h ON h.np = r.np
         |ORDER BY r.np""".stripMargin
+    },
+
+    // q213: incremental near-dup pair-index maintenance — the oracle
+    // is the FROM-SCRATCH recompute of the union corpus (the engine
+    // emits the maintained kept ∪ recomputed plan), so hash equality
+    // at the gate IS the maintenance law. The leg tag is re-derived
+    // independently: dirty = batch docs ∪ base docs holding a
+    // cap-crossing shingle. All-integer: the J ≥ 1/5 threshold is the
+    // exact 6·n_common ≥ n_a + n_b test.
+    "q213_dedup_index_maintain" -> {
+      import graft.dedup.DedupMaintain.{K, MaxDf, BatchMod}
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(t, i + 1, i + $K), ' ') AS shingle
+        |  FROM tk, unnest(range(0, len(t) - ${K - 1})) AS g(i)
+        |  WHERE len(t) >= $K),
+        |d AS (
+        |  SELECT shingle, count(*) AS df,
+        |    count(*) FILTER (doc_id % $BatchMod <> ${BatchMod - 1}) AS base_df
+        |  FROM sh0 GROUP BY shingle),
+        |crossing AS (
+        |  SELECT shingle FROM d WHERE base_df <= $MaxDf AND df > $MaxDf),
+        |dirty AS (
+        |  SELECT DISTINCT doc_id FROM sh0 WHERE doc_id % $BatchMod = ${BatchMod - 1}
+        |  UNION
+        |  SELECT DISTINCT doc_id FROM sh0 JOIN crossing USING (shingle)
+        |  WHERE doc_id % $BatchMod <> ${BatchMod - 1}),
+        |sh AS (
+        |  SELECT s.doc_id, s.shingle FROM sh0 s JOIN d USING (shingle)
+        |  WHERE d.df <= $MaxDf),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cm AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b, n_common, na.n_sh AS n_a, nb.n_sh AS n_b
+        |  FROM cm
+        |  JOIN sz na ON na.doc_id = id_a
+        |  JOIN sz nb ON nb.doc_id = id_b
+        |  WHERE n_common * 6 >= na.n_sh + nb.n_sh)
+        |SELECT id_a, id_b, n_common, n_a, n_b,
+        |  CASE WHEN id_a IN (SELECT doc_id FROM dirty)
+        |         OR id_b IN (SELECT doc_id FROM dirty)
+        |    THEN 'recomputed' ELSE 'kept' END AS leg
+        |FROM p ORDER BY id_a, id_b""".stripMargin
     }
   )
 

@@ -508,7 +508,13 @@ object SparkEntry {
     // the recall@k-vs-nprobe tuning curve: one index build, a 1/2/4/8
     // probe sweep, each leg intersected with the exact L2 top-k truth
     // over the query sample — all-integer (n_hits, n_total) rows
-    "q212_pq_recall_curve"  -> (graft.similarity.IvfPq.recallCurveQuery _)
+    "q212_pq_recall_curve"  -> (graft.similarity.IvfPq.recallCurveQuery _),
+    // incremental near-dup pair-index maintenance: kept (provably
+    // unchanged) ∪ recomputed (dirty-scoped rebuild incl. the df-cap
+    // retraction); the oracle recomputes the union from scratch —
+    // hash equality IS the maintenance law
+    "q213_dedup_index_maintain" ->
+      (graft.dedup.DedupMaintain.maintainQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

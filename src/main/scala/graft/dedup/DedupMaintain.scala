@@ -1,0 +1,215 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** INCREMENTAL maintenance of the near-dup PAIR index — the q152/q211
+  * IVM law applied to the dedup tier. A production dedup index (the
+  * shingle inverted index + the accepted pair set) is never rebuilt
+  * per ingest: a new document batch updates the doc-frequency table,
+  * re-keys only the index buckets it touches, and the pair set is
+  * maintained as KEPT pairs (provably unchanged) plus RECOMPUTED pairs
+  * (those adjacent to the batch). This is the text twin of q211's
+  * add-after-train vector contract and the batch twin of
+  * [[Dedup.screenBatch]]'s admission screen — the screen gates what
+  * enters; this maintains the pair evidence after it enters.
+  *
+  * The subtlety the naive version misses is the DF-CAP RETRACTION: the
+  * stop-shingle rule (df ≤ maxDf, [[Dedup.cappedShingles]]) is a
+  * predicate over the WHOLE corpus, so an arriving batch can push a
+  * shingle's df across the cap and retroactively shrink BASE docs'
+  * capped shingle sets — deleting or weakening pairs the base index
+  * already holds. Maintenance is therefore dirty-scoped, not
+  * append-only (the [[graft.operators.Ivm.maintainMin]]
+  * rebuild-on-retraction discipline):
+  *
+  *   - dirty docs = the batch docs ∪ base docs holding a CAP-CROSSING
+  *     shingle (base_df ≤ maxDf < union_df). A batch shingle that stays
+  *     under the cap cannot change any base–base pair (both sides
+  *     already held or lacked it), so those do NOT dirty base docs.
+  *   - KEPT: stored base pairs with both endpoints clean — exact, by
+  *     the theorem: a clean doc holds no crossing shingle, so its
+  *     capped shingle set is IDENTICAL under the base and union
+  *     universes, hence so are n_common/n_a/n_b with any other clean
+  *     doc (DedupMaintainSpec proves the leg is not recomputed by
+  *     poisoning it).
+  *   - RECOMPUTED: pairs with ≥ 1 dirty endpoint, rebuilt from the
+  *     capped UNION index restricted to dirty-side rows — candidate
+  *     generation is dirty×all through the inverted index, never
+  *     corpus×corpus and never a full re-dedup.
+  *
+  * The LAW (what the oracle gates): maintained ≡ the from-scratch pair
+  * set of the union corpus. The engine emits the maintained (kept ∪
+  * recomputed) plan; the DuckDB oracle computes the from-scratch union
+  * plan — hash equality at the driver gate IS the theorem, proven on
+  * every corpus (and per-seed by the fuzz family).
+  *
+  * Exactness discipline: ALL-INTEGER output (id_a, id_b, n_common,
+  * n_a, n_b, leg) — the q210 rule: the J ≥ 1/5 threshold is the exact
+  * integer test 6·n_common ≥ n_a + n_b, so there is no rounded
+  * quotient anywhere (consumers derive J at whatever precision they
+  * need).
+  *
+  * 100 TB shape: the df table is maintained state (union df =
+  * stored base df + batch df — one batch-sized aggregate); the
+  * inverted index is keyed by shingle, so the dirty×all join touches
+  * only buckets containing a dirty doc's shingles; sizes are computed
+  * for pair PARTICIPANTS only (a production store keeps (doc_id, n_sh)
+  * as state — clean docs' sizes are unchanged by the same theorem).
+  * Per-ingest cost is O(batch + dirty-adjacent buckets), never a
+  * corpus rescan.
+  */
+object DedupMaintain {
+
+  /** Word-shingle width — 3 keeps the driver corpus' df spectrum wide
+    * enough that cap crossings actually occur (4-grams are near-unique
+    * there; 2-grams are so hot every doc would be dirty).
+    */
+  val K = 3
+
+  /** Stop-shingle doc-frequency cap over the union corpus. */
+  val MaxDf = 5
+
+  /** doc_id % BatchMod == BatchMod−1 is the "new ingest batch" (~14%);
+    * the rest is the base corpus whose index already exists.
+    */
+  val BatchMod = 7L
+
+  /** The exact J ≥ 1/5 membership test: J = c/(a+b−c) ≥ 1/5 ⟺
+    * 6c ≥ a + b — integers end to end.
+    */
+  private def passes(c: org.apache.spark.sql.Column,
+      a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c * 6 >= a + b
+
+  /** The from-scratch pair set over a capped (doc_id, shingle) table:
+    * inverted-index self-join, integer sizes, the exact J ≥ 1/5 test.
+    * Shared by the base-state build and the spec's in-memory rebuild.
+    */
+  def pairsFromShingles(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
+      .filter(passes(col("n_common"), col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+        col("n_b"))
+  }
+
+  /** The stored base state a production index holds: the base-universe
+    * capped shingle table and its pair set (df computed over base ONLY
+    * — the index was built before the batch existed).
+    */
+  def baseState(base: DataFrame, k: Int, maxDf: Int): DataFrame =
+    pairsFromShingles(Dedup.cappedShingles(base, k, maxDf))
+
+  /** q213: maintain the near-dup pair index through one ingest batch —
+    * the maintained (kept ∪ recomputed) pair set, each row tagged with
+    * the leg that produced it. The oracle recomputes the union corpus
+    * from scratch; hash equality proves the maintenance exact.
+    */
+  def maintainQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % BatchMod =!= BatchMod - 1)
+    val batch = docs.filter(col("doc_id") % BatchMod === BatchMod - 1)
+    maintainPairs(base, batch, baseState(base, K, MaxDf), K, MaxDf)
+  }
+
+  /** The maintenance plan over explicit state — `basePairs` is the
+    * STORED pair set (normally [[baseState]]; the spec poisons it to
+    * prove the kept leg is never recomputed).
+    */
+  def maintainPairs(base: DataFrame, batch: DataFrame,
+      basePairs: DataFrame, k: Int, maxDf: Int): DataFrame = {
+    // uncapped distinct shingles per side; union df = base df + batch
+    // df — the incremental state update (base df is stored state in a
+    // real deployment; only the batch aggregate is new work)
+    val shBase = Dedup.shingles(base, k).localCheckpoint()
+    val shBatch = Dedup.shingles(batch, k).localCheckpoint()
+    val dfBase = shBase.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("base_df"))
+    val dfBatch = shBatch.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("batch_df"))
+    val dfU = dfBase.join(dfBatch, Seq("shingle"), "full_outer")
+      .select(col("shingle"),
+        coalesce(col("base_df"), lit(0L)).as("base_df"),
+        (coalesce(col("base_df"), lit(0L))
+          + coalesce(col("batch_df"), lit(0L))).as("df"))
+      .localCheckpoint()
+
+    // cap-crossing shingles retract: base_df ≤ maxDf < union df
+    val crossing = dfU
+      .filter(col("base_df") <= maxDf && col("df") > maxDf)
+      .select(col("shingle"))
+    // dirty docs: every batch doc + base docs holding a crossing
+    // shingle (shingle-keyed semi-join — only crossed buckets touched)
+    val dirty = batch.select(col("doc_id"))
+      .unionByName(shBase.join(crossing, Seq("shingle"), "left_semi")
+        .select(col("doc_id")))
+      .distinct()
+      .localCheckpoint()
+
+    // the capped UNION index (shingle-keyed; production updates the
+    // stored index in place: batch rows in, crossed buckets out)
+    val shU = shBase.unionByName(shBatch)
+      .join(dfU.filter(col("df") <= maxDf).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+      .localCheckpoint()
+    val shD = shU.join(dirty, Seq("doc_id"), "left_semi")
+    val shC = shU.join(dirty, Seq("doc_id"), "left_anti")
+
+    // recomputed candidates: dirty×clean + dirty×dirty through the
+    // inverted index — each common shingle of a pair appears exactly
+    // once per leg (dirty/clean sides are disjoint; the dirty–dirty
+    // self-join is ordered), so the counts are exact
+    val dc = shD.as("a").join(shC.as("b"),
+        col("a.shingle") === col("b.shingle"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+    val dd = shD.as("a").join(shD.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val common = dc.unionByName(dd)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+    // sizes under the union cap, for pair PARTICIPANTS only — clean
+    // docs' sizes are provably unchanged, so a production store reads
+    // them from state; dirty docs' sizes are |dirty| aggregate rows
+    val participants = common.select(col("id_a").as("doc_id"))
+      .unionByName(common.select(col("id_b").as("doc_id")))
+      .distinct()
+    val sizes = shU.join(participants, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val recomputed = common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
+      .filter(passes(col("n_common"), col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+        col("n_b"), lit("recomputed").as("leg"))
+
+    // kept: stored pairs with BOTH endpoints clean — carried verbatim
+    val kept = basePairs
+      .join(dirty.select(col("doc_id").as("id_a")), Seq("id_a"),
+        "left_anti")
+      .join(dirty.select(col("doc_id").as("id_b")), Seq("id_b"),
+        "left_anti")
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+        col("n_b"), lit("kept").as("leg"))
+
+    kept.unionByName(recomputed).orderBy(col("id_a"), col("id_b"))
+  }
+}

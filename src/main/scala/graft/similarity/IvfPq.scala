@@ -83,12 +83,35 @@ object IvfPq {
     Index(coarse, codebook, codes)
   }
 
+  private var indexCache: Option[((SparkSession, String), Index)] = None
+
+  /** The trained [[Index]], memoized per (session, dir) — the
+    * [[ProductQuantization.fullTrained]] discipline one level up: q208
+    * (the one-shot search) and q212 (the nprobe sweep) consume the
+    * IDENTICAL index, and a production deployment builds it once and
+    * serves every query batch from it. The build is a pure
+    * deterministic function of the corpus (hash-ordered inits,
+    * round(mean, 6) chains), so memo-vs-rebuild is bit-identical and
+    * the oracles replay it unchanged. Single-entry; fuzz sweeps use a
+    * fresh dir per seed.
+    */
+  def sharedIndex(s: SparkSession, dir: String): Index = synchronized {
+    val key = (s, dir)
+    indexCache match {
+      case Some((k, idx)) if k == key => idx
+      case _ =>
+        val idx = buildIndex(Tables.embeddings(s, dir))
+        indexCache = Some((key, idx))
+        idx
+    }
+  }
+
   /** q208: IVF-PQ top-k. Coarse train → residual encode → PQ train on
     * residuals (one shared codebook) → per-(query, probed-list) ADC
     * tables → integer distance sums over probed candidates only.
     */
   def ivfPqTopKQuery(s: SparkSession, dir: String): DataFrame =
-    ivfPqTopK(Tables.embeddings(s, dir))
+    searchTopK(Tables.embeddings(s, dir), sharedIndex(s, dir), NProbe)
 
   /** The IVF-PQ pipeline over any (vec_id, embedding, …) table. */
   def ivfPqTopK(emb: DataFrame): DataFrame =
@@ -159,10 +182,13 @@ object IvfPq {
     * grain the reader wants, with zero rounded-quotient exposure.
     */
   def recallCurveQuery(s: SparkSession, dir: String): DataFrame =
-    recallCurve(Tables.embeddings(s, dir))
+    recallCurve(Tables.embeddings(s, dir), sharedIndex(s, dir))
 
-  def recallCurve(emb: DataFrame): DataFrame = {
-    val idx = buildIndex(emb)
+  /** One-shot sweep for corpus-bearing specs. */
+  def recallCurve(emb: DataFrame): DataFrame =
+    recallCurve(emb, buildIndex(emb))
+
+  def recallCurve(emb: DataFrame, idx: Index): DataFrame = {
     val truth = exactTopK(emb)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
     val legs = RecallProbes.map { np =>

@@ -142,6 +142,40 @@ object ProductQuantization {
     codebook
   }
 
+  /** The full-corpus trained state q206 and q207 both consume: the
+    * checkpointed subspace view and the trained codebook.
+    */
+  case class Trained(subs: DataFrame, codebook: DataFrame)
+
+  private var trainedCache: Option[((SparkSession, String), Trained)] = None
+
+  /** The full-corpus PQ training, memoized per (session, dir) — the
+    * [[graft.graph.HyperBall.coPurchaseReach]] discipline applied to
+    * codebooks: q206 (the codebook audit) and q207 (ADC search) train
+    * the IDENTICAL codebook on the identical corpus, and a production
+    * store trains once and serves every reader. The codebook is a pure
+    * deterministic function of the corpus (hash-ordered init,
+    * round(mean, 6) between rounds), so memo-vs-retrain is
+    * bit-identical and every oracle replays it unchanged. Single-entry:
+    * a bench/verify session visits one dir at a time (fuzz sweeps use a
+    * fresh dir per seed, so a stale entry is structurally unreachable).
+    * Holds the subspace view's checkpoint blocks for the session —
+    * M rows of d/M doubles per vector, the same footprint the reach
+    * memo pins for the graph tier.
+    */
+  def fullTrained(s: SparkSession, dir: String): Trained = synchronized {
+    val key = (s, dir)
+    trainedCache match {
+      case Some((k, t)) if k == key => t
+      case _ =>
+        val emb = Tables.embeddings(s, dir)
+        val subs = subspaces(emb).localCheckpoint()
+        val t = Trained(subs, trainCodebook(emb, subs))
+        trainedCache = Some((key, t))
+        t
+    }
+  }
+
   /** Exact micro-unit conversion: round(d² · 10⁶) as BIGINT — Spark
     * rounds the double's shortest decimal string (HALF_UP); the oracle
     * reproduces that via the VARCHAR→DECIMAL(30,12) round-trip (at
@@ -158,9 +192,8 @@ object ProductQuantization {
     * sse_micro/n_members at whatever grain they need).
     */
   def codebookAuditQuery(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val subs = subspaces(emb).localCheckpoint()
-    val codes = assign(subs, trainCodebook(emb, subs))
+    val t = fullTrained(s, dir)
+    val codes = assign(t.subs, t.codebook)
     codes.groupBy(col("s").as("subspace"), col("cid").as("centroid_id"))
       .agg(count(lit(1)).as("n_members"),
         sum(micro(col("d2"))).as("sse_micro"))
@@ -174,14 +207,23 @@ object ProductQuantization {
     * vector's approximate distance is the INTEGER sum of its M table
     * entries (order-free); top-[[TopK]] by (adist_micro, neighbor_id).
     */
-  def adcTopKQuery(s: SparkSession, dir: String): DataFrame =
-    adcTopK(Tables.embeddings(s, dir))
+  def adcTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = fullTrained(s, dir)
+    adcTopK(t.subs, t.codebook)
+  }
 
-  /** The ADC pipeline over any (vec_id, embedding, …) table. */
+  /** One-shot ADC over any (vec_id, embedding, …) table — specs/fuzz
+    * helpers that bring their own corpus; query paths go through the
+    * [[fullTrained]] memo.
+    */
   def adcTopK(emb: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val subs = subspaces(emb).localCheckpoint()
-    val codebook = trainCodebook(emb, subs)
+    adcTopK(subs, trainCodebook(emb, subs))
+  }
+
+  /** The ADC pipeline over a prebuilt subspace view + codebook. */
+  def adcTopK(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val codes = assign(subs, codebook)
       .select(col("s"), col("vec_id"), col("cid"))
     // per-query distance table: |Q|·M·K rows, broadcast
