@@ -150,9 +150,29 @@ object AudioFingerprint {
     * band join verbatim (the fingerprint has the same (hi, lo) 64-bit
     * shape, so the pigeonhole bound carries over).
     */
+  private var fpCache: Option[((SparkSession, String), DataFrame)] = None
+
+  /** The per-clip fingerprint table, memoized per (session, dir) — the
+    * [[PerceptualHash.hashTable]] discipline for the audio modality:
+    * decode and fingerprint once at ingest; q204 and q209's audio leg
+    * read the stored table. One 2×64-bit row per clip is pinned, not
+    * the samples.
+    */
+  def fingerprintTable(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = (s, dir)
+      fpCache match {
+        case Some((k, t)) if k == key => t
+        case _ =>
+          val t = fingerprintClips(s,
+              audioCorpus(s, Tables.documents(s, dir)))
+            .toDF().localCheckpoint()
+          fpCache = Some((key, t))
+          t
+      }
+    }
+
   def audioNearDupQuery(s: SparkSession, dir: String): DataFrame =
-    PerceptualHash.nearDupPairs(
-      fingerprintClips(s, audioCorpus(s, Tables.documents(s, dir))).toDF(),
-      maxHamming = 3)
+    PerceptualHash.nearDupPairs(fingerprintTable(s, dir), maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 }

@@ -3,7 +3,6 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
 import graft.dedup.Dedup
 
 /** The media dedup PLAN — wires the perceptual legs into the text
@@ -31,19 +30,31 @@ import graft.dedup.Dedup
   */
 object MediaDedup {
 
+  /** One-shot plan over an explicit corpus — specs bring their own
+    * docs; the query path reads the memoized fingerprint tables.
+    */
   def mediaDedupPlan(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val img = PerceptualHash.nearDupPairs(
-        PerceptualHash.hashImages(spark,
-          PerceptualHash.imageCorpus(spark, docs)).toDF(), maxHamming = 3)
+    mediaDedupPlanFromTables(
+      PerceptualHash.hashImages(spark,
+        PerceptualHash.imageCorpus(spark, docs)).toDF(),
+      AudioFingerprint.fingerprintClips(spark,
+        AudioFingerprint.audioCorpus(spark, docs)).toDF(),
+      VideoKeyframes.keyframes(spark,
+        VideoKeyframes.videoCorpus(spark, docs)).toDF())
+  }
+
+  /** The plan over prebuilt per-modality fingerprint tables — what a
+    * production store runs (fingerprints computed once at ingest; the
+    * plan is pure id/label work downstream).
+    */
+  def mediaDedupPlanFromTables(imgHashes: DataFrame, audFps: DataFrame,
+      vidKeyframes: DataFrame): DataFrame = {
+    val img = PerceptualHash.nearDupPairs(imgHashes, maxHamming = 3)
       .select(col("id_a"), col("id_b"), lit("image").as("modality"))
-    val aud = PerceptualHash.nearDupPairs(
-        AudioFingerprint.fingerprintClips(spark,
-          AudioFingerprint.audioCorpus(spark, docs)).toDF(), maxHamming = 3)
+    val aud = PerceptualHash.nearDupPairs(audFps, maxHamming = 3)
       .select(col("id_a"), col("id_b"), lit("audio").as("modality"))
-    val vid = VideoKeyframes.videoNearDupPairs(
-        VideoKeyframes.keyframes(spark,
-          VideoKeyframes.videoCorpus(spark, docs)).toDF())
+    val vid = VideoKeyframes.videoNearDupPairs(vidKeyframes)
       .select(col("id_a"), col("id_b"), lit("video").as("modality"))
     val edges = img.unionByName(aud).unionByName(vid).localCheckpoint()
 
@@ -68,5 +79,8 @@ object MediaDedup {
     * image + audio corpora.
     */
   def mediaDedupPlanQuery(s: SparkSession, dir: String): DataFrame =
-    mediaDedupPlan(Tables.documents(s, dir))
+    mediaDedupPlanFromTables(
+      PerceptualHash.hashTable(s, dir),
+      AudioFingerprint.fingerprintTable(s, dir),
+      VideoKeyframes.keyframeTable(s, dir))
 }

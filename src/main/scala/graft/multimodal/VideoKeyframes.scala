@@ -209,9 +209,30 @@ object VideoKeyframes {
   /** q205: sampled keyframes (scene starts) per clip over the
     * documents-derived video corpus.
     */
+  private var kfCache: Option[((SparkSession, String), DataFrame)] = None
+
+  /** The per-clip keyframe table, memoized per (session, dir) — the
+    * [[PerceptualHash.hashTable]] discipline for the video modality:
+    * decode, hash and scene-cut once at ingest; q205 (the sample
+    * readout), q210 (near-dup pairs) and q209's video leg read the
+    * stored table. Pinned state is a few (frame_idx, hash) rows per
+    * clip, not the frames.
+    */
+  def keyframeTable(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = (s, dir)
+      kfCache match {
+        case Some((k, t)) if k == key => t
+        case _ =>
+          val t = keyframes(s, videoCorpus(s, Tables.documents(s, dir)))
+            .toDF().localCheckpoint()
+          kfCache = Some((key, t))
+          t
+      }
+    }
+
   def keyframesQuery(s: SparkSession, dir: String): DataFrame =
-    keyframes(s, videoCorpus(s, Tables.documents(s, dir)))
-      .toDF()
+    keyframeTable(s, dir)
       .select(col("media_id").as("doc_id"), col("frame_idx"),
         col("frame_hash"), col("ham_prev"))
       .orderBy(col("doc_id"), col("frame_idx"))
@@ -288,7 +309,6 @@ object VideoKeyframes {
     * dedup plan (q209).
     */
   def videoNearDupQuery(s: SparkSession, dir: String): DataFrame =
-    videoNearDupPairs(
-        keyframes(s, videoCorpus(s, Tables.documents(s, dir))).toDF())
+    videoNearDupPairs(keyframeTable(s, dir))
       .orderBy(col("id_a"), col("id_b"))
 }

@@ -241,7 +241,13 @@ object Fuzz {
     // the hub-supplier star, pendant leaves, reserved-range island
     // components, and whatever the df cap disconnects per seed
     "q57_pagerank", "q58_bfs_depths", "q69_triangle_counts",
-    "q94_kcore", "q145_link_prediction", "q146_weighted_paths")
+    "q94_kcore", "q145_link_prediction", "q146_weighted_paths",
+    // incremental dedup-index maintenance (round 13): the 30-word
+    // vocabulary makes trigram df crossings routine, and the planted
+    // exact/near-dup and shared-prefix docs straddle the %7 batch
+    // split per seed — kept/recomputed legs, retractions and the
+    // maintained ≡ from-scratch law all exercised on every corpus
+    "q213_dedup_index_maintain")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =
