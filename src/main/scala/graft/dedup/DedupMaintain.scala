@@ -117,12 +117,26 @@ object DedupMaintain {
     * the maintained (kept ∪ recomputed) pair set, each row tagged with
     * the leg that produced it. The oracle recomputes the union corpus
     * from scratch; hash equality proves the maintenance exact.
+    *
+    * Builds the stored state and the maintenance plan over ONE base
+    * shingle scan: the base-universe cap is the df table the
+    * maintenance already aggregates (base_df ≤ maxDf), so the stored
+    * pair set derives from the same checkpointed view instead of
+    * re-tokenizing the corpus through [[baseState]]'s window — at 100×
+    * the duplicate scan/distinct/window was a third of the query.
     */
   def maintainQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val base = docs.filter(col("doc_id") % BatchMod =!= BatchMod - 1)
     val batch = docs.filter(col("doc_id") % BatchMod === BatchMod - 1)
-    maintainPairs(base, batch, baseState(base, K, MaxDf), K, MaxDf)
+    val shBase = Dedup.shingles(base, K).localCheckpoint()
+    val shBatch = Dedup.shingles(batch, K).localCheckpoint()
+    val dfBase = shBase.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("base_df")).localCheckpoint()
+    val basePairs = pairsFromShingles(
+      shBase.join(dfBase.filter(col("base_df") <= MaxDf)
+        .select(col("shingle")), Seq("shingle"), "left_semi"))
+    maintainCore(shBase, shBatch, dfBase, basePairs, MaxDf)
   }
 
   /** The maintenance plan over explicit state — `basePairs` is the
@@ -131,13 +145,21 @@ object DedupMaintain {
     */
   def maintainPairs(base: DataFrame, batch: DataFrame,
       basePairs: DataFrame, k: Int, maxDf: Int): DataFrame = {
-    // uncapped distinct shingles per side; union df = base df + batch
-    // df — the incremental state update (base df is stored state in a
-    // real deployment; only the batch aggregate is new work)
     val shBase = Dedup.shingles(base, k).localCheckpoint()
-    val shBatch = Dedup.shingles(batch, k).localCheckpoint()
     val dfBase = shBase.groupBy(col("shingle"))
       .agg(count(lit(1)).as("base_df"))
+    maintainCore(shBase, Dedup.shingles(batch, k).localCheckpoint(),
+      dfBase, basePairs, maxDf)
+  }
+
+  /** The maintenance core over prebuilt shingle views and the stored
+    * base df table. `shBase`/`shBatch` are uncapped distinct
+    * (doc_id, shingle); union df = base df + batch df — the
+    * incremental state update (base df is stored state in a real
+    * deployment; only the batch aggregate is new work).
+    */
+  private def maintainCore(shBase: DataFrame, shBatch: DataFrame,
+      dfBase: DataFrame, basePairs: DataFrame, maxDf: Int): DataFrame = {
     val dfBatch = shBatch.groupBy(col("shingle"))
       .agg(count(lit(1)).as("batch_df"))
     val dfU = dfBase.join(dfBatch, Seq("shingle"), "full_outer")
@@ -151,9 +173,11 @@ object DedupMaintain {
     val crossing = dfU
       .filter(col("base_df") <= maxDf && col("df") > maxDf)
       .select(col("shingle"))
-    // dirty docs: every batch doc + base docs holding a crossing
-    // shingle (shingle-keyed semi-join — only crossed buckets touched)
-    val dirty = batch.select(col("doc_id"))
+    // dirty docs: every batch doc (shingle-bearing — a shingle-less doc
+    // appears in no pair, so the tag is never consulted) + base docs
+    // holding a crossing shingle (shingle-keyed semi-join — only
+    // crossed buckets touched)
+    val dirty = shBatch.select(col("doc_id"))
       .unionByName(shBase.join(crossing, Seq("shingle"), "left_semi")
         .select(col("doc_id")))
       .distinct()

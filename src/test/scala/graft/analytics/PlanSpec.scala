@@ -1043,6 +1043,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q213: the maintenance plan is shingle/doc-keyed — inverted-index " +
+    "joins only, scans pruned to (doc_id, text), no all-pairs loop") {
+    val df = graft.dedup.DedupMaintain.maintainQuery(spark, dir)
+    scans(df).foreach { scan =>
+      assert(scan.schema.fieldNames.toSet.subsetOf(Set("doc_id", "text")),
+        scan.schema.fieldNames.mkString(","))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q211: the maintenance joins are vec_id/list-keyed; every " +
     "codebook/centroid table is broadcast (the q208 discipline)") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
