@@ -123,6 +123,30 @@ class DedupMaintainSpec extends SparkSpec {
       == pairSet(fromScratch(base, batch, 3, 5)))
   }
 
+  test("fenced ingest: a crash-replayed pair-set advance is a no-op and " +
+    "the committed table equals the maintained pair set") {
+    import graft.stream.Ingest
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val base = all.filter(col("doc_id") % 7 =!= 6)
+    val batch = all.filter(col("doc_id") % 7 === 6)
+    val stored0 = baseState(base, 3, 5).localCheckpoint()
+    val maintained = maintainPairs(base, batch, stored0, 3, 5)
+      .localCheckpoint()
+    val table = java.nio.file.Files
+      .createTempDirectory("dedup-maintain").toString
+    def advance(next: DataFrame, epoch: Long): String =
+      Ingest.advanceSnapshotFenced(spark, table, epoch,
+        next.limit(0)) { _ => next }
+    val p0 = advance(stored0.withColumn("leg", lit("kept")), 0L)
+    val p1 = advance(maintained, 1L)    // the ingest batch's epoch
+    val p1again = advance(maintained, 1L) // at-least-once redelivery
+    assert(p1again == p1, "fenced replay must return the committed path")
+    val committed = spark.read.parquet(p1)
+    assert(committed.exceptAll(maintained).count() == 0L, s"p0=$p0")
+    assert(maintained.exceptAll(committed).count() == 0L)
+  }
+
   test("the sf0.01 driver surface: kept and recomputed legs are both " +
     "non-empty and the union matches the from-scratch recompute") {
     val q = DedupMaintain.maintainQuery(spark, "/root/testdata/sf0.01")

@@ -94,4 +94,19 @@ class PerceptualHashSpec extends SparkSpec {
     val recall = pairs.length.toDouble / nGroups
     assert(recall >= 0.85, s"dHash recall $recall (${pairs.length}/$nGroups)")
   }
+
+  test("the (session, dir) hash-table memo is bit-identical to a fresh " +
+    "decode of the same corpus") {
+    val t1 = PerceptualHash.hashTable(spark, dir)
+    assert(t1 eq PerceptualHash.hashTable(spark, dir),
+      "second call must hit the memo")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val fresh = PerceptualHash.hashImages(spark,
+      PerceptualHash.imageCorpus(spark,
+        graft.Tables.documents(spark, dir))).toDF()
+    assert(key(t1) == key(fresh),
+      "memoized hash table must equal a fresh decode")
+  }
 }

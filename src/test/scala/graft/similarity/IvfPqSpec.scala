@@ -120,4 +120,18 @@ class IvfPqSpec extends SparkSpec {
     assert(last._2.toDouble / last._3 >= 0.7,
       s"clustered recall@nprobe=${last._1} = ${last._2}/${last._3}")
   }
+
+  test("the (session, dir) index memo serves q208 and q212 the identical " +
+    "build: searchTopK over sharedIndex equals a one-shot ivfPqTopK") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val i1 = IvfPq.sharedIndex(spark, dir)
+    assert(i1 eq IvfPq.sharedIndex(spark, dir), "second call must hit the memo")
+    val viaMemo = IvfPq.searchTopK(emb, i1, IvfPq.NProbe).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val oneShot = IvfPq.ivfPqTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viaMemo.toSeq == oneShot.toSeq,
+      "memoized index must reproduce the from-scratch search exactly")
+  }
 }

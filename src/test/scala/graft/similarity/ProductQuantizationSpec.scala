@@ -156,4 +156,19 @@ class ProductQuantizationSpec extends SparkSpec {
     val meanRho = rhos.sum / rhos.size
     assert(meanRho >= 0.35, s"mean Spearman $meanRho (${rhos.map(r => f"$r%.2f").mkString(",")})")
   }
+
+  test("the (session, dir) training memo is bit-identical to a one-shot " +
+    "training of the same corpus, and the second call is the same object") {
+    val t1 = ProductQuantization.fullTrained(spark, dir)
+    val t2 = ProductQuantization.fullTrained(spark, dir)
+    assert(t1 eq t2, "second call must hit the memo")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("s").longValue, r.getAs[Number]("cid").longValue,
+        r.getSeq[Double](r.fieldIndex("c")))
+    val memo = t1.codebook.collect().map(key).sortBy(x => (x._1, x._2))
+    val fresh = ProductQuantization.trainCodebook(emb).collect()
+      .map(key).sortBy(x => (x._1, x._2))
+    assert(memo.toSeq == fresh.toSeq,
+      "memoized codebook must equal a from-scratch training")
+  }
 }
