@@ -271,7 +271,7 @@ object HyperBall {
       reachCache match {
         case Some((k, st)) if k == key => st
         case _ =>
-          val e = Triangles.coPurchaseEdges(s, dir, maxDf = 18)
+          val e = Triangles.coPurchaseEdgesShared(s, dir, maxDf = 18)
           val bi = e.select(col("u"), col("v"))
             .unionByName(e.select(col("v").as("u"), col("u").as("v")))
             .localCheckpoint()

@@ -67,6 +67,6 @@ object LinkPrediction {
     * q69 projection (df-capped parts, hub-capped middles).
     */
   def linkPredictionQuery(s: SparkSession, dir: String): DataFrame =
-    adamicAdar(Triangles.coPurchaseEdges(s, dir, maxDf = 18),
+    adamicAdar(Triangles.coPurchaseEdgesShared(s, dir, maxDf = 18),
       maxHub = 40, topK = 20)
 }

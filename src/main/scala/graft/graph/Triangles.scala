@@ -44,6 +44,30 @@ object Triangles {
       .distinct()
   }
 
+  private var edgeCache: Option[((SparkSession, String, Int), DataFrame)] =
+    None
+
+  /** [[coPurchaseEdges]] memoized per (session, dir, maxDf) — the
+    * materialized graph view three consumers project (q69 triangles,
+    * q145 Adamic–Adar, the q177/q183/q187 reach propagation): the
+    * orders⋈lineitem distinct + df cap + part-keyed self-join runs once
+    * per corpus and every reader gets the same checkpointed edge table.
+    * A pure function of the corpus, so memo-vs-rebuild is row-identical
+    * and every oracle replays it unchanged (single-entry; fuzz sweeps
+    * use a fresh dir per seed).
+    */
+  def coPurchaseEdgesShared(s: SparkSession, dir: String,
+      maxDf: Int): DataFrame = synchronized {
+    val key = (s, dir, maxDf)
+    edgeCache match {
+      case Some((k, e)) if k == key => e
+      case _ =>
+        val e = coPurchaseEdges(s, dir, maxDf).localCheckpoint()
+        edgeCache = Some((key, e))
+        e
+    }
+  }
+
   /** Per-vertex triangle participation counts over a canonical undirected
     * edge set (u < v, distinct): (id, n_triangles) for every vertex in at
     * least one triangle.
@@ -84,7 +108,7 @@ object Triangles {
     * triangle participation is the standard primitive for.
     */
   def trianglesQuery(s: SparkSession, dir: String): DataFrame =
-    perVertexTriangles(coPurchaseEdges(s, dir, maxDf = 18))
+    perVertexTriangles(coPurchaseEdgesShared(s, dir, maxDf = 18))
       .select(col("id").as("cust_id"), col("n_triangles"))
       .orderBy(col("cust_id"))
 }
