@@ -102,7 +102,7 @@ object KCore {
     * pruning, with their in-core degree.
     */
   def kcoreQuery(s: SparkSession, dir: String): DataFrame = {
-    val b = PageRank.purchaseEdgesInt(s, dir)
+    val b = PageRank.purchaseEdgesIntShared(s, dir)
     val und = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
     kcore(und, k = 10, maxRounds = 8)
       .select(PageRank.decodeId(col("id")).as("id"), col("deg"))

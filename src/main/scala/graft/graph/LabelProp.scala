@@ -74,7 +74,7 @@ object LabelProp {
       .join(Tables.nation(s, dir),
         col("c_nationkey") === col("n_nationkey"))
       .select((col("c_custkey") * 2).as("id"), col("n_regionkey").as("label"))
-    propagate(PageRank.purchaseEdgesInt(s, dir), seeds, rounds = 3)
+    propagate(PageRank.purchaseEdgesIntShared(s, dir), seeds, rounds = 3)
       .select(PageRank.decodeId(col("id")).as("id"), col("label"),
         col("round"))
       .orderBy(col("id"))

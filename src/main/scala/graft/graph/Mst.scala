@@ -108,7 +108,7 @@ object Mst {
     * under the forest (= single-linkage cluster at full merge height).
     */
   def mstQuery(s: SparkSession, dir: String): DataFrame = {
-    val edges = WeightedPaths.weightedEdges(s, dir, maxDf = 18)
+    val edges = WeightedPaths.weightedEdgesShared(s, dir, maxDf = 18)
     boruvka(edges)
       .orderBy(col("u"), col("v"))
       .select(col("u").as("cust_u"), col("v").as("cust_v"), col("w"))

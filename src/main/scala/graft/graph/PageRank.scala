@@ -172,6 +172,26 @@ object PageRank {
       .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
   }
 
+  private var edgeCache: Option[((SparkSession, String), DataFrame)] = None
+
+  /** [[purchaseEdgesInt]] memoized per (session, dir) — the
+    * [[Triangles.coPurchaseEdgesShared]] discipline on the directed
+    * purchase graph its four consumers project (q57 PageRank, q58 BFS,
+    * q94 k-core, q121 label propagation): the orders⋈lineitem distinct
+    * runs once per corpus. Row-identical to a rebuild; single-entry.
+    */
+  def purchaseEdgesIntShared(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = (s, dir)
+      edgeCache match {
+        case Some((k, e)) if k == key => e
+        case _ =>
+          val e = purchaseEdgesInt(s, dir).localCheckpoint()
+          edgeCache = Some((key, e))
+          e
+      }
+    }
+
   /** Inverse of the [[purchaseEdgesInt]] encoding (valid for both parities:
     * (2k)>>1 = (2k+1)>>1 = k).
     */
@@ -188,7 +208,7 @@ object PageRank {
     * below the rounding grain.
     */
   def pagerankQuery(s: SparkSession, dir: String): DataFrame =
-    run(purchaseEdgesInt(s, dir), damping = 0.85, maxIter = 5, tol = 0.0)
+    run(purchaseEdgesIntShared(s, dir), damping = 0.85, maxIter = 5, tol = 0.0)
       .select(decodeId(col("id")).as("id"), round(col("rank"), 8).as("rank"))
       .orderBy(col("id"))
 
@@ -200,7 +220,7 @@ object PageRank {
     */
   def bfsQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = purchaseEdgesInt(s, dir)
+    val e = purchaseEdgesIntShared(s, dir)
     shortestPathsFrom(
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))),
       Seq(2L).toDF("id"), // c:1 under the 2c encoding

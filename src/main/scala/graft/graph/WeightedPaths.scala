@@ -56,6 +56,28 @@ object WeightedPaths {
         round(lit(1.0) / col("cn"), 6).as("w"))
   }
 
+  private var edgeCache: Option[((SparkSession, String, Int), DataFrame)] =
+    None
+
+  /** [[weightedEdges]] memoized per (session, dir, maxDf) — the
+    * [[graft.graph.Triangles.coPurchaseEdgesShared]] discipline on the
+    * weighted projection its two consumers share (q146 Bellman-Ford,
+    * q161 Boruvka MSF): the orders⋈lineitem distinct + df cap +
+    * part-keyed self-join + weight aggregate runs once per corpus.
+    * Row-identical to a rebuild; single-entry.
+    */
+  def weightedEdgesShared(s: SparkSession, dir: String,
+      maxDf: Int): DataFrame = synchronized {
+    val key = (s, dir, maxDf)
+    edgeCache match {
+      case Some((k, e)) if k == key => e
+      case _ =>
+        val e = weightedEdges(s, dir, maxDf).localCheckpoint()
+        edgeCache = Some((key, e))
+        e
+    }
+  }
+
   /** `rounds` synchronous relax rounds from `seeds` (one column `id`):
     * (seed, id, dist) for every vertex reached within `rounds` edges.
     */
@@ -81,7 +103,7 @@ object WeightedPaths {
     * the co-purchase projection, ROUNDS relax rounds.
     */
   def weightedPathsQuery(s: SparkSession, dir: String): DataFrame = {
-    val edges = weightedEdges(s, dir, maxDf = 18)
+    val edges = weightedEdgesShared(s, dir, maxDf = 18)
     val seeds = edges.select(col("u").as("id"))
       .unionByName(edges.select(col("v").as("id")))
       .distinct().orderBy(col("id")).limit(3)
