@@ -145,8 +145,49 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  private var pairsCache: Option[((SparkSession, String), DataFrame)] = None
+  private var clusterCache: Option[((SparkSession, String), DataFrame)] = None
+
+  /** The canonical (k=5, J ≥ 0.2, maxDf=100) near-dup pair table,
+    * memoized per (session, dir) — the materialized dedup view FOUR
+    * queries project (q25 reads it, q40/q48/q111 cluster it): the
+    * shingle scan + df cap + inverted-index self-join runs once per
+    * corpus. A pure function of the corpus, so memo-vs-rebuild is
+    * row-identical and every oracle replays it unchanged.
+    */
+  def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = (s, dir)
+      pairsCache match {
+        case Some((k, p)) if k == key => p
+        case _ =>
+          val p = jaccardPairs(Tables.documents(s, dir), k = 5,
+            threshold = 0.2, maxDf = 100).localCheckpoint()
+          pairsCache = Some((key, p))
+          p
+      }
+    }
+
+  /** Connected components of [[jaccardPairsShared]], memoized — the
+    * cluster table q40 (clusters), q48 (curation keep/drop) and q111
+    * (leakage-safe split) all join; star-contraction CC is
+    * deterministic (min-label), so sharing is row-identical.
+    */
+  def clustersShared(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = (s, dir)
+      clusterCache match {
+        case Some((k, c)) if k == key => c
+        case _ =>
+          val c = connectedComponents(jaccardPairsShared(s, dir)
+            .select(col("id_a"), col("id_b"))).localCheckpoint()
+          clusterCache = Some((key, c))
+          c
+      }
+    }
+
   def jaccardQuery(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.documents(s, dir), k = 5, threshold = 0.2, maxDf = 100)
+    jaccardPairsShared(s, dir).orderBy(col("id_a"), col("id_b"))
 
   /** Mersenne prime 2³¹ − 1: the modulus of the MinHash permutation
     * family and the band-bucket fold. Every value in the pipeline stays
@@ -829,6 +870,5 @@ object Dedup {
 
   /** q40: near-dup clusters from the exact-Jaccard pair graph. */
   def clustersQuery(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(jaccardQuery(s, dir).select(col("id_a"), col("id_b")))
-      .orderBy(col("doc_id"))
+    clustersShared(s, dir).orderBy(col("doc_id"))
 }

@@ -76,10 +76,15 @@ object Sampling {
     * only addition over q44's per-row split; facts join it on doc_id once.
     */
   def leakageSafeSplit(docs: DataFrame, k: Int, threshold: Double,
-      maxDf: Int = 100): DataFrame = {
-    val pairs = graft.dedup.Dedup.jaccardPairs(docs, k, threshold, maxDf)
-      .select(col("id_a"), col("id_b"))
-    val cc = graft.dedup.Dedup.connectedComponents(pairs)
+      maxDf: Int = 100): DataFrame =
+    leakageSafeSplit(docs, graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.jaccardPairs(docs, k, threshold, maxDf)
+        .select(col("id_a"), col("id_b"))))
+
+  /** [[leakageSafeSplit]] over a prebuilt cluster table — the query
+    * path passes the [[graft.dedup.Dedup.clustersShared]] view.
+    */
+  def leakageSafeSplit(docs: DataFrame, cc: DataFrame): DataFrame = {
     docs.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -92,7 +97,7 @@ object Sampling {
     */
   def leakageSafeSplitQuery(s: SparkSession, dir: String): DataFrame =
     leakageSafeSplit(graft.Tables.documents(s, dir),
-      k = 5, threshold = 0.2, maxDf = 100)
+      graft.dedup.Dedup.clustersShared(s, dir))
 
   /** Deterministic weighted Bernoulli sample: row i kept iff
     * hashUnit(id)/2³¹ < targetFrac · wᵢ/mean(w), capped at 1 — the

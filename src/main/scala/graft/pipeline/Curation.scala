@@ -31,7 +31,18 @@ object Curation {
   /** @param minTokens quality-gate floor (documents shorter than this are
     *                  noise for training purposes)
     */
-  def curate(docs: DataFrame, minTokens: Long = 20L): DataFrame = {
+  def curate(docs: DataFrame, minTokens: Long = 20L): DataFrame =
+    // near-dup clusters over the FULL corpus (drop decisions must not
+    // depend on what the quality gate removed first)
+    curate(docs, minTokens, Dedup.connectedComponents(
+      Dedup.jaccardPairs(docs, k = 5, threshold = 0.2, maxDf = 100)
+        .select(col("id_a"), col("id_b"))))
+
+  /** [[curate]] over a prebuilt cluster table — the query path passes
+    * the [[Dedup.clustersShared]] view the other dedup queries share.
+    */
+  def curate(docs: DataFrame, minTokens: Long,
+      clusters: DataFrame): DataFrame = {
     // narrow stat columns — a join against textStats(docs) would shuffle
     // the whole corpus on doc_id to reattach a per-row projection
     val gated = TextOps.withQuality(docs)
@@ -39,11 +50,6 @@ object Curation {
     // hash-bucketed exchange (8-byte key, never the multi-KB text) with
     // exact (hash, text)-window semantics — see Dedup.exactKeepRows
     val exactKept = Dedup.exactKeepRows(gated)
-    // near-dup clusters over the FULL corpus (drop decisions must not
-    // depend on what the quality gate removed first)
-    val clusters = Dedup.connectedComponents(
-      Dedup.jaccardPairs(docs, k = 5, threshold = 0.2, maxDf = 100)
-        .select(col("id_a"), col("id_b")))
     // no broadcast hint: the cluster table is docs-with-a-near-dup, which
     // on a dirty corpus can be a large fraction of the input — AQE
     // converts this join to broadcast at runtime when it actually is small
@@ -55,7 +61,8 @@ object Curation {
   }
 
   def curateQuery(s: SparkSession, dir: String): DataFrame =
-    curate(Tables.documents(s, dir))
+    curate(Tables.documents(s, dir), minTokens = 20L,
+      Dedup.clustersShared(s, dir))
 
   /** q105: the retrieval-side sibling of [[curate]] — prep a corpus for
     * an embedding index: quality gate → exact dedup → overlapping token
