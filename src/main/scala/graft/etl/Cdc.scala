@@ -60,8 +60,18 @@ object Cdc {
       .filterNot(c => keyCols.contains(c) || seqCols.contains(c)
         || c == opCol || c == "n_ops")
     val packed = struct(((seqCols :+ opCol) ++ payload).map(col): _*)
+    // graft_max_orderable, not the built-in max: Spark's declarative Max
+    // can't hash-aggregate a struct (immutable buffer type), so max(packed)
+    // plans as SortAggregate — a full sort of every input partition on the
+    // key, twice (partial + final), for an order-insensitive winner. The
+    // engine's TypedImperativeAggregate keeps one winner per (group,
+    // mapper) and plans as ObjectHashAggregate: same single key exchange,
+    // zero sorts (PlanSpec pins it). Sort-heavy plans also degrade worst
+    // under memory pressure — this was the query that read 70 s on a
+    // contended host while its hash twin reads ~1.5 s.
+    graft.functions.GraftFunctions.register(log.sparkSession)
     val won = log.groupBy(keyCols.map(col): _*)
-      .agg(max(packed).as("w"),
+      .agg(graft.functions.GraftFunctions.maxOrderable(packed).as("w"),
         (if (hasN) sum(col("n_ops")) else count(lit(1))).as("n_ops"))
     val base = if (dropTombstones) won.filter(col(s"w.$opCol") =!= "D") else won
     val opOut = if (dropTombstones) Nil else Seq(col(s"w.$opCol").as(opCol))

@@ -94,6 +94,12 @@ object GraftFunctions {
     TopKLargest(args(0), k).toAggregateExpression()
   }
 
+  private def maxOrderableBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"graft_max_orderable expects 1 argument, got ${args.length}")
+    MaxOrderable(args(0)).toAggregateExpression()
+  }
+
   private def heavyCandidatesBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2,
       s"graft_heavy_candidates expects 2 arguments, got ${args.length}")
@@ -155,6 +161,10 @@ object GraftFunctions {
     ("graft_topk",
       new ExpressionInfo(classOf[TopKLargest].getCanonicalName, "graft_topk"),
       topkBuilder _),
+    ("graft_max_orderable",
+      new ExpressionInfo(classOf[MaxOrderable].getCanonicalName,
+        "graft_max_orderable"),
+      maxOrderableBuilder _),
     ("graft_heavy_candidates",
       new ExpressionInfo(classOf[MisraGriesCandidates].getCanonicalName,
         "graft_heavy_candidates"),
@@ -189,6 +199,7 @@ object GraftFunctions {
     call_function("graft_lsh_bucket", v, org.apache.spark.sql.functions.lit(bits))
   def topk(v: Column, k: Int): Column =
     call_function("graft_topk", v, org.apache.spark.sql.functions.lit(k))
+  def maxOrderable(v: Column): Column = call_function("graft_max_orderable", v)
   def heavyCandidates(v: Column, k: Int): Column =
     call_function("graft_heavy_candidates", v,
       org.apache.spark.sql.functions.lit(k))

@@ -688,22 +688,27 @@ class PlanSpec extends SparkSpec {
 
   test("q168: one orders scan feeds the generated CDC log, and the " +
     "winner aggregate partial-combines before its single key exchange") {
-    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = graft.etl.Cdc.cdcSnapshotQuery(spark, dir)
     val plan = df.queryExecution.executedPlan
     assert(scans(df).size == 1, s"expected a single orders scan:\n$plan")
     // key hash exchange + output range sort — nothing else; the
-    // struct-max winner falls back to SortAggregate (immutable buffer),
-    // but BOTH halves must be present: a partial below the exchange
+    // struct-max winner runs through the engine's MaxOrderable
+    // TypedImperativeAggregate, so the plan is an ObjectHashAggregate
+    // pair with BOTH halves present — a partial below the exchange
     // (map-side combine — the property that keeps a million-op key from
-    // shipping a million rows) and a final above it
+    // shipping a million rows) and a final above it — and ZERO
+    // SortAggregates: the built-in max(struct) fallback sorted every
+    // input partition twice for an order-insensitive winner
     val shuffles = PlanWalk.collectPlan(plan) {
       case s: ShuffleExchangeLike => s
     }
     assert(shuffles.size == 2, s"expected 2 exchanges:\n$plan")
-    val aggs = PlanWalk.collectPlan(plan) { case a: SortAggregateExec => a }
-    assert(aggs.size == 2, s"expected partial+final aggregate pair:\n$plan")
+    val aggs = PlanWalk.collectPlan(plan) { case a: ObjectHashAggregateExec => a }
+    assert(aggs.size == 2, s"expected partial+final ObjectHashAggregate pair:\n$plan")
+    val sorts = PlanWalk.collectPlan(plan) { case a: SortAggregateExec => a }
+    assert(sorts.isEmpty, s"expected no SortAggregate:\n$plan")
   }
 
   test("q170: the per-item shelf is the map-side TopK aggregate, not a " +
