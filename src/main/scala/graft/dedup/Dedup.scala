@@ -145,8 +145,8 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private var pairsCache: Option[((SparkSession, String), DataFrame)] = None
-  private var clusterCache: Option[((SparkSession, String), DataFrame)] = None
+  private val pairsMemo = graft.tools.CorpusMemo.ofDf
+  private val clusterMemo = graft.tools.CorpusMemo.ofDf
 
   /** The canonical (k=5, J ≥ 0.2, maxDf=100) near-dup pair table,
     * memoized per (session, dir) — the materialized dedup view FOUR
@@ -156,16 +156,9 @@ object Dedup {
     * row-identical and every oracle replays it unchanged.
     */
   def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      val key = (s, dir)
-      pairsCache match {
-        case Some((k, p)) if k == key => p
-        case _ =>
-          val p = jaccardPairs(Tables.documents(s, dir), k = 5,
-            threshold = 0.2, maxDf = 100).localCheckpoint()
-          pairsCache = Some((key, p))
-          p
-      }
+    pairsMemo.get(s, dir) {
+      jaccardPairs(Tables.documents(s, dir), k = 5,
+        threshold = 0.2, maxDf = 100).localCheckpoint()
     }
 
   /** Connected components of [[jaccardPairsShared]], memoized — the
@@ -174,16 +167,9 @@ object Dedup {
     * deterministic (min-label), so sharing is row-identical.
     */
   def clustersShared(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      val key = (s, dir)
-      clusterCache match {
-        case Some((k, c)) if k == key => c
-        case _ =>
-          val c = connectedComponents(jaccardPairsShared(s, dir)
-            .select(col("id_a"), col("id_b"))).localCheckpoint()
-          clusterCache = Some((key, c))
-          c
-      }
+    clusterMemo.get(s, dir) {
+      connectedComponents(jaccardPairsShared(s, dir)
+        .select(col("id_a"), col("id_b"))).localCheckpoint()
     }
 
   def jaccardQuery(s: SparkSession, dir: String): DataFrame =

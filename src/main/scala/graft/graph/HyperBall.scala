@@ -253,11 +253,15 @@ object HyperBall {
   /** Reach-suite hops, shared by q177/q183/q187. */
   val ReachHops: Int = 3
 
-  @volatile private var reachCache
-    : Option[((SparkSession, String), ReachState)] = None
+  private val reachMemo = new graft.tools.CorpusMemo[ReachState](
+    // edges is this memo's own bidirectional checkpoint (derived from —
+    // but block-independent of — Triangles' memoized frame), so it is
+    // freed here along with the hop registers
+    st => st.edges +: st.hopRegs)
 
   /** The co-purchase [[ReachState]], memoized per (session, dir) —
-    * single entry, replaced when the dir changes so fuzz sweeps don't
+    * single entry, fingerprint-keyed, evict-unpersists its hop
+    * registers ([[graft.tools.CorpusMemo]]) so fuzz sweeps don't
     * pin 20 seeds of checkpoints. q177, q183 and q187 all consume the
     * SAME propagation (same graph, same rounds); before the share,
     * every bench pass re-ran the identical systolic chain three times.
@@ -266,11 +270,7 @@ object HyperBall {
     * byte of any result — the three oracles pin that.
     */
   def coPurchaseReach(s: SparkSession, dir: String): ReachState =
-    synchronized {
-      val key = (s, dir)
-      reachCache match {
-        case Some((k, st)) if k == key => st
-        case _ =>
+    reachMemo.get(s, dir) {
           val e = Triangles.coPurchaseEdgesShared(s, dir, maxDf = 18)
           val bi = e.select(col("u"), col("v"))
             .unionByName(e.select(col("v").as("u"), col("u").as("v")))
@@ -286,10 +286,7 @@ object HyperBall {
             regs = roundRegs(merged); delta = roundDelta(merged)
             hops += regs
           }
-          val st = ReachState(bi, hops.result())
-          reachCache = Some((key, st))
-          st
-      }
+          ReachState(bi, hops.result())
     }
 
   /** q177: the neighborhood function of the q69 co-purchase graph to

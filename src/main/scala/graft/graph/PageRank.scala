@@ -172,25 +172,17 @@ object PageRank {
       .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
   }
 
-  private var edgeCache: Option[((SparkSession, String), DataFrame)] = None
+  private val edgeMemo = graft.tools.CorpusMemo.ofDf
 
   /** [[purchaseEdgesInt]] memoized per (session, dir) — the
     * [[Triangles.coPurchaseEdgesShared]] discipline on the directed
     * purchase graph its four consumers project (q57 PageRank, q58 BFS,
     * q94 k-core, q121 label propagation): the orders⋈lineitem distinct
-    * runs once per corpus. Row-identical to a rebuild; single-entry.
+    * runs once per corpus. Row-identical to a rebuild; single-entry,
+    * fingerprint-keyed, evict-unpersists ([[graft.tools.CorpusMemo]]).
     */
   def purchaseEdgesIntShared(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      val key = (s, dir)
-      edgeCache match {
-        case Some((k, e)) if k == key => e
-        case _ =>
-          val e = purchaseEdgesInt(s, dir).localCheckpoint()
-          edgeCache = Some((key, e))
-          e
-      }
-    }
+    edgeMemo.get(s, dir) { purchaseEdgesInt(s, dir).localCheckpoint() }
 
   /** Inverse of the [[purchaseEdgesInt]] encoding (valid for both parities:
     * (2k)>>1 = (2k+1)>>1 = k).

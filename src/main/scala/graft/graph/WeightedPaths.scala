@@ -56,27 +56,21 @@ object WeightedPaths {
         round(lit(1.0) / col("cn"), 6).as("w"))
   }
 
-  private var edgeCache: Option[((SparkSession, String, Int), DataFrame)] =
-    None
+  private val edgeMemo = graft.tools.CorpusMemo.ofDf
 
   /** [[weightedEdges]] memoized per (session, dir, maxDf) — the
     * [[graft.graph.Triangles.coPurchaseEdgesShared]] discipline on the
     * weighted projection its two consumers share (q146 Bellman-Ford,
     * q161 Boruvka MSF): the orders⋈lineitem distinct + df cap +
     * part-keyed self-join + weight aggregate runs once per corpus.
-    * Row-identical to a rebuild; single-entry.
+    * Row-identical to a rebuild; single-entry, fingerprint-keyed,
+    * evict-unpersists ([[graft.tools.CorpusMemo]]).
     */
   def weightedEdgesShared(s: SparkSession, dir: String,
-      maxDf: Int): DataFrame = synchronized {
-    val key = (s, dir, maxDf)
-    edgeCache match {
-      case Some((k, e)) if k == key => e
-      case _ =>
-        val e = weightedEdges(s, dir, maxDf).localCheckpoint()
-        edgeCache = Some((key, e))
-        e
+      maxDf: Int): DataFrame =
+    edgeMemo.get(s, dir, s"maxDf=$maxDf") {
+      weightedEdges(s, dir, maxDf).localCheckpoint()
     }
-  }
 
   /** `rounds` synchronous relax rounds from `seeds` (one column `id`):
     * (seed, id, dist) for every vertex reached within `rounds` edges.

@@ -150,7 +150,7 @@ object AudioFingerprint {
     * band join verbatim (the fingerprint has the same (hi, lo) 64-bit
     * shape, so the pigeonhole bound carries over).
     */
-  private var fpCache: Option[((SparkSession, String), DataFrame)] = None
+  private val fpMemo = graft.tools.CorpusMemo.ofDf
 
   /** The per-clip fingerprint table, memoized per (session, dir) — the
     * [[PerceptualHash.hashTable]] discipline for the audio modality:
@@ -159,17 +159,9 @@ object AudioFingerprint {
     * the samples.
     */
   def fingerprintTable(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      val key = (s, dir)
-      fpCache match {
-        case Some((k, t)) if k == key => t
-        case _ =>
-          val t = fingerprintClips(s,
-              audioCorpus(s, Tables.documents(s, dir)))
-            .toDF().localCheckpoint()
-          fpCache = Some((key, t))
-          t
-      }
+    fpMemo.get(s, dir) {
+      fingerprintClips(s, audioCorpus(s, Tables.documents(s, dir)))
+        .toDF().localCheckpoint()
     }
 
   def audioNearDupQuery(s: SparkSession, dir: String): DataFrame =

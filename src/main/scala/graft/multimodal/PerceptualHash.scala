@@ -245,7 +245,7 @@ object PerceptualHash {
       .distinct()
   }
 
-  private var hashCache: Option[((SparkSession, String), DataFrame)] = None
+  private val hashMemo = graft.tools.CorpusMemo.ofDf
 
   /** The per-doc image hash table, memoized per (session, dir) — the
     * [[graft.similarity.ProductQuantization.fullTrained]] discipline
@@ -256,17 +256,11 @@ object PerceptualHash {
     * memo-vs-redecode is bit-identical; the pinned state is one
     * 3×64-bit row per doc, not the pixels.
     */
-  def hashTable(s: SparkSession, dir: String): DataFrame = synchronized {
-    val key = (s, dir)
-    hashCache match {
-      case Some((k, t)) if k == key => t
-      case _ =>
-        val t = hashImages(s, imageCorpus(s, Tables.documents(s, dir)))
-          .toDF().localCheckpoint()
-        hashCache = Some((key, t))
-        t
+  def hashTable(s: SparkSession, dir: String): DataFrame =
+    hashMemo.get(s, dir) {
+      hashImages(s, imageCorpus(s, Tables.documents(s, dir)))
+        .toDF().localCheckpoint()
     }
-  }
 
   /** q202: perceptual near-dup image pairs (aHash Hamming ≤ 3) over
     * the documents-derived image corpus.

@@ -209,7 +209,7 @@ object VideoKeyframes {
   /** q205: sampled keyframes (scene starts) per clip over the
     * documents-derived video corpus.
     */
-  private var kfCache: Option[((SparkSession, String), DataFrame)] = None
+  private val kfMemo = graft.tools.CorpusMemo.ofDf
 
   /** The per-clip keyframe table, memoized per (session, dir) — the
     * [[PerceptualHash.hashTable]] discipline for the video modality:
@@ -219,16 +219,9 @@ object VideoKeyframes {
     * clip, not the frames.
     */
   def keyframeTable(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      val key = (s, dir)
-      kfCache match {
-        case Some((k, t)) if k == key => t
-        case _ =>
-          val t = keyframes(s, videoCorpus(s, Tables.documents(s, dir)))
-            .toDF().localCheckpoint()
-          kfCache = Some((key, t))
-          t
-      }
+    kfMemo.get(s, dir) {
+      keyframes(s, videoCorpus(s, Tables.documents(s, dir)))
+        .toDF().localCheckpoint()
     }
 
   def keyframesQuery(s: SparkSession, dir: String): DataFrame =

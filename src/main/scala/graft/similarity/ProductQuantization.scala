@@ -147,7 +147,8 @@ object ProductQuantization {
     */
   case class Trained(subs: DataFrame, codebook: DataFrame)
 
-  private var trainedCache: Option[((SparkSession, String), Trained)] = None
+  private val trainedMemo = new graft.tools.CorpusMemo[Trained](
+    t => Seq(t.subs, t.codebook))
 
   /** The full-corpus PQ training, memoized per (session, dir) — the
     * [[graft.graph.HyperBall.coPurchaseReach]] discipline applied to
@@ -163,18 +164,12 @@ object ProductQuantization {
     * M rows of d/M doubles per vector, the same footprint the reach
     * memo pins for the graph tier.
     */
-  def fullTrained(s: SparkSession, dir: String): Trained = synchronized {
-    val key = (s, dir)
-    trainedCache match {
-      case Some((k, t)) if k == key => t
-      case _ =>
-        val emb = Tables.embeddings(s, dir)
-        val subs = subspaces(emb).localCheckpoint()
-        val t = Trained(subs, trainCodebook(emb, subs))
-        trainedCache = Some((key, t))
-        t
+  def fullTrained(s: SparkSession, dir: String): Trained =
+    trainedMemo.get(s, dir) {
+      val emb = Tables.embeddings(s, dir)
+      val subs = subspaces(emb).localCheckpoint()
+      Trained(subs, trainCodebook(emb, subs))
     }
-  }
 
   /** Exact micro-unit conversion: round(d² · 10⁶) as BIGINT — Spark
     * rounds the double's shortest decimal string (HALF_UP); the oracle
