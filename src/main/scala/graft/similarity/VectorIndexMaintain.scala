@@ -1,7 +1,9 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType,
+  IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.Tables
 
@@ -133,5 +135,145 @@ object VectorIndexMaintain {
         col("new_sse_micro"), col("n_code_mismatch"),
         round((pb - pn) * log(pb / pn), 6).as("psi_contrib"))
       .orderBy(col("list_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // PERSISTED index state + the STREAMING leg. The IVF-PQ index a
+  // deployment serves is three stored tables — coarse centroids, the
+  // shared residual codebook, and the code table — packed into ONE
+  // kind-tagged parquet snapshot so the fenced commit protocol advances
+  // them ATOMICALLY (a code append can never land without the codebooks
+  // that define it). Element types are preserved exactly (centroids
+  // array<float>, codebook array<double>), so the round-trip through
+  // parquet is bit-identical and the maintenance law keeps holding
+  // across restarts.
+  // ---------------------------------------------------------------------
+
+  /** kind ∈ coarse | cb | code; each kind populates its own columns. */
+  val IndexStateSchema: StructType = StructType(Seq(
+    StructField("kind", StringType), StructField("vec_id", LongType),
+    StructField("s", IntegerType), StructField("cid", LongType),
+    StructField("list_id", LongType),
+    StructField("vecf", ArrayType(FloatType)),
+    StructField("vecd", ArrayType(DoubleType))))
+
+  def emptyIndexState(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], IndexStateSchema)
+
+  def packIndexState(coarse: DataFrame, codebook: DataFrame,
+      codes: DataFrame): DataFrame = {
+    def nlL = lit(null).cast("long")
+    def nlI = lit(null).cast("int")
+    def nlF = lit(null).cast("array<float>")
+    def nlD = lit(null).cast("array<double>")
+    coarse.select(lit("coarse").as("kind"), nlL.as("vec_id"), nlI.as("s"),
+        nlL.as("cid"), col("centroid_id").cast("long").as("list_id"),
+        col("centroid").cast("array<float>").as("vecf"), nlD.as("vecd"))
+      .unionByName(codebook.select(lit("cb").as("kind"), nlL.as("vec_id"),
+        col("s").cast("int").as("s"), col("cid").cast("long").as("cid"),
+        nlL.as("list_id"), nlF.as("vecf"),
+        col("c").cast("array<double>").as("vecd")))
+      .unionByName(codes.select(lit("code").as("kind"),
+        col("vec_id").cast("long").as("vec_id"),
+        col("s").cast("int").as("s"), col("cid").cast("long").as("cid"),
+        col("list_id").cast("long").as("list_id"), nlF.as("vecf"),
+        nlD.as("vecd")))
+  }
+
+  def coarseOf(state: DataFrame): DataFrame =
+    state.filter(col("kind") === "coarse")
+      .select(col("list_id").as("centroid_id"), col("vecf").as("centroid"))
+  def codebookOf(state: DataFrame): DataFrame =
+    state.filter(col("kind") === "cb")
+      .select(col("s"), col("cid"), col("vecd").as("c"))
+  def codesOf(state: DataFrame): DataFrame =
+    state.filter(col("kind") === "code")
+      .select(col("s"), col("vec_id"), col("cid"), col("list_id"))
+
+  /** Encode a vector batch through FROZEN index state — the
+    * assignment-only ingest path (zero Lloyd rounds): coarse residual,
+    * subspace split, broadcast argmin per subspace.
+    */
+  def encodeBatch(batch: DataFrame, coarse: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    val res = IvfPq.residuals(batch, coarse).localCheckpoint()
+    ProductQuantization.assign(
+        ProductQuantization.subspaces(
+          res.select(col("vec_id"), col("res").as("embedding"))),
+        codebook)
+      .select(col("s"), col("vec_id"), col("cid"))
+      .join(res.select(col("vec_id"), col("list_id")), "vec_id")
+  }
+
+  /** One state transition of the CONTINUOUS index: the FIRST batch
+    * trains the index (FAISS's train-then-add contract — coarse Lloyd +
+    * residual-PQ Lloyd, [[IvfPq.buildIndex]]); every later batch flows
+    * through [[encodeBatch]] only and appends its codes. The codebooks
+    * are FROZEN after batch one — the retrain decision is an offline
+    * call driven by [[maintain]]'s PSI/SSE drift readout, never an
+    * in-stream side effect.
+    */
+  def nextIndexState(state: DataFrame, batch: DataFrame): DataFrame =
+    if (state.isEmpty) {
+      val idx = IvfPq.buildIndex(batch)
+      packIndexState(idx.coarse, idx.codebook,
+        idx.codes.select(col("s"), col("vec_id"), col("cid"),
+          col("list_id")))
+    } else {
+      val coarse = coarseOf(state).localCheckpoint()
+      val cb = codebookOf(state).localCheckpoint()
+      packIndexState(coarse, cb,
+        codesOf(state).unionByName(encodeBatch(batch, coarse, cb)))
+    }
+
+  /** The STREAMING leg of the maintained vector index — the
+    * [[graft.etl.Ivm.maintainStream]] composition applied to IVF-PQ: a
+    * stream of embedding batches drains through foreachBatch into the
+    * FENCED snapshot chain, each micro-batch advancing the packed state
+    * through [[nextIndexState]] exactly once under at-least-once
+    * redelivery (code appends are NOT idempotent — a replayed batch
+    * would duplicate its rows — so the batchId rides the manifest's
+    * atomic PUT as the fencing epoch). The INVARIANT after every
+    * commit is the q211 law: the state's code table equals a
+    * from-scratch encode of every ingested vector through the state's
+    * own frozen codebooks ([[reencodeDiff]] empty —
+    * VectorMaintainSpec proves it per batch; the fuzz family per
+    * seeded split).
+    *
+    * Contract (inherited from the fence): one writer, one checkpoint
+    * lineage per table. Returns the latest committed snapshot path.
+    */
+  def maintainStream(emb: DataFrame, tablePath: String,
+      checkpoint: String): Option[String] = {
+    val spark = emb.sparkSession
+    val q = emb.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          graft.stream.Ingest.advanceSnapshotFenced(spark, tablePath, id,
+            emptyIndexState(spark)) { st => nextIndexState(st, batch.toDF()) }
+          ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.stream.Ingest.latestSnapshotPath(spark, tablePath)
+  }
+
+  /** The maintenance law as a queryable diff: rows where the state's
+    * code table disagrees with a from-scratch re-encode of `emb`
+    * (which must be exactly the vectors ingested so far) through the
+    * state's OWN codebooks. Empty ⟺ the law holds.
+    */
+  def reencodeDiff(state: DataFrame, emb: DataFrame): DataFrame = {
+    val coarse = coarseOf(state).localCheckpoint()
+    val rebuilt = encodeBatch(emb, coarse, codebookOf(state))
+    codesOf(state)
+      .select(col("vec_id"), col("s"), col("cid").as("m_cid"),
+        col("list_id").as("m_list"))
+      .join(rebuilt.select(col("vec_id"), col("s"), col("cid").as("r_cid"),
+        col("list_id").as("r_list")), Seq("vec_id", "s"), "full_outer")
+      .filter(col("m_cid").isNull || col("r_cid").isNull
+        || col("m_cid") =!= col("r_cid") || col("m_list") =!= col("r_list"))
   }
 }

@@ -298,6 +298,98 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup-index maintenance on every fuzz corpus: seeded " +
+    "document batch splits drained through the fenced chain equal the " +
+    "from-scratch pair set of everything ingested (all-integer rows)") {
+    import graft.dedup.{Dedup, DedupMaintain}
+    for (seed <- allSeeds) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"dedup-stream-fuzz-$seed").toString
+      val in = s"$root/in"; val table = s"$root/state"
+      val ckpt = s"$root/ckpt"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val docs = Fuzz.genDocuments(spark, seed)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      // seed-varied split: 2–4 batches by doc_id residue, so batch
+      // boundaries land differently against the planted dup structure
+      val nSplits = 2 + seed % 3
+      def drop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$root/tmp_$name"
+        df.coalesce(1).write.json(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".json")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(in, s"$name.json"))
+      }
+      def drain(): String = {
+        val s = spark.readStream
+          .schema("doc_id LONG, text STRING").json(in)
+        DedupMaintain.maintainStream(s, table, ckpt)
+          .getOrElse(sys.error(s"seed $seed: no committed snapshot"))
+      }
+      var last: String = null
+      (0 until nSplits).foreach { b =>
+        drop(s"b$b", docs.filter(col("doc_id") % nSplits === b))
+        last = drain()
+      }
+      val got = DedupMaintain.pairsOf(spark.read.parquet(last))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = DedupMaintain.pairsFromShingles(Dedup.cappedShingles(
+          spark.read.schema("doc_id LONG, text STRING").json(in),
+          DedupMaintain.K, DedupMaintain.MaxDf))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == want, s"seed $seed ($nSplits splits): maintained " +
+        s"pair set != scratch; stream-only ${got.diff(want).take(3)}, " +
+        s"scratch-only ${want.diff(got).take(3)}")
+    }
+  }
+
+  test("streaming vector-index maintenance on every fuzz corpus: a " +
+    "seeded train/append split drained through the fenced chain " +
+    "re-encodes exactly through its own frozen codebooks") {
+    import graft.similarity.VectorIndexMaintain._
+    for (seed <- allSeeds) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"vec-stream-fuzz-$seed").toString
+      val in = s"$root/in"; val table = s"$root/state"
+      val ckpt = s"$root/ckpt"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val sch = "vec_id LONG, embedding ARRAY<FLOAT>"
+      val emb = Fuzz.genEmbeddings(spark, seed)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      // seed-varied train fraction: the append batch is residue m−1 of
+      // modulus m ∈ 3..6 — different codebook sample every seed
+      val m = 3 + seed % 4
+      def drop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$root/tmp_$name"
+        df.coalesce(1).write.json(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".json")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(in, s"$name.json"))
+      }
+      def drain(): String =
+        maintainStream(spark.readStream.schema(sch).json(in), table, ckpt)
+          .getOrElse(sys.error(s"seed $seed: no committed snapshot"))
+      drop("b1", emb.filter(col("vec_id") % m =!= m - 1))
+      drain()
+      drop("b2", emb.filter(col("vec_id") % m === m - 1))
+      val v2 = drain()
+      val st = spark.read.schema(IndexStateSchema).parquet(v2)
+      val ingested = spark.read.schema(sch).json(in)
+      val bad = reencodeDiff(st, ingested).collect()
+      assert(bad.isEmpty,
+        s"seed $seed (m=$m): ${bad.length} code mismatches, e.g. " +
+          s"${bad.take(3).toSeq}")
+      assert(codesOf(st).select(col("vec_id")).distinct().count()
+        == ingested.count(), s"seed $seed: code table lost vectors")
+    }
+  }
+
   test("spatial corpus stays boundary-concentrated: offsets straddle the " +
     "radius cut tightly, homes sit on cell corners, keys are unique") {
     val keys = Fuzz.genCustomer(spark, 0).collect().map(_.getLong(0))

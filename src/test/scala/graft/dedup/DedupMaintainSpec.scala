@@ -147,6 +147,107 @@ class DedupMaintainSpec extends SparkSpec {
     assert(maintained.exceptAll(committed).count() == 0L)
   }
 
+  test("persisted base state: the one-time build commits through the " +
+    "snapshot protocol, maintenance READS the stored state (poison " +
+    "proof), and a rewritten corpus invalidates it (fingerprint key)") {
+    import graft.stream.Ingest
+    import spark.implicits._
+    val corpus = java.nio.file.Files
+      .createTempDirectory("dedup-persist").toString
+    // BatchMod = 7: doc 6 is the ingest batch, 1/2/3 the base; (1, 2)
+    // pair away from the batch's vocabulary → clean, hence KEPT
+    def write(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    write(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "red green blue cyan magenta yellow",
+      6L -> "red green blue cyan magenta white")
+    val all = graft.Tables.documents(spark, corpus)
+    val base = all.filter(col("doc_id") % 7 =!= 6)
+    val batch = all.filter(col("doc_id") % 7 === 6)
+    val q1 = DedupMaintain.maintainQuery(spark, corpus)
+    assert(pairSet(q1) == pairSet(fromScratch(base, batch, 3, 5)))
+    // the build committed a manifest-pointed snapshot
+    val table = DedupMaintain.stateTablePath(spark, corpus)
+    assert(new java.io.File(s"$table/_latest").exists(),
+      s"no snapshot manifest at $table")
+    // poison the STORED pair set: a second maintainQuery must surface
+    // the poisoned kept row — proof it reads persisted state, not a
+    // rebuild (the in-memory poison discipline, through parquet)
+    Ingest.advanceSnapshot(spark, table,
+      DedupMaintain.emptyState(spark)) { st =>
+      st.filter(!(col("kind") === "pair" && col("id_a") === 1L))
+        .unionByName(DedupMaintain.packState(
+          Seq.empty[(Long, String)].toDF("doc_id", "shingle"),
+          Seq.empty[(String, Long)].toDF("shingle", "n"),
+          Seq((1L, 2L, 999L, 999L, 999L))
+            .toDF("id_a", "id_b", "n_common", "n_a", "n_b")))
+    }
+    val q2 = DedupMaintain.maintainQuery(spark, corpus)
+      .filter(col("id_a") === 1L && col("id_b") === 2L).collect()
+    assert(q2.length == 1 && q2(0).getLong(2) == 999L
+      && q2(0).getString(5) == "kept",
+      s"poisoned stored pair must flow through the kept leg: ${q2.toSeq}")
+    // REWRITE the corpus at the same path: the fingerprint key must
+    // route to a fresh chain — the poisoned state is unreachable
+    write(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      6L -> "unrelated words entirely here now")
+    val all2 = graft.Tables.documents(spark, corpus)
+    val q3 = DedupMaintain.maintainQuery(spark, corpus)
+    assert(pairSet(q3) == pairSet(fromScratch(
+      all2.filter(col("doc_id") % 7 =!= 6),
+      all2.filter(col("doc_id") % 7 === 6), 3, 5)))
+    assert(!q3.collect().exists(_.getLong(2) == 999L),
+      "stale poisoned state served for a rewritten corpus")
+  }
+
+  test("streaming index maintenance: document batches drain exactly-" +
+    "once into the fenced chain; after every drain the state pair set " +
+    "equals the from-scratch recompute of everything ingested") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("dedup-stream").toString
+    val in = s"$root/in"; val table = s"$root/state"; val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def drop(name: String, rows: (Long, String)*): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n"))
+    def drain(): String = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, text STRING").json(in)
+      DedupMaintain.maintainStream(docs, table, ckpt)
+        .getOrElse(sys.error("no committed snapshot"))
+    }
+    def scratch(rows: (Long, String)*): DataFrame =
+      pairsFromShingles(Dedup.cappedShingles(
+        rows.toDF("doc_id", "text"), DedupMaintain.K, DedupMaintain.MaxDf))
+    val b1 = Seq(1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "red green blue cyan magenta yellow")
+    drop("b1.json", b1: _*)
+    val v1 = drain()
+    assert(pairSet(DedupMaintain.pairsOf(spark.read.parquet(v1)))
+      == pairSet(scratch(b1: _*)))
+    // batch 2 both ADDS a near-dup of doc 3 and retracts nothing
+    val b2 = Seq(100L -> "red green blue cyan magenta white")
+    drop("b2.json", b2: _*)
+    val v2 = drain()
+    assert(v2 != v1)
+    assert(pairSet(DedupMaintain.pairsOf(spark.read.parquet(v2)))
+      == pairSet(scratch(b1 ++ b2: _*)))
+    // exactly-once: a drain with nothing new leaves the state unchanged
+    // (an empty micro-batch, if the source emits one, is a no-op
+    // transition — same pairs, same index)
+    val v3 = drain()
+    assert(pairSet(DedupMaintain.pairsOf(spark.read.parquet(v3)))
+      == pairSet(scratch(b1 ++ b2: _*)))
+  }
+
   test("the sf0.01 driver surface: kept and recomputed legs are both " +
     "non-empty and the union matches the from-scratch recompute") {
     val q = DedupMaintain.maintainQuery(spark, "/root/testdata/sf0.01")

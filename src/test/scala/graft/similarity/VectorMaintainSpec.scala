@@ -91,4 +91,69 @@ class VectorMaintainSpec extends SparkSpec {
     assert(stored.exceptAll(maintained).count() === 0L)
     assert(maintained.exceptAll(stored).count() === 0L)
   }
+
+  test("streaming index maintenance: batch 1 TRAINS (train-then-add), " +
+    "later batches assign-only append; after every drain the state's " +
+    "code table re-encodes exactly through its own frozen codebooks") {
+    import VectorIndexMaintain._
+    val root = java.nio.file.Files
+      .createTempDirectory("vec-stream").toString
+    val in = s"$root/in"; val table = s"$root/state"; val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val sch = "vec_id LONG, embedding ARRAY<FLOAT>"
+    def drop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      // land one json file atomically in the watched dir (json floats
+      // round-trip: shortest-repr write, FLOAT schema read — and the
+      // law below re-reads the SAME files, so ingested ≡ re-encoded)
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(in, s"$name.json"))
+    }
+    def drain(): String = {
+      val emb = spark.readStream.schema(sch).json(in)
+      maintainStream(emb, table, ckpt)
+        .getOrElse(sys.error("no committed snapshot"))
+    }
+    val all = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = all.filter(col("vec_id") % BatchMod =!= BatchMod - 1)
+    val batch = all.filter(col("vec_id") % BatchMod === BatchMod - 1)
+    def ingested() = spark.read.schema(sch).json(in)
+
+    drop("b1", base)
+    val v1 = drain()
+    val st1 = spark.read.schema(IndexStateSchema).parquet(v1)
+    assert(reencodeDiff(st1, ingested()).isEmpty,
+      "law violated after the training batch")
+    assert(codesOf(st1).select(col("vec_id")).distinct().count()
+      === ingested().count())
+
+    drop("b2", batch)
+    val v2 = drain()
+    val st2 = spark.read.schema(IndexStateSchema).parquet(v2)
+    assert(reencodeDiff(st2, ingested()).isEmpty,
+      "law violated after the assign-only batch")
+    // train-then-add: the codebooks are FROZEN — batch 2 must not have
+    // touched them (bit-identical coarse + PQ tables across commits)
+    assert(coarseOf(st2).exceptAll(coarseOf(st1)).isEmpty
+      && coarseOf(st1).exceptAll(coarseOf(st2)).isEmpty,
+      "coarse centroids drifted on an assign-only batch")
+    assert(codebookOf(st2).exceptAll(codebookOf(st1)).isEmpty
+      && codebookOf(st1).exceptAll(codebookOf(st2)).isEmpty,
+      "PQ codebook drifted on an assign-only batch")
+    // the appended rows are exactly the second batch's encodes
+    assert(codesOf(st2).count()
+      === codesOf(st1).count() + batch.count() * ProductQuantization.M)
+
+    // exactly-once: nothing new → state content unchanged
+    val v3 = drain()
+    val st3 = spark.read.schema(IndexStateSchema).parquet(v3)
+    assert(codesOf(st3).exceptAll(codesOf(st2)).isEmpty
+      && codesOf(st2).exceptAll(codesOf(st3)).isEmpty,
+      "an empty drain changed the code table")
+  }
 }
