@@ -6653,7 +6653,8 @@ object OracleSql {
     // truth (brute force: the oracle's privilege AND the tuning run's —
     // over the query sample only).
     "q212_pq_recall_curve" -> {
-      import graft.similarity.IvfPq.{NList, NQueries, RecallProbes, TopK}
+      import graft.similarity.IvfPq.{NList, NQueries, RecallProbes,
+        ShortlistR, TopK}
       def pqL2(sv: String, c: String): String =
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
           s"list_transform(range(1, len($sv) + 1), " +
@@ -6730,6 +6731,13 @@ object OracleSql {
         |        ORDER BY adist_micro, vec_id) AS rnk
         |    FROM cand) r
         |  WHERE rnk <= $TopK),
+        |sl AS (
+        |  SELECT np, query_id, vec_id FROM (
+        |    SELECT np, query_id, vec_id,
+        |      row_number() OVER (PARTITION BY np, query_id
+        |        ORDER BY adist_micro, vec_id) AS rnk
+        |    FROM cand) r
+        |  WHERE rnk <= $ShortlistR),
         |tt0 AS (
         |  SELECT q.vec_id AS query_id, e.vec_id,
         |    CAST(round(CAST(CAST((${pqL2("q.dv", "e.dv")}) * 1000000.0
@@ -6743,6 +6751,14 @@ object OracleSql {
         |        ORDER BY dist_micro, vec_id) AS rnk
         |    FROM tt0) r
         |  WHERE rnk <= $TopK),
+        |annref AS (
+        |  SELECT np, query_id, vec_id FROM (
+        |    SELECT s.np, s.query_id, s.vec_id,
+        |      row_number() OVER (PARTITION BY s.np, s.query_id
+        |        ORDER BY t.dist_micro, s.vec_id) AS rnk
+        |    FROM sl s JOIN tt0 t
+        |      ON t.query_id = s.query_id AND t.vec_id = s.vec_id) r
+        |  WHERE rnk <= $TopK),
         |ret AS (
         |  SELECT np, CAST(count(*) AS BIGINT) AS n_returned
         |  FROM ann GROUP BY 1),
@@ -6750,11 +6766,23 @@ object OracleSql {
         |  SELECT a.np, CAST(count(*) AS BIGINT) AS n_hits
         |  FROM ann a JOIN truth t
         |    ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+        |  GROUP BY 1),
+        |retref AS (
+        |  SELECT np, CAST(count(*) AS BIGINT) AS n_returned_ref
+        |  FROM annref GROUP BY 1),
+        |hitref AS (
+        |  SELECT a.np, CAST(count(*) AS BIGINT) AS n_hits_ref
+        |  FROM annref a JOIN truth t
+        |    ON t.query_id = a.query_id AND t.vec_id = a.vec_id
         |  GROUP BY 1)
         |SELECT r.np AS nprobe, r.n_returned,
         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  rr.n_returned_ref,
+        |  CAST(coalesce(hr.n_hits_ref, 0) AS BIGINT) AS n_hits_ref,
         |  CAST(${NQueries * TopK} AS BIGINT) AS n_total
         |FROM ret r LEFT JOIN hit h ON h.np = r.np
+        |JOIN retref rr ON rr.np = r.np
+        |LEFT JOIN hitref hr ON hr.np = r.np
         |ORDER BY r.np""".stripMargin
     },
 

@@ -81,12 +81,17 @@ class IvfPqSpec extends SparkSpec {
     "every leg returns a full top-k, and clustered data nears 1.0") {
     // the driver corpus (near-uniform noise): monotone is the contract
     val drv = IvfPq.recallCurve(graft.Tables.embeddings(spark, dir))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
-        r.getLong(3)))
+      .collect().map(r => (r.getInt(0), r.getAs[Long]("n_returned"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("n_hits_ref"),
+        r.getAs[Long]("n_total")))
     assert(drv.map(_._1).toSeq === IvfPq.RecallProbes)
-    drv.foreach { case (np, ret, hits, total) =>
+    drv.foreach { case (np, ret, hits, hitsRef, total) =>
       assert(ret === total, s"nprobe $np returned $ret of $total")
       assert(hits >= 0L && hits <= total)
+      // the two-stage dominance law: the exact re-rank of an ADC
+      // shortlist can never LOSE a truth hit the ADC top-k had
+      assert(hitsRef >= hits,
+        s"refined recall fell below ADC at nprobe $np: $hitsRef < $hits")
     }
     drv.sliding(2).foreach { case Array(a, b) =>
       assert(b._3 >= a._3,
@@ -112,13 +117,49 @@ class IvfPqSpec extends SparkSpec {
       (i.toLong, c.map(x => (x / n).toFloat).toSeq, i % 40)
     }.toDF("vec_id", "embedding", "label")
     val cl = IvfPq.recallCurve(small).collect()
-      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getInt(0), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("n_hits_ref"), r.getAs[Long]("n_total")))
     cl.sliding(2).foreach { case Array(a, b) =>
       assert(b._2 >= a._2, s"clustered recall fell at nprobe ${b._1}")
     }
+    cl.foreach { case (np, hits, hitsRef, _) =>
+      assert(hitsRef >= hits, s"refined < ADC at clustered nprobe $np")
+    }
     val last = cl.maxBy(_._1)
-    assert(last._2.toDouble / last._3 >= 0.7,
-      s"clustered recall@nprobe=${last._1} = ${last._2}/${last._3}")
+    assert(last._2.toDouble / last._4 >= 0.7,
+      s"clustered recall@nprobe=${last._1} = ${last._2}/${last._4}")
+  }
+
+  test("two-stage search: the shortlist contains the ADC top-k, the " +
+    "refined result is the exact-L2 top-k OF the shortlist, and the " +
+    "refined distances are true float distances (not ADC estimates)") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val idx = IvfPq.sharedIndex(spark, dir)
+    val np = IvfPq.NProbe
+    val adc = IvfPq.searchTopK(emb, idx, np).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ref = IvfPq.searchRefined(emb, idx, np).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly k rows per query, ranks 1..k, strictly ordered distances
+    ref.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to IvfPq.TopK),
+        s"query $q ranks ${rows.map(_._2).toSeq}")
+      assert(rows.sortBy(_._2).map(r => (r._4, r._3)).toSeq
+        == rows.map(r => (r._4, r._3)).sortBy(identity).toSeq,
+        s"query $q not (dist, id)-ordered")
+    }
+    // every refined distance equals the exact L2 truth for that pair
+    val exact = IvfPq.exactTopK(emb)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    ref.foreach { case (q, _, n, d) =>
+      exact.get((q, n)).foreach(t =>
+        assert(t == d, s"refined dist for ($q,$n): $d != exact $t"))
+    }
+    // dominance mechanics: an ADC hit that is a true neighbor stays
+    val truth = exact.keySet
+    val refSet = ref.map(r => (r._1, r._3)).toSet
+    assert((adc intersect truth).subsetOf(refSet),
+      "the re-rank dropped a true neighbor the ADC top-k already had")
   }
 
   test("the (session, dir) index memo serves q208 and q212 the identical " +
