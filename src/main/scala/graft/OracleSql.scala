@@ -6833,7 +6833,186 @@ object OracleSql {
         |         OR id_b IN (SELECT doc_id FROM dirty)
         |    THEN 'recomputed' ELSE 'kept' END AS leg
         |FROM p ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+
+    // q214: the unified curation plan — the q200 funnel CTEs (quality
+    // battery, passer-scoped keeper, containment screen) + the q48
+    // cluster chain (n-prefixed, over ALL documents — dedup decisions
+    // are gate-independent) + the q209 media chain, joined per corpus
+    // document. All-integer flags; stage attribution is pure CASE
+    // logic over the same flags the engine computes.
+    "q214_curation_plan" ->
+      s"""WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |    AS t
+        |  FROM corpus),
+        |tf AS (
+        |  SELECT doc_id, u AS token, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS u FROM tk)
+        |  GROUP BY 1, 2),
+        |md AS (SELECT doc_id, max(c) AS mx FROM tf GROUP BY doc_id),
+        |sig AS (
+        |  SELECT tk.doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    round(CAST(coalesce(list_sum(list_transform(t, x -> length(x))),
+        |      0) AS DOUBLE) / greatest(len(t), 1), 4) AS avg_token_len,
+        |    round(CAST(len(list_distinct(t)) AS DOUBLE)
+        |      / greatest(len(t), 1), 4) AS distinct_ratio,
+        |    round(CAST(coalesce(md.mx, 0) AS DOUBLE)
+        |      / greatest(len(t), 1), 4) AS top_token_ratio,
+        |    len(list_filter(t, x -> x IN
+        |      ('the','a','and','of','el','la','los','y','le','les','et',
+        |       'une','der','die','und','das'))) AS stop_hits
+        |  FROM tk LEFT JOIN md ON tk.doc_id = md.doc_id),
+        |p AS (
+        |  SELECT c.doc_id, c.text, s.n_tokens,
+        |    NOT (s.n_tokens < 20 OR s.n_tokens > 95
+        |      OR s.avg_token_len < 3.0 OR s.avg_token_len > 8.0
+        |      OR s.distinct_ratio < 0.4 OR s.top_token_ratio > 0.2
+        |      OR s.stop_hits < 1) AS pass
+        |  FROM corpus c JOIN sig s ON s.doc_id = c.doc_id),
+        |km AS (
+        |  SELECT text, min(CASE WHEN pass THEN doc_id END) AS keeper
+        |  FROM p GROUP BY text),
+        |kept AS (
+        |  SELECT p.doc_id, p.n_tokens, p.pass,
+        |    p.pass AND p.doc_id = km.keeper AS keep
+        |  FROM p JOIN km ON km.text = p.text),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    array_to_string(list_slice(t2, i + 1, i + 5), ' ') AS shingle
+        |  FROM (SELECT doc_id, source,
+        |      list_filter(string_split(text, ' '), x -> x <> '') AS t2
+        |    FROM documents) dd, unnest(range(0, len(t2) - 4)) AS g(i)
+        |  WHERE len(t2) >= 5),
+        |shc AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle)
+        |      AS df
+        |    FROM sh0 WHERE source <> 'src0')
+        |  WHERE df <= 100),
+        |she AS (SELECT doc_id, shingle FROM sh0 WHERE source = 'src0'),
+        |sz AS (SELECT doc_id AS eval_id, count(*) AS n_eval_sh
+        |  FROM she GROUP BY 1),
+        |cm AS (
+        |  SELECT c.doc_id AS doc_id, e.doc_id AS eval_id, count(*)
+        |    AS n_common
+        |  FROM shc c JOIN she e USING (shingle)
+        |  GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM cm JOIN sz USING (eval_id)
+        |  WHERE round(CAST(n_common AS DOUBLE) / n_eval_sh, 4) >= 0.5),
+        |nsh AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle)
+        |      AS df
+        |    FROM sh0)
+        |  WHERE df <= 100),
+        |nsz AS (SELECT doc_id, count(*) AS n_sh FROM nsh GROUP BY doc_id),
+        |ncm AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM nsh a JOIN nsh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |npp AS (
+        |  SELECT id_a, id_b
+        |  FROM ncm
+        |  JOIN nsz na ON na.doc_id = id_a
+        |  JOIN nsz nb ON nb.doc_id = id_b
+        |  WHERE round(CAST(n_common AS DOUBLE)
+        |    / (na.n_sh + nb.n_sh - n_common), 4) >= 0.2),
+        |ned AS (
+        |  SELECT id_a AS src, id_b AS dst FROM npp
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM npp),
+        |nwalk(id, lbl) AS (
+        |  SELECT src, src FROM ned
+        |  UNION
+        |  SELECT e.src, w.lbl FROM ned e JOIN nwalk w ON w.id = e.dst),
+        |ncc AS (
+        |  SELECT id AS doc_id, min(lbl) AS cluster_id FROM nwalk GROUP BY id),
+        |$ImageHashCte,
+        |$AudioFpCte,
+        |$VideoHashCte,
+        |$VideoKfSetCtes,
+        |ie AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi))
+        |    + bit_count(xor(a.lo, b.lo)) <= 3),
+        |ae AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi))
+        |    + bit_count(xor(a.lo, b.lo)) <= 3),
+        |ve AS (
+        |  SELECT id_a, id_b FROM vpairs),
+        |medges AS (
+        |  SELECT id_a, id_b, 'image' AS modality FROM ie
+        |  UNION ALL
+        |  SELECT id_a, id_b, 'audio' FROM ae
+        |  UNION ALL
+        |  SELECT id_a, id_b, 'video' FROM ve),
+        |med AS (
+        |  SELECT id_a AS src, id_b AS dst FROM medges
+        |  UNION
+        |  SELECT id_b, id_a FROM medges),
+        |mwalk(id, lbl) AS (
+        |  SELECT src, src FROM med
+        |  UNION
+        |  SELECT e.src, w.lbl FROM med e JOIN mwalk w ON w.id = e.dst),
+        |mcc AS (
+        |  SELECT id AS doc_id, min(lbl) AS cluster_id
+        |  FROM mwalk GROUP BY id),
+        |mmem AS (
+        |  SELECT cluster_id, min(doc_id) AS keeper
+        |  FROM mcc GROUP BY 1),
+        |mmods AS (
+        |  SELECT c.cluster_id,
+        |    string_agg(DISTINCT e.modality, ',' ORDER BY e.modality)
+        |      AS modalities
+        |  FROM medges e JOIN mcc c ON c.doc_id = e.id_a
+        |  GROUP BY 1),
+        |mplan AS (
+        |  SELECT mcc.doc_id,
+        |    CASE WHEN mcc.doc_id = m.keeper THEN 'keep' ELSE 'drop' END
+        |      AS media_action,
+        |    mo.modalities
+        |  FROM mcc
+        |  JOIN mmem m ON m.cluster_id = mcc.cluster_id
+        |  JOIN mmods mo ON mo.cluster_id = mcc.cluster_id)
+        |SELECT k.doc_id, k.n_tokens,
+        |  CAST(CASE WHEN k.pass THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quality_pass,
+        |  CAST(CASE WHEN k.keep THEN 1 ELSE 0 END AS BIGINT)
+        |    AS exact_keep,
+        |  CAST(CASE WHEN cd.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS contaminated,
+        |  CAST(CASE WHEN ncc.cluster_id IS NULL
+        |      OR ncc.cluster_id = k.doc_id THEN 1 ELSE 0 END AS BIGINT)
+        |    AS neardup_keep,
+        |  coalesce(mp.media_action, 'none') AS media_action,
+        |  coalesce(mp.modalities, '') AS media_modalities,
+        |  CASE WHEN NOT k.pass THEN 'quality'
+        |       WHEN NOT k.keep THEN 'exact_dedup'
+        |       WHEN cd.doc_id IS NOT NULL THEN 'decontamination'
+        |       WHEN NOT (ncc.cluster_id IS NULL
+        |         OR ncc.cluster_id = k.doc_id) THEN 'near_dup'
+        |       WHEN coalesce(mp.media_action, 'none') = 'drop'
+        |         THEN 'media_dedup'
+        |       ELSE 'released' END AS drop_stage,
+        |  CASE WHEN NOT k.pass OR NOT k.keep OR cd.doc_id IS NOT NULL
+        |      OR NOT (ncc.cluster_id IS NULL OR ncc.cluster_id = k.doc_id)
+        |      OR coalesce(mp.media_action, 'none') = 'drop'
+        |    THEN 'drop' ELSE 'keep' END AS action
+        |FROM kept k
+        |LEFT JOIN cd ON cd.doc_id = k.doc_id
+        |LEFT JOIN ncc ON ncc.doc_id = k.doc_id
+        |LEFT JOIN mplan mp ON mp.doc_id = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin
   )
 
   /** The q202/q203 image-hash CTE chain: mirrors

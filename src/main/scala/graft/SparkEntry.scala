@@ -514,7 +514,13 @@ object SparkEntry {
     // retraction); the oracle recomputes the union from scratch —
     // hash equality IS the maintenance law
     "q213_dedup_index_maintain" ->
-      (graft.dedup.DedupMaintain.maintainQuery _)
+      (graft.dedup.DedupMaintain.maintainQuery _),
+    // the UNIFIED curation plan: text (quality → exact dedup →
+    // decontamination → near-dup keeper) and media (q209's perceptual
+    // plan) composed into one per-document keep/drop artifact with
+    // first-failing-stage attribution — rolling the flags up
+    // reproduces q200's funnel exactly (spec-pinned)
+    "q214_curation_plan" -> (graft.pipeline.CurationPlan.planQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
