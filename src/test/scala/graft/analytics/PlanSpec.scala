@@ -1049,15 +1049,41 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q213: the maintenance plan is shingle/doc-keyed — inverted-index " +
-    "joins only, scans pruned to (doc_id, text), no all-pairs loop") {
+    "joins only, scans pruned (docs to (doc_id, text); the persisted " +
+    "state to its own kind-tagged columns), no all-pairs loop") {
     val df = graft.dedup.DedupMaintain.maintainQuery(spark, dir)
-    scans(df).foreach { scan =>
+    val stateCols = graft.dedup.DedupMaintain.StateSchema.fieldNames.toSet
+    val (stateScans, docScans) = scans(df).partition(
+      _.schema.fieldNames.contains("kind"))
+    assert(stateScans.nonEmpty,
+      "q213 must read the PERSISTED state, not rebuild it in-query")
+    docScans.foreach { scan =>
       assert(scan.schema.fieldNames.toSet.subsetOf(Set("doc_id", "text")),
+        scan.schema.fieldNames.mkString(","))
+    }
+    stateScans.foreach { scan =>
+      assert(scan.schema.fieldNames.toSet.subsetOf(stateCols),
         scan.schema.fieldNames.mkString(","))
     }
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q214: the unified plan composes the shared views with doc_id-" +
+    "keyed joins only — no all-pairs loop, keeper window partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.pipeline.CurationPlan.planQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the exact-keeper window is text-partitioned (bounded by duplicate
+    // multiplicity) — an empty-key window here would be the corpus in
+    // one partition
+    val wins = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty), plan)
   }
 
   test("q211: the maintenance joins are vec_id/list-keyed; every " +
