@@ -1,14 +1,11 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
 import graft.dedup.Dedup
 import graft.multimodal.{AudioFingerprint, MediaDedup, PerceptualHash,
   VideoKeyframes}
-import graft.text.QualityRules
 
 /** The UNIFIED curation plan — text and media curation composed into
   * the one corpus-wide, per-document artifact a 100 TB curation job
@@ -47,28 +44,18 @@ object CurationPlan {
 
   /** The plan over explicit cluster/media views — spec path. */
   def plan(docs: DataFrame, clusters: DataFrame,
+      mediaPlan: DataFrame): DataFrame =
+    planFromFlags(ReleaseFunnel.curationFlags(docs), clusters, mediaPlan)
+
+  /** The plan over a prebuilt flag table ([[ReleaseFunnel
+    * .curationFlags]] — the same evidence q200 rolls up): pure
+    * doc_id-keyed composition.
+    */
+  def planFromFlags(flagged: DataFrame, clusters: DataFrame,
       mediaPlan: DataFrame): DataFrame = {
-    val corpus = docs.filter(col("source") =!= "src0")
-    val evalSet = docs.filter(col("source") === "src0")
-    // q200's flag pipeline, verbatim: quality battery + passer-scoped
-    // exact keeper over one corpus scan
-    val flags = QualityRules.qualityFlags(corpus)
-      .select(col("doc_id"), col("n_tokens"), col("pass"))
-    val byText = Window.partitionBy(col("text"))
-    val kept = corpus.select(col("doc_id"), col("text"))
-      .join(flags, Seq("doc_id"))
-      .withColumn("keeper",
-        min(when(col("pass"), col("doc_id"))).over(byText))
-      .withColumn("exact_keep", col("pass") && col("doc_id") === col("keeper"))
-      .drop("text", "keeper")
-    val contaminated = Dedup
-      .containmentPairs(corpus, evalSet, k = 5, threshold = 0.5)
-      .select(col("doc_id")).distinct()
-      .withColumn("contam", lit(true))
     def bit(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(c, 1L).otherwise(0L)
-    kept
-      .join(contaminated, Seq("doc_id"), "left")
+    flagged
       .join(clusters.select(col("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
       .join(mediaPlan.select(col("doc_id"),
@@ -76,8 +63,8 @@ object CurationPlan {
         col("modalities").as("media_modalities0")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         bit(col("pass")).as("quality_pass"),
-        bit(col("exact_keep")).as("exact_keep"),
-        bit(coalesce(col("contam"), lit(false))).as("contaminated"),
+        bit(col("keep")).as("exact_keep"),
+        bit(col("contaminated")).as("contaminated"),
         bit(col("cluster_id").isNull
           || col("cluster_id") === col("doc_id")).as("neardup_keep"),
         // 'none' = the document sits in no media near-dup cluster —
@@ -96,13 +83,14 @@ object CurationPlan {
       .orderBy(col("doc_id"))
   }
 
-  /** q214: the unified plan off the SHARED views — the text cluster
-    * table q40/q48/q111 read and the media fingerprint tables
-    * q202–q210 read, so a bench session prices the composition, not a
-    * rebuild of either tier.
+  /** q214: the unified plan off the SHARED views — the text-curation
+    * flag table q200 rolls up, the cluster table q40/q48/q111 read,
+    * and the media fingerprint tables q202–q210 read — so a bench
+    * session prices the composition (three doc_id-keyed joins + the
+    * stage logic), not a rebuild of any tier.
     */
   def planQuery(s: SparkSession, dir: String): DataFrame =
-    plan(Tables.documents(s, dir),
+    planFromFlags(ReleaseFunnel.curationFlagsShared(s, dir),
       Dedup.clustersShared(s, dir),
       MediaDedup.mediaDedupPlanFromTables(
         PerceptualHash.hashTable(s, dir),

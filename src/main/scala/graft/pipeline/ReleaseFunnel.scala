@@ -31,8 +31,14 @@ import graft.text.QualityRules
   */
 object ReleaseFunnel {
 
-  /** 4 rows: stage, documents and tokens surviving, share of ingested. */
-  def funnel(docs: DataFrame): DataFrame = {
+  /** The per-document TEXT-CURATION FLAG table — (doc_id, n_tokens,
+    * pass, keep, contaminated) over the non-benchmark corpus: the
+    * quality battery, the passer-scoped exact keeper, and the q53
+    * containment screen in one pipeline. This is the stage evidence
+    * BOTH readouts consume — q200 rolls it up into the funnel, q214
+    * joins it per document — so it computes once per corpus.
+    */
+  def curationFlags(docs: DataFrame): DataFrame = {
     val corpus = docs.filter(col("source") =!= "src0")
     val evalSet = docs.filter(col("source") === "src0")
     // stage flags, one corpus pipeline
@@ -49,8 +55,32 @@ object ReleaseFunnel {
       .containmentPairs(corpus, evalSet, k = 5, threshold = 0.5)
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
-    val flagged = kept.join(contaminated, Seq("doc_id"), "left")
+    kept.join(contaminated, Seq("doc_id"), "left")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .select(col("doc_id"), col("n_tokens"), col("pass"), col("keep"),
+        col("contaminated"))
+  }
+
+  private val flagsMemo = graft.tools.CorpusMemo.ofDf
+
+  /** [[curationFlags]] memoized per (session, dir) — the
+    * [[graft.dedup.Dedup.clustersShared]] discipline on the text
+    * curation evidence its two consumers share (q200's funnel, q214's
+    * unified plan): one doc-sized flag row per document, a pure
+    * deterministic function of the corpus, so sharing is row-identical
+    * and both oracles replay unchanged.
+    */
+  def curationFlagsShared(s: SparkSession, dir: String): DataFrame =
+    flagsMemo.get(s, dir) {
+      curationFlags(Tables.documents(s, dir)).localCheckpoint()
+    }
+
+  /** 4 rows: stage, documents and tokens surviving, share of ingested. */
+  def funnel(docs: DataFrame): DataFrame =
+    funnelFromFlags(curationFlags(docs))
+
+  /** The funnel roll-up over a prebuilt flag table. */
+  def funnelFromFlags(flagged: DataFrame): DataFrame = {
     val one = flagged.agg(
       count(lit(1)).as("d1"), sum(col("n_tokens")).as("t1"),
       coalesce(sum(when(col("pass"), 1L)), lit(0L)).as("d2"),
@@ -80,8 +110,9 @@ object ReleaseFunnel {
   }
 
   /** q200: the release card of the documents corpus, benchmark = the
-    * src0 slice (the q53 convention).
+    * src0 slice (the q53 convention) — rolled up from the shared flag
+    * view q214 also reads.
     */
   def funnelQuery(s: SparkSession, dir: String): DataFrame =
-    funnel(Tables.documents(s, dir))
+    funnelFromFlags(curationFlagsShared(s, dir))
 }
