@@ -944,9 +944,15 @@ class PlanSpec extends SparkSpec {
 
   test("q200: the dedup keeper window is TEXT-partitioned (duplicate-" +
     "multiplicity-bounded), never a global window; no cartesian") {
-    val df = graft.pipeline.ReleaseFunnel.funnelQuery(spark, dir)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("windowspecdefinition(text"), plan.take(2000))
+    // the window lives in the shared curationFlags VIEW build (q200
+    // rolls the memoized view up, q214 joins it) — pin the view's plan
+    val flags = graft.pipeline.ReleaseFunnel.curationFlags(
+      graft.Tables.documents(spark, dir))
+    val fplan = flags.queryExecution.executedPlan.toString
+    assert(fplan.contains("windowspecdefinition(text"), fplan.take(2000))
+    assert(!fplan.contains("CartesianProduct"), fplan.take(2000))
+    val plan = graft.pipeline.ReleaseFunnel.funnelQuery(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
