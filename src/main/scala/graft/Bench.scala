@@ -11,6 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SessionDefaults.silenceProvenBenignWarnings()
     // Untimed PER-QUERY warmup at the smallest SF: whole-stage-codegen
     // (janino) compile and first-touch IO otherwise bill to the timed run
     // — observed as 15.2→1.85 s swings on identical code. Running every
@@ -126,9 +127,19 @@ object Bench {
     // (read-only checkout), and always with a stderr notice — a silent
     // write failure would leave a stale committed artifact masquerading as
     // the current run.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      new java.io.File("BENCH_FULL_LATEST.json").getAbsolutePath)
-    try {
+    // A filtered (SPARK_GRAFT_ONLY) run must NEVER overwrite the default
+    // artifact: BENCH_FULL_LATEST.json's documented contract is the
+    // full-surface per-query map, and a 2-query A/B run once clobbered it
+    // (round-14 ADVICE). Partial runs go to an explicit path or nowhere.
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL").getOrElse {
+      if (only.isDefined) {
+        System.err.println("bench: SPARK_GRAFT_ONLY is set and " +
+          "SPARK_GRAFT_BENCH_FULL is not — skipping the full-map write so " +
+          "the partial run cannot clobber BENCH_FULL_LATEST.json")
+        null
+      } else new java.io.File("BENCH_FULL_LATEST.json").getAbsolutePath
+    }
+    if (fullPath != null) try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(full) finally w.close()
     } catch {

@@ -21,4 +21,24 @@ object SessionDefaults {
 
   def apply(b: SparkSession.Builder): SparkSession.Builder =
     confs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** Silence the one warning proven benign, keeping everything else at WARN.
+    *
+    * Exactly 17 queries own an empty-partition-key window in their OPTIMIZED
+    * plan (closed membership + an 8192-row runtime input bound, both pinned
+    * by WindowAuditSpec) — every one a dimension-sized frame by construction.
+    * Spark's `WindowExec` logs "No Partition Defined for Window operation!"
+    * per task for each of them, which saturates the ~2 KB stdout tail the
+    * bench driver archives and buries Bench's compact JSON line (BENCH_r13/
+    * r14 both recorded `parsed: null` for this reason). The logger for the
+    * window-exec package alone goes to ERROR; a NEW unbounded global window
+    * is still caught — by the audit spec, which fails the build.
+    *
+    * Call AFTER `sparkContext.setLogLevel(...)`: that call rewrites the root
+    * logger level, and this per-package override must layer on top of it.
+    */
+  def silenceProvenBenignWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 }

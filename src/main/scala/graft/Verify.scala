@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SessionDefaults.silenceProvenBenignWarnings()
     new java.io.File(outDir).mkdirs()
     // Dev-loop filter (same contract as Bench): SPARK_GRAFT_ONLY=q112,q113
     // dumps just those queries; unknown names fail fast.

@@ -188,10 +188,42 @@ object DedupMaintain {
     * rewritten corpus gets a fresh chain instead of stale state, and on
     * the index parameters, so a parameter change can never read another
     * configuration's state.
+    *
+    * SINGLE-WRITER CONTRACT (inherited from the snapshot protocol):
+    * one process owns a chain at a time. Two JVMs over the SAME corpus
+    * map to the same path and could race the v000000 build — the graft
+    * drivers (Verify/Bench/tests/fuzz) are sequential single-process by
+    * construction, and fuzz seeds live in distinct corpus dirs (distinct
+    * fingerprints), so the contract holds everywhere the engine runs;
+    * a multi-writer deployment would key an extra owner component here.
     */
   def stateTablePath(s: SparkSession, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-state/dedup-index-k$K-df$MaxDf-" +
       s"mod$BatchMod/${graft.tools.CorpusMemo.fingerprint(s, dir)}"
+
+  /** Fingerprint chains retained per params dir — bounds the tmpdir
+    * footprint across corpus rewrites and fuzz sweeps (each seeded
+    * corpus creates a chain that its own fingerprint key can never
+    * reclaim). Pruned ONLY on a fresh-chain build, oldest-mtime first,
+    * so steady-state reads never delete anything.
+    */
+  val StateChainsKept = 8
+
+  private def pruneStaleChains(s: SparkSession, table: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    val parent = p.getParent
+    val fs = parent.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(parent)) {
+      fs.listStatus(parent).filter(_.isDirectory)
+        .filterNot(_.getPath.getName == p.getName)
+        .sortBy(-_.getModificationTime)
+        .drop(StateChainsKept - 1) // current chain takes one slot
+        .foreach { st =>
+          try fs.delete(st.getPath, true)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+    }
+  }
 
   /** The PERSISTED base state for the q213 split: read the committed
     * snapshot if one exists; otherwise build it once from the base
@@ -207,6 +239,7 @@ object DedupMaintain {
       base: => DataFrame): DataFrame = {
     val table = stateTablePath(s, dir)
     val p = graft.stream.Ingest.latestSnapshotPath(s, table).getOrElse {
+      pruneStaleChains(s, table) // reclaim rewritten-corpus chains
       graft.stream.Ingest.advanceSnapshot(s, table, emptyState(s)) { _ =>
         buildState(base)
       }
