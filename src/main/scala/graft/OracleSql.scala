@@ -30,7 +30,20 @@ package graft
   */
 object OracleSql {
 
-  val all: Map[String, String] = Map(
+  /** q216 (incremental curation-plan maintenance) shares q214's oracle
+    * VERBATIM: the engine computes the maintained (kept ∪ recomputed)
+    * plan over stored base state + one ingest batch, the oracle
+    * recomputes the union from scratch — hash equality at the gate IS
+    * the maintenance theorem at the plan grain (the q213 discipline).
+    * The kept-leg "never recomputed" half is spec-proven by poisoning
+    * (CurationMaintainSpec) — a leg column here would force the oracle
+    * to replay the entire dirty-scoping machinery in SQL for no extra
+    * coverage of the theorem itself.
+    */
+  val all: Map[String, String] = base +
+    ("q216_curation_plan_maintain" -> base("q214_curation_plan"))
+
+  private lazy val base: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -6512,6 +6525,99 @@ object OracleSql {
         |JOIN mmods md ON md.cluster_id = mcc.cluster_id
         |ORDER BY mcc.doc_id""".stripMargin,
 
+    // q217: erasure maintenance of the media dedup plan — the oracle
+    // recomputes the SURVIVOR plan from scratch (deleting clustered
+    // clips in the %DeleteMod slice) with a SECOND recursive min-label
+    // walk over the survivor edges, and re-derives the leg
+    // independently from the FULL-corpus clusters: a doc whose
+    // original cluster lost a member is 'recomputed', the rest
+    // 'kept'. Node removal can only split components (edges are
+    // pairwise), so hash equality proves the cluster-scoped erasure —
+    // splits, keeper handoffs and evaporated singletons included.
+    // MATERIALIZED is load-bearing on every CTE between the two
+    // recursive walks: swalk's recursive half references sedges → del →
+    // mcc → mwalk, and without the hint DuckDB re-inlines that whole
+    // chain (fingerprint CTEs included) into EVERY iteration of the
+    // second recursion — >17 min at sf0.001 vs 0.9 s materialized.
+    "q217_media_plan_delete" -> {
+      import graft.multimodal.MediaDedup.DeleteMod
+      s"""WITH RECURSIVE $ImageHashCte,
+        |$AudioFpCte,
+        |$VideoHashCte,
+        |$VideoKfSetCtes,
+        |ie AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi))
+        |    + bit_count(xor(a.lo, b.lo)) <= 3),
+        |ae AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi))
+        |    + bit_count(xor(a.lo, b.lo)) <= 3),
+        |ve AS (
+        |  SELECT id_a, id_b FROM vpairs),
+        |medges AS MATERIALIZED (
+        |  SELECT id_a, id_b, 'image' AS modality FROM ie
+        |  UNION ALL
+        |  SELECT id_a, id_b, 'audio' FROM ae
+        |  UNION ALL
+        |  SELECT id_a, id_b, 'video' FROM ve),
+        |med AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM medges
+        |  UNION
+        |  SELECT id_b, id_a FROM medges),
+        |mwalk(id, lbl) AS (
+        |  SELECT src, src FROM med
+        |  UNION
+        |  SELECT e.src, w.lbl FROM med e JOIN mwalk w ON w.id = e.dst),
+        |mcc AS MATERIALIZED (
+        |  SELECT id AS doc_id, min(lbl) AS cluster_id
+        |  FROM mwalk GROUP BY id),
+        |del AS MATERIALIZED (
+        |  SELECT doc_id FROM mcc
+        |  WHERE doc_id % $DeleteMod = ${DeleteMod - 1}),
+        |dirty AS MATERIALIZED (
+        |  SELECT DISTINCT cluster_id FROM mcc
+        |  WHERE doc_id % $DeleteMod = ${DeleteMod - 1}),
+        |sedges AS MATERIALIZED (
+        |  SELECT id_a, id_b, modality FROM medges
+        |  WHERE id_a NOT IN (SELECT doc_id FROM del)
+        |    AND id_b NOT IN (SELECT doc_id FROM del)),
+        |sed AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM sedges
+        |  UNION
+        |  SELECT id_b, id_a FROM sedges),
+        |swalk(id, lbl) AS (
+        |  SELECT src, src FROM sed
+        |  UNION
+        |  SELECT e.src, w.lbl FROM sed e JOIN swalk w ON w.id = e.dst),
+        |scc AS MATERIALIZED (
+        |  SELECT id AS doc_id, min(lbl) AS cluster_id
+        |  FROM swalk GROUP BY id),
+        |smem AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |    min(doc_id) AS keeper
+        |  FROM scc GROUP BY 1),
+        |smods AS (
+        |  SELECT c.cluster_id,
+        |    string_agg(DISTINCT e.modality, ',' ORDER BY e.modality)
+        |      AS modalities
+        |  FROM sedges e JOIN scc c ON c.doc_id = e.id_a
+        |  GROUP BY 1)
+        |SELECT scc.doc_id, scc.cluster_id, m.keeper,
+        |  CASE WHEN scc.doc_id = m.keeper THEN 'keep' ELSE 'drop' END
+        |    AS action,
+        |  m.n_members, md.modalities,
+        |  CASE WHEN f.cluster_id IN (SELECT cluster_id FROM dirty)
+        |    THEN 'recomputed' ELSE 'kept' END AS leg
+        |FROM scc
+        |JOIN smem m ON m.cluster_id = scc.cluster_id
+        |JOIN smods md ON md.cluster_id = scc.cluster_id
+        |JOIN mcc f ON f.doc_id = scc.doc_id
+        |ORDER BY scc.doc_id""".stripMargin
+    },
+
     // q210: the video near-dup pairs replayed — keyframe hash sets
     // from the q205 chain, then a BRUTE-FORCE all-pairs shared-hash
     // count (the oracle's privilege; the engine's inverted index is
@@ -6817,6 +6923,57 @@ object OracleSql {
         |sh AS (
         |  SELECT s.doc_id, s.shingle FROM sh0 s JOIN d USING (shingle)
         |  WHERE d.df <= $MaxDf),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cm AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b, n_common, na.n_sh AS n_a, nb.n_sh AS n_b
+        |  FROM cm
+        |  JOIN sz na ON na.doc_id = id_a
+        |  JOIN sz nb ON nb.doc_id = id_b
+        |  WHERE n_common * 6 >= na.n_sh + nb.n_sh)
+        |SELECT id_a, id_b, n_common, n_a, n_b,
+        |  CASE WHEN id_a IN (SELECT doc_id FROM dirty)
+        |         OR id_b IN (SELECT doc_id FROM dirty)
+        |    THEN 'recomputed' ELSE 'kept' END AS leg
+        |FROM p ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // q215: erasure maintenance of the near-dup pair index — the
+    // oracle is the FROM-SCRATCH recompute of the SURVIVOR corpus
+    // (docs outside the %DeleteMod slice), capped on survivor-universe
+    // df, so hash equality at the gate IS the erasure law: the engine's
+    // maintained (kept ∪ recomputed-with-resurrections) plan must
+    // equal it exactly. The leg tag is re-derived independently:
+    // dirty = surviving docs holding an UN-CROSSING shingle
+    // (full df > MaxDf ≥ survivor df) — deletion only lowers df, so
+    // un-crossing is the only cap-status change possible.
+    "q215_dedup_index_delete" -> {
+      import graft.dedup.DedupMaintain.{K, MaxDf, DeleteMod}
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(t, i + 1, i + $K), ' ') AS shingle
+        |  FROM tk, unnest(range(0, len(t) - ${K - 1})) AS g(i)
+        |  WHERE len(t) >= $K),
+        |d AS (
+        |  SELECT shingle, count(*) AS df,
+        |    count(*) FILTER (doc_id % $DeleteMod <> ${DeleteMod - 1})
+        |      AS surv_df
+        |  FROM sh0 GROUP BY shingle),
+        |uncross AS (
+        |  SELECT shingle FROM d WHERE df > $MaxDf AND surv_df <= $MaxDf),
+        |dirty AS (
+        |  SELECT DISTINCT doc_id FROM sh0 JOIN uncross USING (shingle)
+        |  WHERE doc_id % $DeleteMod <> ${DeleteMod - 1}),
+        |sh AS (
+        |  SELECT s.doc_id, s.shingle FROM sh0 s JOIN d USING (shingle)
+        |  WHERE d.surv_df <= $MaxDf
+        |    AND s.doc_id % $DeleteMod <> ${DeleteMod - 1}),
         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |cm AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common

@@ -520,7 +520,28 @@ object SparkEntry {
     // plan) composed into one per-document keep/drop artifact with
     // first-failing-stage attribution — rolling the flags up
     // reproduces q200's funnel exactly (spec-pinned)
-    "q214_curation_plan" -> (graft.pipeline.CurationPlan.planQuery _)
+    "q214_curation_plan" -> (graft.pipeline.CurationPlan.planQuery _),
+    // ERASURE maintenance of the near-dup pair index: delete the
+    // %9 slice from the stored full-corpus state — df decrements can
+    // UN-CROSS the stop-shingle cap and resurrect pairs the stored
+    // set never held; maintained ≡ from-scratch over the survivors
+    "q215_dedup_index_delete" ->
+      (graft.dedup.DedupMaintain.deleteQuery _),
+    // ERASURE maintenance of the media dedup plan: delete the %11
+    // slice of clustered clips — node removal can split clusters or
+    // hand off the min-id keeper, so only clusters that LOST a member
+    // are re-closed; untouched clusters carry verbatim from the
+    // stored (memoized, q209-shared) plan
+    "q217_media_plan_delete" ->
+      (graft.multimodal.MediaDedup.mediaDeleteQuery _),
+    // INCREMENTAL maintenance of the q214 unified plan: stored base
+    // state + the %13 ingest batch, every tier dirty-scoped (per-row
+    // quality, touched text-groups, df-cap crossings, changed-pair-
+    // adjacent cluster relabel, new-edge-adjacent media clusters);
+    // the oracle is q214's from-scratch SQL on the union — hash
+    // equality IS the maintenance theorem at the plan grain
+    "q216_curation_plan_maintain" ->
+      (graft.pipeline.CurationMaintain.maintainQuery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

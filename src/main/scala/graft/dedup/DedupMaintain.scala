@@ -326,13 +326,24 @@ object DedupMaintain {
       .join(dfU.filter(col("df") <= maxDf).select(col("shingle")),
         Seq("shingle"), "left_semi")
       .localCheckpoint()
+    MaintainOut(
+      keptPairs(basePairs, dirty)
+        .unionByName(recomputedPairs(shU, dirty))
+        .orderBy(col("id_a"), col("id_b")),
+      dfU)
+  }
+
+  /** The RECOMPUTED leg, shared by insert ([[maintainCore]]) and delete
+    * ([[deleteCore]]) maintenance: pairs with ≥ 1 dirty endpoint,
+    * rebuilt from the capped post-change index `shU` restricted to
+    * dirty-side rows. Candidates are dirty×clean + dirty×dirty through
+    * the inverted index — each common shingle of a pair appears exactly
+    * once per leg (dirty/clean sides are disjoint; the dirty–dirty
+    * self-join is ordered), so the counts are exact.
+    */
+  private def recomputedPairs(shU: DataFrame, dirty: DataFrame): DataFrame = {
     val shD = shU.join(dirty, Seq("doc_id"), "left_semi")
     val shC = shU.join(dirty, Seq("doc_id"), "left_anti")
-
-    // recomputed candidates: dirty×clean + dirty×dirty through the
-    // inverted index — each common shingle of a pair appears exactly
-    // once per leg (dirty/clean sides are disjoint; the dirty–dirty
-    // self-join is ordered), so the counts are exact
     val dc = shD.as("a").join(shC.as("b"),
         col("a.shingle") === col("b.shingle"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
@@ -345,15 +356,15 @@ object DedupMaintain {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
 
-    // sizes under the union cap, for pair PARTICIPANTS only — clean
-    // docs' sizes are provably unchanged, so a production store reads
-    // them from state; dirty docs' sizes are |dirty| aggregate rows
+    // sizes under the post-change cap, for pair PARTICIPANTS only —
+    // clean docs' sizes are provably unchanged, so a production store
+    // reads them from state; dirty docs' sizes are |dirty| agg rows
     val participants = common.select(col("id_a").as("doc_id"))
       .unionByName(common.select(col("id_b").as("doc_id")))
       .distinct()
     val sizes = shU.join(participants, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val recomputed = common
+    common
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")),
         Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")),
@@ -361,20 +372,25 @@ object DedupMaintain {
       .filter(passes(col("n_common"), col("n_a"), col("n_b")))
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
         col("n_b"), lit("recomputed").as("leg"))
-
-    // kept: stored pairs with BOTH endpoints clean — carried verbatim
-    val kept = basePairs
-      .join(dirty.select(col("doc_id").as("id_a")), Seq("id_a"),
-        "left_anti")
-      .join(dirty.select(col("doc_id").as("id_b")), Seq("id_b"),
-        "left_anti")
-      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
-        col("n_b"), lit("kept").as("leg"))
-
-    MaintainOut(
-      kept.unionByName(recomputed).orderBy(col("id_a"), col("id_b")),
-      dfU)
   }
+
+  /** The KEPT leg: stored pairs with NO endpoint in any `excludes` set
+    * (dirty docs — and, for deletes, the deleted docs themselves) —
+    * carried verbatim from state, never recomputed. Each exclusion set
+    * is its own anti-join pair rather than a pre-union: unioning `dirty`
+    * (whose plan already references the delete-id frame through the
+    * survivor anti-join) with the delete ids themselves trips Catalyst's
+    * Union constraint rewrite on the shared attribute ids.
+    */
+  private def keptPairs(basePairs: DataFrame,
+      excludes: DataFrame*): DataFrame =
+    excludes.foldLeft(basePairs) { (acc, ex) =>
+      acc.join(ex.select(col("doc_id").as("id_a")), Seq("id_a"),
+          "left_anti")
+        .join(ex.select(col("doc_id").as("id_b")), Seq("id_b"),
+          "left_anti")
+    }.select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+      col("n_b"), lit("kept").as("leg"))
 
   /** One state transition of the CONTINUOUS index: absorb a document
     * batch into the packed state — the next state's inverted index is
@@ -384,8 +400,10 @@ object DedupMaintain {
     *
     * Contract: batch doc_ids are NEW (an ingest stream appends
     * documents; re-ingesting an existing doc_id would double-count its
-    * shingles in the df state — route updates through a retract+insert
-    * pair upstream instead).
+    * shingles in the df state). An UPDATE routes through a
+    * retract+insert pair: [[deleteState]] on the old doc_id, then this
+    * on the new rows — both transitions are exact, so the composition
+    * is too.
     */
   def nextState(state: DataFrame, batch: DataFrame, k: Int = K,
       maxDf: Int = MaxDf): DataFrame = {
@@ -397,6 +415,147 @@ object DedupMaintain {
     packState(shBase.unionByName(shBatch),
       out.dfUnion.select(col("shingle"), col("df").as("n")),
       out.pairs.drop("leg"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DELETION maintenance — the erasure half of the index contract. The
+  // q173 governance tier PLANS erasure cascades (which rows must go when
+  // a user exercises deletion); this is the operator that lets a
+  // MAINTAINED index absorb them without a rebuild. The physics mirror
+  // the insert case: df only DECREASES under deletion, so the only
+  // cap-status change is the UN-CROSSING shingle (base_df > maxDf ≥
+  // df_after) — a formerly-stopped shingle comes back to life, which can
+  // RESURRECT pairs between surviving docs that the stored pair set
+  // never held (the exact mirror of the insert case's retraction).
+  // ---------------------------------------------------------------------
+
+  /** doc_id % DeleteMod == DeleteMod−1 is the q215 "erasure batch"
+    * (~11%); the rest survives. Coprime to [[BatchMod]] so the q213 and
+    * q215 slices cut the corpus differently.
+    */
+  val DeleteMod = 9L
+
+  /** One DELETION transition over explicit state: remove `delIds`'
+    * docs from the index and maintain the pair set dirty-scoped.
+    *
+    *   - df decrement: df_after = stored df − deleted docs' shingle
+    *     df (batch-sized aggregate; rows reaching 0 leave the state).
+    *   - un-crossing shingles: base_df > maxDf ≥ df_after — deletion
+    *     can only lower df, so no shingle ever crosses INTO the cap,
+    *     and a clean surviving doc's capped shingle set is IDENTICAL
+    *     under the base and survivor universes (the kept-leg theorem,
+    *     same proof shape as the insert case).
+    *   - dirty docs = surviving docs holding an un-crossing shingle.
+    *     Deleted docs' pair PARTNERS are NOT dirty per se: dropping a
+    *     partner changes no surviving pair's evidence except through
+    *     df — which the un-crossing set captures exactly.
+    *   - KEPT: stored pairs with no deleted and no dirty endpoint.
+    *   - RECOMPUTED: pairs with ≥ 1 dirty endpoint, rebuilt from the
+    *     capped survivor index — including RESURRECTED pairs the
+    *     stored set never held (two clean-looking docs joined by an
+    *     un-crossed shingle).
+    *
+    * The LAW (what the q215 oracle gates): maintained ≡ the
+    * from-scratch pair set of corpus ∖ deleted.
+    *
+    * 100 TB shape: the decrement is a |deleted-docs'-shingles|
+    * aggregate joined into the stored df table; the dirty scope
+    * touches only un-crossed buckets; candidate generation is
+    * dirty×all through the inverted index — never a survivor rescan.
+    */
+  def deleteCore(shBase: DataFrame, delIds: DataFrame, dfBase: DataFrame,
+      basePairs: DataFrame, maxDf: Int): MaintainOut = {
+    val shDel = shBase.join(delIds, Seq("doc_id"), "left_semi")
+    val dfDel = shDel.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("del_df"))
+    // survivor-universe df: stored df minus the deleted docs' counts;
+    // base_df rides along so consumers (and the next state) see both
+    val dfA = dfBase.join(dfDel, Seq("shingle"), "left_outer")
+      .select(col("shingle"), col("n").as("base_df"),
+        (col("n") - coalesce(col("del_df"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .localCheckpoint()
+
+    // un-crossing: stopped under the base universe, active under the
+    // survivor universe — the ONLY cap-status change deletion can cause
+    val uncross = dfA.filter(col("base_df") > maxDf && col("df") <= maxDf)
+      .select(col("shingle"))
+    val shSurv = shBase.join(delIds, Seq("doc_id"), "left_anti")
+    val dirty = shSurv.join(uncross, Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .localCheckpoint()
+
+    // the capped SURVIVOR index (production deletes the doc rows and
+    // re-admits un-crossed buckets in place)
+    val shU = shSurv
+      .join(dfA.filter(col("df") <= maxDf).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+      .localCheckpoint()
+
+    // kept excludes deleted endpoints too: a stored pair touching a
+    // deleted doc must not survive the erasure
+    MaintainOut(
+      keptPairs(basePairs, dirty, delIds)
+        .unionByName(recomputedPairs(shU, dirty))
+        .orderBy(col("id_a"), col("id_b")),
+      dfA)
+  }
+
+  /** One DELETION state transition of the continuous index: the next
+    * state's inverted index drops the deleted docs' rows, its df view
+    * is the decremented survivor df, and its pair set is the
+    * maintained kept ∪ recomputed set. With [[nextState]] this closes
+    * the index CRUD contract: insert = nextState, delete = this,
+    * update = deleteState ∘ nextState (retract+insert).
+    */
+  def deleteState(state: DataFrame, delIds: DataFrame,
+      maxDf: Int = MaxDf): DataFrame = {
+    val shBase = shOf(state)
+    val out = deleteCore(shBase, delIds, dfOf(state), pairsOf(state), maxDf)
+    packState(shBase.join(delIds, Seq("doc_id"), "left_anti"),
+      out.dfUnion.select(col("shingle"), col("df").as("n")),
+      out.pairs.drop("leg"))
+  }
+
+  /** The persisted FULL-corpus index state the q215 erasure reads —
+    * the q213 chain holds the base-slice universe (df over base only),
+    * which is the wrong stored state for a deletion over the whole
+    * corpus, so erasure maintenance owns a sibling params dir. Same
+    * fingerprint keying, retention, and single-writer contract as
+    * [[stateTablePath]].
+    */
+  def fullStateTablePath(s: SparkSession, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-state/dedup-index-full-k$K-" +
+      s"df$MaxDf/${graft.tools.CorpusMemo.fingerprint(s, dir)}"
+
+  def persistedFullState(s: SparkSession, dir: String,
+      docs: => DataFrame): DataFrame = {
+    val table = fullStateTablePath(s, dir)
+    val p = graft.stream.Ingest.latestSnapshotPath(s, table).getOrElse {
+      pruneStaleChains(s, table)
+      graft.stream.Ingest.advanceSnapshot(s, table, emptyState(s)) { _ =>
+        buildState(docs)
+      }
+    }
+    s.read.schema(StateSchema).parquet(p)
+  }
+
+  /** q215: maintain the near-dup pair index through one ERASURE batch
+    * (the %[[DeleteMod]] slice) — the maintained (kept ∪ recomputed)
+    * pair set over the survivors, leg-tagged. The oracle recomputes
+    * corpus ∖ deleted from scratch; hash equality proves the erasure
+    * exact — including the resurrection of pairs the stored set never
+    * held. Reads the same persisted-snapshot amortization as q213:
+    * the full-corpus state is built once per corpus lifetime, the
+    * query prices only the maintenance.
+    */
+  def deleteQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val delIds = docs.filter(col("doc_id") % DeleteMod === DeleteMod - 1)
+      .select(col("doc_id"))
+    val state = persistedFullState(s, dir, docs)
+    deleteCore(shOf(state), delIds, dfOf(state), pairsOf(state), MaxDf)
+      .pairs
   }
 
   /** The STREAMING leg of the maintained dedup index — the

@@ -4,8 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.multimodal.{AudioFingerprint, MediaDedup, PerceptualHash,
-  VideoKeyframes}
+import graft.multimodal.MediaDedup
 
 /** The UNIFIED curation plan — text and media curation composed into
   * the one corpus-wide, per-document artifact a 100 TB curation job
@@ -92,8 +91,5 @@ object CurationPlan {
   def planQuery(s: SparkSession, dir: String): DataFrame =
     planFromFlags(ReleaseFunnel.curationFlagsShared(s, dir),
       Dedup.clustersShared(s, dir),
-      MediaDedup.mediaDedupPlanFromTables(
-        PerceptualHash.hashTable(s, dir),
-        AudioFingerprint.fingerprintTable(s, dir),
-        VideoKeyframes.keyframeTable(s, dir)))
+      MediaDedup.planShared(s, dir)._2)
 }

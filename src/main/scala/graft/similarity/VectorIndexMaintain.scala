@@ -226,6 +226,27 @@ object VectorIndexMaintain {
         codesOf(state).unionByName(encodeBatch(batch, coarse, cb)))
     }
 
+  /** DELETION transition of the continuous index — the erasure half
+    * of FAISS's `remove_ids` contract: drop the deleted vec_ids' code
+    * rows, nothing else. Assignment is per-vector (each code depends
+    * only on its own vector and the frozen codebooks), so removing a
+    * vector cannot change any surviving code — the transition is one
+    * anti-join, and the coarse/cb rows pass through untouched (their
+    * vec_id is null, which never matches the join key). Codebooks stay
+    * frozen: shrinking lists skew the occupancy PSI, and THAT readout
+    * (not the delete) drives the offline retrain call, exactly as on
+    * the insert path. With [[nextIndexState]] this closes the index
+    * CRUD contract: insert = nextIndexState, delete = this, update =
+    * deleteIndexState ∘ nextIndexState.
+    *
+    * Law (same gate as inserts): [[reencodeDiff]] of the new state vs
+    * the SURVIVING vectors stays empty — VectorMaintainSpec proves it,
+    * including for deletes interleaved between appends.
+    */
+  def deleteIndexState(state: DataFrame, delIds: DataFrame): DataFrame =
+    state.join(delIds.select(col("vec_id").cast("long").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+
   /** The STREAMING leg of the maintained vector index — the
     * [[graft.etl.Ivm.maintainStream]] composition applied to IVF-PQ: a
     * stream of embedding batches drains through foreachBatch into the

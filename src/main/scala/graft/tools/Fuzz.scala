@@ -247,7 +247,23 @@ object Fuzz {
     // exact/near-dup and shared-prefix docs straddle the %7 batch
     // split per seed — kept/recomputed legs, retractions and the
     // maintained ≡ from-scratch law all exercised on every corpus
-    "q213_dedup_index_maintain")
+    "q213_dedup_index_maintain",
+    // ERASURE maintenance (round 15): per-seed corpora shift which
+    // trigram dfs sit just above the cap, so deleting the %9 slice
+    // un-crosses different shingles per seed — resurrections, dropped
+    // partner pairs and the survivors' from-scratch law all replayed
+    "q215_dedup_index_delete",
+    // media-plan erasure (round 15): per-seed doc_id sets shift which
+    // planted clusters lose a member — evaporated partners, kept-leg
+    // carryover and the survivor re-closure replayed per seed by the
+    // oracle's second recursive walk
+    "q217_media_plan_delete",
+    // curation-plan maintenance (round 15): per-seed %13 batches hit
+    // every dirty scope differently (touched text groups, df-cap
+    // crossings, cluster merges, new media edges); the oracle is
+    // q214's from-scratch plan, so each seed replays the maintenance
+    // theorem at the plan grain — and q214's own surface transitively
+    "q216_curation_plan_maintain")
 
   private val MicrosPerDay = 86400L * 1000000L
   private def midnightUs(d: LocalDate): Long =

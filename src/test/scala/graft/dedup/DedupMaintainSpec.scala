@@ -248,6 +248,126 @@ class DedupMaintainSpec extends SparkSpec {
       == pairSet(scratch(b1 ++ b2: _*)))
   }
 
+  // -------------------------------------------------------------------
+  // q215 — DELETION maintenance. The laws: maintained ≡ from-scratch of
+  // corpus ∖ deleted; un-crossing df decrements RESURRECT pairs the
+  // stored set never held; the kept leg is stored state, never
+  // recomputed; insert ∘ delete composes (the update contract).
+  // -------------------------------------------------------------------
+
+  /** deleteCore over a from-scratch full state — the spec's delete
+    * entry point (production reads the state from the snapshot chain).
+    */
+  private def deletePairs(all: DataFrame, delIds: Seq[Long], k: Int,
+      maxDf: Int, storedPairs: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val st = DedupMaintain.buildState(all, k, maxDf)
+    DedupMaintain.deleteCore(DedupMaintain.shOf(st),
+      delIds.toDF("doc_id"),
+      DedupMaintain.dfOf(st),
+      storedPairs.getOrElse(DedupMaintain.pairsOf(st)), maxDf).pairs
+  }
+
+  test("deletion un-crosses a stop-shingle and RESURRECTS a pair the " +
+    "stored set never held — maintained equals scratch over survivors") {
+    // 'x y z' appears in 3 docs > maxDf = 2 → stopped; every other
+    // shingle is unique → the stored pair set is EMPTY
+    val all = docs(
+      1L -> "x y z a b",
+      2L -> "x y z c d",
+      3L -> "x y z e f")
+    val st = DedupMaintain.buildState(all, 3, 2)
+    assert(pairSet(DedupMaintain.pairsOf(st)).isEmpty,
+      "precondition: the stop-shingle suppresses every pair")
+    // deleting doc 3 drops df('x y z') to 2 ≤ cap → docs 1/2 regain it:
+    // n_common = 1, n_a = n_b = 3, 6·1 ≥ 6 → the pair is RESURRECTED
+    val out = deletePairs(all, Seq(3L), 3, 2)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(rows.toSeq == Seq((1L, 2L, 1L, 3L, 3L, "recomputed")), rows.toSeq)
+    assert(pairSet(out) == pairSet(pairsFromShingles(
+      Dedup.cappedShingles(all.filter(col("doc_id") =!= 3L), 3, 2))))
+  }
+
+  test("a stored pair touching a deleted doc is dropped; the surviving " +
+    "partner's OTHER pairs stay kept (the partner is not dirty)") {
+    val all = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "alpha beta gamma delta zeta")
+    // stored: (1,2), (1,3), (2,3); delete 3 → its pairs go, (1,2) stays
+    val out = deletePairs(all, Seq(3L), 3, 5)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(5)))
+    assert(rows.toSeq == Seq((1L, 2L, "kept")), rows.toSeq)
+  }
+
+  test("the delete kept leg is stored state, not a recompute: a " +
+    "poisoned clean-clean row survives verbatim") {
+    import spark.implicits._
+    val all = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "red green blue cyan magenta yellow")
+    val st = DedupMaintain.buildState(all, 3, 5)
+    val poisoned = DedupMaintain.pairsOf(st)
+      .filter(!(col("id_a") === 1L && col("id_b") === 2L))
+      .unionByName(Seq((1L, 2L, 999L, 999L, 999L))
+        .toDF("id_a", "id_b", "n_common", "n_a", "n_b"))
+    val out = deletePairs(all, Seq(3L), 3, 5, Some(poisoned)).collect()
+    assert(out.length == 1 && out(0).getLong(2) == 999L
+      && out(0).getString(5) == "kept",
+      s"poisoned stored pair must flow through the kept leg: ${out.toSeq}")
+  }
+
+  test("deleteState ∘ nextState closes the update contract: retract " +
+    "old rows, insert new ones, state equals the from-scratch rebuild") {
+    import spark.implicits._
+    val a = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "red green blue cyan magenta yellow")
+    val st0 = DedupMaintain.buildState(a, 3, 5).localCheckpoint()
+    // UPDATE doc 2: retract the old row, insert the revised text under
+    // the same doc_id — legal because the retract removed it from state
+    val st1 = DedupMaintain.deleteState(st0, Seq(2L).toDF("doc_id"), 5)
+      .localCheckpoint()
+    assert(pairSet(DedupMaintain.pairsOf(st1)) == pairSet(
+      pairsFromShingles(Dedup.cappedShingles(
+        a.filter(col("doc_id") =!= 2L), 3, 5))))
+    val revised = docs(2L -> "red green blue cyan magenta violet")
+    val st2 = DedupMaintain.nextState(st1, revised, 3, 5)
+    val want = a.filter(col("doc_id") =!= 2L).unionByName(revised)
+    assert(pairSet(DedupMaintain.pairsOf(st2)) == pairSet(
+      pairsFromShingles(Dedup.cappedShingles(want, 3, 5))))
+    // the df view survives the round-trip too (state, not just pairs)
+    val dfGot = DedupMaintain.dfOf(st2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfWant = Dedup.shingles(want, 3).groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfGot == dfWant)
+  }
+
+  test("the q215 driver surface: both legs present at sf0.001, the " +
+    "union matches the from-scratch recompute of the survivors, and " +
+    "the persisted full state commits a manifest-pointed snapshot") {
+    val dir = "/root/testdata/sf0.001"
+    val q = DedupMaintain.deleteQuery(spark, dir)
+    val legs = q.groupBy(col("leg")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(legs.getOrElse("kept", 0L) > 0, legs)
+    assert(legs.getOrElse("recomputed", 0L) > 0, legs)
+    val all = graft.Tables.documents(spark, dir)
+    val surv = all.filter(col("doc_id") % 9 =!= 8)
+    assert(pairSet(q) == pairSet(pairsFromShingles(
+      Dedup.cappedShingles(surv, 3, 5))))
+    val table = DedupMaintain.fullStateTablePath(spark, dir)
+    assert(new java.io.File(s"$table/_latest").exists(),
+      s"no snapshot manifest at $table")
+  }
+
   test("the sf0.01 driver surface: kept and recomputed legs are both " +
     "non-empty and the union matches the from-scratch recompute") {
     val q = DedupMaintain.maintainQuery(spark, "/root/testdata/sf0.01")

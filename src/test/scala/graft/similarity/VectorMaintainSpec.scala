@@ -156,4 +156,55 @@ class VectorMaintainSpec extends SparkSpec {
       && codesOf(st2).exceptAll(codesOf(st3)).isEmpty,
       "an empty drain changed the code table")
   }
+
+  test("deletion: deleteIndexState drops exactly the deleted ids' " +
+    "codes, freezes the codebooks, re-encodes clean over the " +
+    "survivors, and composes with inserts into the update contract") {
+    import VectorIndexMaintain._
+    import spark.implicits._
+    val all = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = all.filter(col("vec_id") % BatchMod =!= BatchMod - 1)
+    val batch = all.filter(col("vec_id") % BatchMod === BatchMod - 1)
+    val st1 = nextIndexState(emptyIndexState(spark), base)
+      .localCheckpoint()
+    val st2 = nextIndexState(st1, batch).localCheckpoint()
+    // delete a mixed slice: ids from the training batch AND the
+    // appended batch (FAISS remove_ids does not care which epoch a
+    // vector arrived in)
+    val delIds = all.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      .localCheckpoint()
+    val nDel = delIds.count()
+    assert(nDel > 0, "slice empty — the test would prove nothing")
+    val st3 = deleteIndexState(st2, delIds).localCheckpoint()
+    // exactly the deleted rows left; nothing else moved
+    assert(codesOf(st3).count()
+      === codesOf(st2).count() - nDel * ProductQuantization.M)
+    assert(codesOf(st3).join(delIds, Seq("vec_id"), "left_semi")
+      .isEmpty, "a deleted id still has codes")
+    assert(codesOf(st2).exceptAll(codesOf(st3))
+      .join(delIds, Seq("vec_id"), "left_anti").isEmpty,
+      "a surviving code row changed under deletion")
+    // codebooks frozen — deletion is code-table-only
+    assert(coarseOf(st3).exceptAll(coarseOf(st2)).isEmpty
+      && coarseOf(st2).exceptAll(coarseOf(st3)).isEmpty)
+    assert(codebookOf(st3).exceptAll(codebookOf(st2)).isEmpty
+      && codebookOf(st2).exceptAll(codebookOf(st3)).isEmpty)
+    // the law over the survivors
+    val survivors = all.join(delIds, Seq("vec_id"), "left_anti")
+    assert(reencodeDiff(st3, survivors).isEmpty,
+      "law violated after deletion")
+    // UPDATE = delete ∘ insert: re-ingest one deleted id with a NEW
+    // vector; the law must hold over the updated corpus
+    val updId = delIds.orderBy(col("vec_id")).limit(1)
+      .collect()(0).getLong(0)
+    val updated = all.filter(col("vec_id") === updId)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f).cast("float"))
+          .as("embedding"))
+      .localCheckpoint()
+    val st4 = nextIndexState(st3, updated).localCheckpoint()
+    assert(reencodeDiff(st4, survivors.unionByName(updated)).isEmpty,
+      "law violated after the retract+insert update")
+  }
 }
