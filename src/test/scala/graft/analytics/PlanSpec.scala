@@ -1108,6 +1108,56 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q215: the erasure plan reads the PERSISTED full-corpus state " +
+    "(kind-tagged scan), prunes doc scans, and keeps every join " +
+    "shingle/doc-keyed — no all-pairs loop") {
+    val df = graft.dedup.DedupMaintain.deleteQuery(spark, dir)
+    val stateCols = graft.dedup.DedupMaintain.StateSchema.fieldNames.toSet
+    val (stateScans, docScans) = scans(df).partition(
+      _.schema.fieldNames.contains("kind"))
+    assert(stateScans.nonEmpty,
+      "q215 must read the PERSISTED full state, not rebuild it in-query")
+    docScans.foreach { scan =>
+      assert(scan.schema.fieldNames.toSet.subsetOf(Set("doc_id", "text")),
+        scan.schema.fieldNames.mkString(","))
+    }
+    stateScans.foreach { scan =>
+      assert(scan.schema.fieldNames.toSet.subsetOf(stateCols),
+        scan.schema.fieldNames.mkString(","))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q217: the media erasure is cluster-scoped id work over the " +
+    "memoized (edges, plan) state — no all-pairs loop, no " +
+    "unpartitioned window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.multimodal.MediaDedup.mediaDeleteQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val wins = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(wins.forall(_.partitionSpec.nonEmpty), plan)
+  }
+
+  test("q216: the maintained plan recomputes dirty scopes only — every " +
+    "window is keyed (the batch keeper re-window is text-partitioned), " +
+    "no cartesian/BNLJ anywhere in the composition") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.pipeline.CurationMaintain.maintainQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val wins = PlanWalk.collectPlan(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(wins.forall(_.partitionSpec.nonEmpty), plan)
+  }
+
   test("EVERY driver query plans without a CartesianProductExec") {
     // The global all-pairs ban. BroadcastNestedLoopJoin is tolerated only
     // because scalar attaches (crossJoin of a broadcast one-row aggregate
