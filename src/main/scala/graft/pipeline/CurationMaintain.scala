@@ -56,10 +56,25 @@ import graft.tools.CorpusMemo
   * computation, dirty-group keeper windows, crossing-bucket-scoped
   * containment and pair recomputes, CC on changed components' subgraph
   * only, and id-keyed anti/semi joins against stored state — never a
-  * corpus rescan. The stored base state is memoized per corpus here
-  * (the bench prices maintenance at the margin, the q213 rationale);
-  * a deployment would persist it through the snapshot chain exactly
-  * like the q213/q215 index state.
+  * corpus re-AGGREGATE: the df tables and capped inverted indexes are
+  * STATE (built once per corpus lifetime), so a run's union df is a
+  * batch-sized join against the stored df table (a shingle can cross
+  * the cap only if the batch raised its df) and the capped-union view
+  * is the stored capped index ± tiny crossing anti-joins. The stored
+  * base state is memoized per corpus here (the bench prices
+  * maintenance at the margin, the q213 rationale); a deployment would
+  * persist it through the snapshot chain exactly like the q213/q215
+  * index state.
+  *
+  * DEGENERATE LIMIT (measured, SCALING.md round 15): the scopes are
+  * tight, but the work they admit is corpus-shaped — on the synthetic
+  * 100× corpus every document sits in a ~100-sibling near-dup cluster,
+  * so a ~8% batch is adjacent to ~every cluster and the relabel scope
+  * covers 99% of the plan (measured legs: 16.6% recomputed at sf0.1,
+  * 37% at 10×, 99% at 100×). That is the maintenance theorem
+  * operating at its limit, not a scoping bug; a production deployment
+  * would add the obvious cost-based switch (dirty fraction above a
+  * threshold → rebuild from scratch and skip the kept-leg machinery).
   */
 object CurationMaintain {
 
@@ -79,13 +94,19 @@ object CurationMaintain {
     col("source") =!= "src0" && col("doc_id") % BatchMod === BatchMod - 1
 
   /** The stored base state a production deployment holds — every tier's
-    * serving artifact plus the two inverted-index tables maintenance
-    * needs for dirty-scoping (the uncapped shingle index is state in
-    * q213's packed snapshot for the same reason).
+    * serving artifact plus the inverted-index tables maintenance needs
+    * for dirty-scoping: the uncapped shingle index (the erasure
+    * sibling's requirement, as in q213's packed snapshot), the df
+    * tables, and the CAPPED indexes per universe — df and capped views
+    * are state so a maintenance run never re-aggregates the corpus.
     */
   final case class BaseState(
       flags: DataFrame, // (doc_id, n_tokens, pass, keep, contaminated)
       shAll: DataFrame, // uncapped distinct (doc_id, shingle), ALL base docs
+      dfAll: DataFrame, // (shingle, base_df) over ALL base docs
+      shCapped: DataFrame, // shAll minus over-cap shingles' rows
+      dfCorpus: DataFrame, // (shingle, base_df), corpus (non-src0) docs
+      shCorpusCapped: DataFrame, // corpus rows under the CORPUS-side cap
       pairs: DataFrame, // stored q40 pair view (id_a, id_b, jaccard)
       clusters: DataFrame, // stored CC (doc_id, cluster_id)
       mediaEdges: DataFrame, // (id_a, id_b, modality), base media
@@ -93,12 +114,32 @@ object CurationMaintain {
       plan: DataFrame) // the stored q214 plan over base
 
   private val stateMemo = new CorpusMemo[BaseState](st => Seq(st.flags,
-    st.shAll, st.pairs, st.clusters, st.mediaEdges, st.mediaPlan, st.plan))
+    st.shAll, st.dfAll, st.shCapped, st.dfCorpus, st.shCorpusCapped,
+    st.pairs, st.clusters, st.mediaEdges, st.mediaPlan, st.plan))
+
+  /** (df table, capped index) for one universe — stored state, so a
+    * maintenance run never re-aggregates the corpus (the sf10 profile
+    * had two full-shingle groupBys + a corpus-scale capped-union
+    * checkpoint per run, ~70 s of the leg; production keeps both in
+    * the snapshot exactly like q213's packed state).
+    */
+  private[pipeline] def dfAndCapped(sh: DataFrame): (DataFrame, DataFrame) = {
+    val df = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("base_df")).localCheckpoint()
+    val capped = sh.join(df.filter(col("base_df") <= MaxDf)
+        .select(col("shingle")), Seq("shingle"), "left_semi")
+      .localCheckpoint()
+    (df, capped)
+  }
 
   def buildBaseState(s: SparkSession, base: DataFrame): BaseState = {
     val b = base.localCheckpoint()
     val flags = ReleaseFunnel.curationFlags(b).localCheckpoint()
     val shAll = Dedup.shingles(b, K).localCheckpoint()
+    val (dfAll, shCapped) = dfAndCapped(shAll)
+    val shCorpus = shAll.join(flags.select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val (dfCorpus, shCorpusCapped) = dfAndCapped(shCorpus)
     val pairs = Dedup.jaccardPairs(b, K, JaccardThreshold, MaxDf)
       .localCheckpoint()
     val clusters = Dedup.connectedComponents(
@@ -112,7 +153,8 @@ object CurationMaintain {
     val mediaPlan = MediaDedup.planFromEdges(mediaEdges).localCheckpoint()
     val plan = CurationPlan.planFromFlags(flags, clusters, mediaPlan)
       .localCheckpoint()
-    BaseState(flags, shAll, pairs, clusters, mediaEdges, mediaPlan, plan)
+    BaseState(flags, shAll, dfAll, shCapped, dfCorpus, shCorpusCapped,
+      pairs, clusters, mediaEdges, mediaPlan, plan)
   }
 
   def baseStateShared(s: SparkSession, dir: String): BaseState =
@@ -159,31 +201,34 @@ object CurationMaintain {
       .select(col("doc_id"), col("keep"))
       .unionByName(keepRecomp)
 
-    // ---- tier 3: decontamination — corpus-side df cap crossings
-    val corpusBaseIds = st.flags.select(col("doc_id"))
-    val shCorpusBase = st.shAll.join(corpusBaseIds, Seq("doc_id"),
-      "left_semi")
+    // ---- tier 3: decontamination — corpus-side df cap crossings. A
+    // shingle can CROSS only if the batch raised its df, so the union
+    // df is computed for BATCH shingles only (batch-sized join against
+    // the STORED df table — never a corpus re-aggregate), and the
+    // capped-union view is assembled dirty-scoped from the STORED
+    // capped index: dirty docs' stored rows minus newly-over-cap
+    // shingles, plus the batch's under-cap rows.
     val shBatch = Dedup.shingles(batch, K).localCheckpoint()
     val dfBatch = shBatch.groupBy(col("shingle"))
       .agg(count(lit(1)).as("batch_df"))
-    def unionDf(shBase: DataFrame): DataFrame =
-      shBase.groupBy(col("shingle")).agg(count(lit(1)).as("base_df"))
-        .join(dfBatch, Seq("shingle"), "full_outer")
+    def batchUnionDf(dfStored: DataFrame): DataFrame =
+      dfBatch.join(dfStored, Seq("shingle"), "left_outer")
         .select(col("shingle"),
           coalesce(col("base_df"), lit(0L)).as("base_df"),
-          (coalesce(col("base_df"), lit(0L))
-            + coalesce(col("batch_df"), lit(0L))).as("df"))
+          (coalesce(col("base_df"), lit(0L)) + col("batch_df")).as("df"))
         .localCheckpoint()
-    val dfCU = unionDf(shCorpusBase)
+    val dfCU = batchUnionDf(st.dfCorpus)
     val crossingC = dfCU.filter(col("base_df") <= MaxDf && col("df") > MaxDf)
       .select(col("shingle"))
-    val contamDirty = shCorpusBase.join(crossingC, Seq("shingle"),
+    // crossing shingles were under the cap in base, so their base rows
+    // live in the STORED capped index — the semi is complete
+    val contamDirty = st.shCorpusCapped.join(crossingC, Seq("shingle"),
         "left_semi")
       .select(col("doc_id")).unionByName(batchIds).distinct()
       .localCheckpoint()
-    val shCU = shCorpusBase.unionByName(shBatch)
-      .join(dfCU.filter(col("df") <= MaxDf).select(col("shingle")),
-        Seq("shingle"), "left_semi")
+    val overCapC = dfCU.filter(col("df") > MaxDf).select(col("shingle"))
+    val shCU = st.shCorpusCapped.join(crossingC, Seq("shingle"), "left_anti")
+      .unionByName(shBatch.join(overCapC, Seq("shingle"), "left_anti"))
     val shE = Dedup.shingles(evalSet, K).localCheckpoint()
     val evalSizes = shE.groupBy(col("doc_id").as("eval_id"))
       .agg(count(lit(1)).as("n_eval_sh"))
@@ -209,19 +254,25 @@ object CurationMaintain {
         col("contaminated"))
 
     // ---- tier 4: the pair view maintains like q213, then the scoped
-    // CC relabel (only components adjacent to a changed pair)
-    val dfAU = unionDf(st.shAll)
+    // CC relabel (only components adjacent to a changed pair). Same
+    // stored-state discipline as tier 3: batch-scoped union df,
+    // capped-union view assembled from the stored capped index with a
+    // tiny crossing anti-join — the only corpus-scale work left is the
+    // dirty×clean candidate join through the inverted index itself.
+    val dfAU = batchUnionDf(st.dfAll)
     val crossingA = dfAU.filter(col("base_df") <= MaxDf && col("df") > MaxDf)
       .select(col("shingle"))
-    val dirtyDocsA = st.shAll.join(crossingA, Seq("shingle"), "left_semi")
+    val dirtyDocsA = st.shCapped.join(crossingA, Seq("shingle"), "left_semi")
       .select(col("doc_id")).unionByName(batchIds).distinct()
       .localCheckpoint()
-    val shAU = st.shAll.unionByName(shBatch)
-      .join(dfAU.filter(col("df") <= MaxDf).select(col("shingle")),
-        Seq("shingle"), "left_semi")
-      .localCheckpoint()
-    val shD = shAU.join(dirtyDocsA, Seq("doc_id"), "left_semi")
-    val shC2 = shAU.join(dirtyDocsA, Seq("doc_id"), "left_anti")
+    val overCapA = dfAU.filter(col("df") > MaxDf).select(col("shingle"))
+    val shAUbase = st.shCapped.join(crossingA, Seq("shingle"), "left_anti")
+    val shBatchCapped = shBatch.join(overCapA, Seq("shingle"), "left_anti")
+    // batch docs are all dirty, so the clean side is base-only; the
+    // dirty side is dirty base rows ∪ the batch's under-cap rows
+    val shD = shAUbase.join(dirtyDocsA, Seq("doc_id"), "left_semi")
+      .unionByName(shBatchCapped)
+    val shC2 = shAUbase.join(dirtyDocsA, Seq("doc_id"), "left_anti")
     val dc = shD.as("a").join(shC2.as("b"),
         col("a.shingle") === col("b.shingle"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
@@ -234,7 +285,8 @@ object CurationMaintain {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
     val participants = common.select(col("id_a").as("doc_id"))
       .unionByName(common.select(col("id_b").as("doc_id"))).distinct()
-    val sizes = shAU.join(participants, Seq("doc_id"), "left_semi")
+    val sizes = shAUbase.unionByName(shBatchCapped)
+      .join(participants, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // the q40 threshold semantics VERBATIM (rounded quotient, not the
     // q213 integer test — the stored view is q40's)

@@ -35,6 +35,10 @@ class CurationMaintainSpec extends SparkSpec {
   private def mkState(base: DataFrame): BaseState = {
     val flags = ReleaseFunnel.curationFlags(base).localCheckpoint()
     val shAll = Dedup.shingles(base, CurationMaintain.K).localCheckpoint()
+    val (dfAll, shCapped) = CurationMaintain.dfAndCapped(shAll)
+    val shCorpus = shAll.join(flags.select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val (dfCorpus, shCorpusCapped) = CurationMaintain.dfAndCapped(shCorpus)
     val pairs = Dedup.jaccardPairs(base, CurationMaintain.K,
       CurationMaintain.JaccardThreshold, CurationMaintain.MaxDf)
       .localCheckpoint()
@@ -44,7 +48,8 @@ class CurationMaintainSpec extends SparkSpec {
     val mediaPlan = MediaDedup.planFromEdges(edges).localCheckpoint()
     val plan = CurationPlan.planFromFlags(flags, clusters, mediaPlan)
       .localCheckpoint()
-    BaseState(flags, shAll, pairs, clusters, edges, mediaPlan, plan)
+    BaseState(flags, shAll, dfAll, shCapped, dfCorpus, shCorpusCapped,
+      pairs, clusters, edges, mediaPlan, plan)
   }
 
   private def fromScratch(union: DataFrame): DataFrame =
