@@ -591,4 +591,47 @@ object DedupMaintain {
     q.awaitTermination()
     graft.stream.Ingest.latestSnapshotPath(spark, tablePath)
   }
+
+  /** The STREAMING CRUD leg — the full index contract under
+    * at-least-once delivery: each micro-batch carries op-tagged rows
+    * (`op` ∈ insert | delete; deletes need only `doc_id`), and one
+    * fenced snapshot advance applies the batch's DELETES first, then
+    * its INSERTS ([[deleteState]] ∘ [[nextState]] — both transitions
+    * exact, so the composition is, and an UPDATE is expressible inside
+    * ONE batch as delete(old id) + insert(new row) because the retract
+    * lands before the insert reads the state). Deletes-before-inserts
+    * is the batch's defined semantics: an insert-then-delete of the
+    * same id within one batch is NOT expressible (split it across
+    * batches). The composed transition is as non-idempotent as its
+    * halves — a replayed batch would decrement df twice — so the
+    * batchId fence on the manifest PUT is load-bearing exactly as on
+    * the insert-only leg.
+    *
+    * INVARIANT after every commit (spec-proven): the state ≡ the
+    * from-scratch build of (all inserts so far) ∖ (all deletes so
+    * far) — resurrections from un-crossing df decrements included.
+    */
+  def maintainStreamCrud(ops: DataFrame, tablePath: String,
+      checkpoint: String): Option[String] = {
+    val spark = ops.sparkSession
+    val q = ops.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          val b = batch.toDF().localCheckpoint()
+          graft.stream.Ingest.advanceSnapshotFenced(spark, tablePath, id,
+            emptyState(spark)) { state =>
+            val dels = b.filter(col("op") === "delete")
+              .select(col("doc_id"))
+            val ins = b.filter(col("op") === "insert")
+              .select(col("doc_id"), col("text"))
+            nextState(deleteState(state, dels), ins)
+          }
+          ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.stream.Ingest.latestSnapshotPath(spark, tablePath)
+  }
 }

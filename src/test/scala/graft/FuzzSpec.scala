@@ -347,6 +347,83 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("streaming CRUD index maintenance on every fuzz corpus: seeded " +
+    "insert batches with interleaved delete waves and a one-batch " +
+    "update wave drain through the fenced chain — the final state " +
+    "equals the from-scratch build of the surviving corpus") {
+    import graft.dedup.{Dedup, DedupMaintain}
+    for (seed <- allSeeds) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"dedup-crud-fuzz-$seed").toString
+      val in = s"$root/in"; val table = s"$root/state"
+      val ckpt = s"$root/ckpt"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val docs = Fuzz.genDocuments(spark, seed)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val nSplits = 2 + seed % 3
+      val kill = seed % 5
+      val killCond = col("doc_id") % 5 === kill
+      val updCond = col("doc_id") % 7 === 3 && col("doc_id") % 5 =!= kill
+      def drop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$root/tmp_$name"
+        df.coalesce(1).write.json(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".json")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(in, s"$name.json"))
+      }
+      def drain(): String = {
+        val s = spark.readStream
+          .schema("op STRING, doc_id LONG, text STRING").json(in)
+        DedupMaintain.maintainStreamCrud(s, table, ckpt)
+          .getOrElse(sys.error(s"seed $seed: no committed snapshot"))
+      }
+      def ins(df: org.apache.spark.sql.DataFrame) =
+        df.select(lit("insert").as("op"), col("doc_id"), col("text"))
+      def del(df: org.apache.spark.sql.DataFrame) =
+        df.select(lit("delete").as("op"), col("doc_id"),
+          lit("").as("text"))
+      var last: String = null
+      // batch b inserts slice b and deletes the kill residue of the
+      // PREVIOUS slice — each delete lands after its insert committed,
+      // and the df decrements can resurrect pairs later inserts then
+      // re-retract (both directions of the cap per seed)
+      (0 until nSplits).foreach { b =>
+        val slice = docs.filter(col("doc_id") % nSplits === b)
+        val prev = docs.filter(col("doc_id") % nSplits === b - 1)
+        val batch = if (b == 0) ins(slice)
+          else ins(slice).unionByName(del(prev.filter(killCond)))
+        drop(s"b$b", batch)
+        last = drain()
+      }
+      // trailing waves: the LAST slice's kill residue, then a one-batch
+      // UPDATE of the %7 survivors (delete + re-insert with new text —
+      // the in-batch retract+insert contract at fuzz scale)
+      drop("bk", del(docs.filter(
+        col("doc_id") % nSplits === nSplits - 1 && killCond)))
+      last = drain()
+      val updated = docs.filter(updCond)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" upd marker tail")).as("text"))
+      drop("bu", del(updated).unionByName(ins(updated)))
+      last = drain()
+      val survivors = docs.filter(!killCond && !updCond)
+        .unionByName(updated)
+      val got = DedupMaintain.pairsOf(spark.read.parquet(last))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = DedupMaintain.pairsFromShingles(Dedup.cappedShingles(
+          survivors, DedupMaintain.K, DedupMaintain.MaxDf))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == want, s"seed $seed ($nSplits splits, kill %$kill): " +
+        s"CRUD-maintained pair set != scratch over survivors; " +
+        s"stream-only ${got.diff(want).take(3)}, " +
+        s"scratch-only ${want.diff(got).take(3)}")
+    }
+  }
+
   test("streaming vector-index maintenance on every fuzz corpus: a " +
     "seeded train/append split drained through the fenced chain " +
     "re-encodes exactly through its own frozen codebooks") {

@@ -248,6 +248,89 @@ class DedupMaintainSpec extends SparkSpec {
       == pairSet(scratch(b1 ++ b2: _*)))
   }
 
+  test("streaming CRUD maintenance: op-tagged batches (deletes applied " +
+    "before inserts) drain through the fenced chain — after every " +
+    "commit the state equals the from-scratch build of inserts-so-far " +
+    "minus deletes-so-far, resurrection and in-batch update included") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("dedup-crud-stream").toString
+    val in = s"$root/in"; val table = s"$root/state"; val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def drop(name: String, rows: (String, Long, String)*): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        rows.map { case (op, id, t) =>
+          s"""{"op":"$op","doc_id":$id,"text":"$t"}"""
+        }.mkString("\n"))
+    def drain(): String = {
+      val ops = spark.readStream
+        .schema("op STRING, doc_id LONG, text STRING").json(in)
+      DedupMaintain.maintainStreamCrud(ops, table, ckpt)
+        .getOrElse(sys.error("no committed snapshot"))
+    }
+    def scratch(rows: (Long, String)*): DataFrame =
+      pairsFromShingles(Dedup.cappedShingles(
+        rows.toDF("doc_id", "text"), DedupMaintain.K, DedupMaintain.MaxDf))
+    def statePairs(v: String) =
+      pairSet(DedupMaintain.pairsOf(spark.read.parquet(v)))
+
+    // batch 1: inserts only — 'x y z' in 3 docs > maxDf(5)? K=3, MaxDf=5
+    // here, so no cap yet; docs 1/2 pair, 3 is unrelated
+    val live = scala.collection.mutable.Map[Long, String]()
+    def want() = scratch(live.toSeq.sortBy(_._1): _*)
+    drop("b1.json",
+      ("insert", 1L, "alpha beta gamma delta epsilon"),
+      ("insert", 2L, "alpha beta gamma delta epsilon"),
+      ("insert", 3L, "red green blue cyan magenta yellow"))
+    live ++= Seq(1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "red green blue cyan magenta yellow")
+    assert(statePairs(drain()) == pairSet(want()))
+
+    // batch 2: a pure delete — doc 2 goes, the (1,2) pair with it
+    drop("b2.json", ("delete", 2L, ""))
+    live -= 2L
+    assert(statePairs(drain()) == pairSet(want()))
+
+    // batch 3: an in-batch UPDATE of doc 3 (delete + re-insert under
+    // the same id with revised text) plus a fresh near-dup of it —
+    // the retract lands before the insert reads the state
+    drop("b3.json",
+      ("delete", 3L, ""),
+      ("insert", 3L, "red green blue cyan magenta violet"),
+      ("insert", 4L, "red green blue cyan magenta indigo"))
+    live += (3L -> "red green blue cyan magenta violet")
+    live += (4L -> "red green blue cyan magenta indigo")
+    assert(statePairs(drain()) == pairSet(want()))
+
+    // batch 4: the streaming resurrection — first push the shared
+    // prefix 'p q r s t' into 6 docs: its three trigrams all hit
+    // df = 6 > maxDf(5) → stopped, each doc's capped set is its one
+    // unique tail trigram, no pairs among them ...
+    drop("b4.json", (10L to 15L).map(i =>
+      ("insert", i, s"p q r s t tail$i")): _*)
+    (10L to 15L).foreach(i => live += (i -> s"p q r s t tail$i"))
+    val v4 = drain()
+    assert(statePairs(v4) == pairSet(want()))
+    // ... then delete two of them: the shared trigrams' df drops to
+    // 4 ≤ 5 and the surviving quartet's common prefix comes back to
+    // life (n_common 3 of 4 shingles per side → pairs resurrect)
+    drop("b5.json", ("delete", 14L, ""), ("delete", 15L, ""))
+    live --= Seq(14L, 15L)
+    val v5 = drain()
+    assert(statePairs(v5) == pairSet(want()))
+    assert(statePairs(v5) != statePairs(v4),
+      "the un-crossing delete must change the pair set (resurrection)")
+    // and the df view tracks the survivors exactly (state, not pairs)
+    val dfGot = DedupMaintain.dfOf(spark.read.parquet(v5)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfWant = Dedup.shingles(live.toSeq.toDF("doc_id", "text"),
+        DedupMaintain.K).groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfGot == dfWant)
+  }
+
   // -------------------------------------------------------------------
   // q215 — DELETION maintenance. The laws: maintained ≡ from-scratch of
   // corpus ∖ deleted; un-crossing df decrements RESURRECT pairs the
