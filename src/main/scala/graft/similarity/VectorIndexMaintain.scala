@@ -281,6 +281,46 @@ object VectorIndexMaintain {
     graft.stream.Ingest.latestSnapshotPath(spark, tablePath)
   }
 
+  /** The STREAMING CRUD leg — the dedup-index
+    * [[graft.dedup.DedupMaintain.maintainStreamCrud]] composition
+    * applied to the vector index: op-tagged batches (`op` ∈ insert |
+    * delete; deletes need only `vec_id`), one fenced advance per batch
+    * applying DELETES first then INSERTS ([[deleteIndexState]] ∘
+    * [[nextIndexState]]), so an UPDATE (re-embedded document) is one
+    * batch's delete(old)+insert(new vector). Deletes are a pure
+    * anti-join (codes are per-vector, codebooks frozen) and so ARE
+    * idempotent — but the insert half is not (appending twice
+    * duplicates codes), so the fence stays load-bearing for the
+    * composition. If the FIRST batch mixes ops, training sees only its
+    * insert rows (delete-of-nothing is a no-op on empty state).
+    *
+    * Law per commit (spec-proven): [[reencodeDiff]] of the state vs
+    * (inserts so far ∖ deletes so far) stays empty, and codebooks are
+    * bit-identical across assign-only commits.
+    */
+  def maintainStreamCrud(ops: DataFrame, tablePath: String,
+      checkpoint: String): Option[String] = {
+    val spark = ops.sparkSession
+    val q = ops.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          val b = batch.toDF().localCheckpoint()
+          graft.stream.Ingest.advanceSnapshotFenced(spark, tablePath, id,
+            emptyIndexState(spark)) { st =>
+            val dels = b.filter(col("op") === "delete").select(col("vec_id"))
+            val ins = b.filter(col("op") === "insert")
+              .select(col("vec_id"), col("embedding"))
+            nextIndexState(deleteIndexState(st, dels), ins)
+          }
+          ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.stream.Ingest.latestSnapshotPath(spark, tablePath)
+  }
+
   /** The maintenance law as a queryable diff: rows where the state's
     * code table disagrees with a from-scratch re-encode of `emb`
     * (which must be exactly the vectors ingested so far) through the

@@ -157,6 +157,91 @@ class VectorMaintainSpec extends SparkSpec {
       "an empty drain changed the code table")
   }
 
+  test("streaming CRUD index maintenance: op-tagged batches (deletes " +
+    "applied before inserts) drain through the fenced chain — after " +
+    "every commit the state re-encodes exactly over inserts-so-far " +
+    "minus deletes-so-far, codebooks frozen, in-batch update included") {
+    import VectorIndexMaintain._
+    val root = java.nio.file.Files
+      .createTempDirectory("vec-crud-stream").toString
+    val in = s"$root/in"; val table = s"$root/state"; val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val sch = "op STRING, vec_id LONG, embedding ARRAY<FLOAT>"
+    def drop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(in, s"$name.json"))
+    }
+    def drain(): String = {
+      val ops = spark.readStream.schema(sch).json(in)
+      maintainStreamCrud(ops, table, ckpt)
+        .getOrElse(sys.error("no committed snapshot"))
+    }
+    // test-side replay of the op stream (batch files in drain order,
+    // deletes-before-inserts within each): the law's survivor frame
+    // re-reads the SAME json files, so floats are bit-identical
+    def survivors(): org.apache.spark.sql.DataFrame =
+      new java.io.File(in).listFiles().map(_.getName).sorted
+        .map(f => spark.read.schema(sch).json(s"$in/$f"))
+        .foldLeft(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id LONG, embedding ARRAY<FLOAT>"))) { (acc, b) =>
+          acc.join(b.filter(col("op") === "delete").select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+            .unionByName(b.filter(col("op") === "insert")
+              .select(col("vec_id"), col("embedding")))
+        }
+    def ins(df: org.apache.spark.sql.DataFrame) =
+      df.select(lit("insert").as("op"), col("vec_id"), col("embedding"))
+    def del(df: org.apache.spark.sql.DataFrame) =
+      df.select(lit("delete").as("op"), col("vec_id"),
+        lit(null).cast("array<float>").as("embedding"))
+
+    val all = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = all.filter(col("vec_id") % BatchMod =!= BatchMod - 1)
+    val later = all.filter(col("vec_id") % BatchMod === BatchMod - 1)
+
+    // batch 1: inserts only → trains
+    drop("b1", ins(base))
+    val st1 = spark.read.schema(IndexStateSchema).parquet(drain())
+    assert(reencodeDiff(st1, survivors()).isEmpty,
+      "law violated after the training batch")
+
+    // batch 2: MIXED — delete a residue of the trained base, insert
+    // the later slice; deletes land first, codebooks stay frozen
+    drop("b2", del(base.filter(col("vec_id") % 5 === 0))
+      .unionByName(ins(later)))
+    val st2 = spark.read.schema(IndexStateSchema).parquet(drain())
+    assert(reencodeDiff(st2, survivors()).isEmpty,
+      "law violated after the mixed delete+insert batch")
+    assert(coarseOf(st2).exceptAll(coarseOf(st1)).isEmpty
+      && codebookOf(st2).exceptAll(codebookOf(st1)).isEmpty,
+      "codebooks drifted on a CRUD batch")
+    assert(codesOf(st2).select(col("vec_id")).distinct().count()
+      === survivors().count())
+
+    // batch 3: an in-batch UPDATE — re-embed a surviving slice (scaled
+    // vectors) as delete(old)+insert(new) under the same vec_ids; the
+    // new codes come from the FROZEN codebooks
+    val updated = base.filter(col("vec_id") % 5 =!= 0
+        && col("vec_id") % 3 === 1)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    drop("b3", del(updated).unionByName(ins(updated)))
+    val st3 = spark.read.schema(IndexStateSchema).parquet(drain())
+    assert(reencodeDiff(st3, survivors()).isEmpty,
+      "law violated after the update batch")
+    assert(coarseOf(st3).exceptAll(coarseOf(st1)).isEmpty
+      && codebookOf(st3).exceptAll(codebookOf(st1)).isEmpty,
+      "codebooks drifted on an update batch")
+  }
+
   test("deletion: deleteIndexState drops exactly the deleted ids' " +
     "codes, freezes the codebooks, re-encodes clean over the " +
     "survivors, and composes with inserts into the update contract") {
