@@ -47,21 +47,25 @@ object Mst {
     */
   def boruvka(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val ser = org.apache.spark.storage.StorageLevel.DISK_ONLY
-    val e0 = edges.select(col("u"), col("v"), col("w"))
+    // Edges CARRY their current endpoint component labels (cu, cv), and
+    // each round keeps only the edges still CROSSING after contraction.
+    // Components only merge, so an edge whose endpoints ever share a
+    // component can never cross again — the per-round working set is the
+    // shrinking cross set (geometric total work), where the previous
+    // formulation re-joined the FULL edge set against a vertex-sized
+    // label table every round (two O(E) exchanges per round) and
+    // re-checkpointed the growing chosen set (O(V·rounds) rewrites).
+    // The vertex-sized component map is never needed at all: only edge
+    // endpoint labels drive the pick, and only the chosen edges are
+    // returned.
+    var cross = edges.select(col("u"), col("v"), col("w"),
+        col("u").as("cu"), col("v").as("cv"))
+      .filter(col("cu") =!= col("cv"))
       .localCheckpoint(eager = true, storageLevel = ser)
-    var comp = e0.select(col("u").as("id"))
-      .unionByName(e0.select(col("v").as("id"))).distinct()
-      .select(col("id"), col("id").as("c"))
-      .localCheckpoint(eager = true, storageLevel = ser)
-    var chosen = e0.limit(0).localCheckpoint(eager = true, storageLevel = ser)
+    var chosenParts = List.empty[DataFrame]
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val cross = e0
-        .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
-        .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
-        .filter(col("cu") =!= col("cv"))
-        .localCheckpoint(eager = true, storageLevel = ser)
       if (cross.isEmpty) done = true
       else {
         // per-component minimum outgoing edge under (w, u, v) — struct
@@ -76,30 +80,39 @@ object Mst {
             col("k.w").as("w"), col("k.cu").as("cu"), col("k.cv").as("cv"))
           .distinct() // both endpoints' components may pick the same edge
           .localCheckpoint(eager = true, storageLevel = ser)
-        val nextChosen = chosen
-          .unionByName(sel.select(col("u"), col("v"), col("w")))
-          .localCheckpoint(eager = true, storageLevel = ser)
+        // chosen edges accumulate LAZILY (unioned once at the end): each
+        // sel is already checkpointed, so deferring the union avoids
+        // rewriting the accumulated forest every round
+        chosenParts = sel.select(col("u"), col("v"), col("w")) :: chosenParts
         // contract: CC over the component-id graph of this round's picks
+        // (component-count-sized, at least halves per round)
         val lbl = graft.dedup.Dedup.connectedComponents(
           sel.select(col("cu").as("id_a"), col("cv").as("id_b")))
           .select(col("doc_id").as("c"), col("cluster_id").as("c2"))
-        val nextComp = comp.join(lbl, Seq("c"), "left")
-          .select(col("id"), coalesce(col("c2"), col("c")).as("c"))
           .localCheckpoint(eager = true, storageLevel = ser)
-        graft.operators.PlanWalk.freeCheckpoint(chosen)
-        graft.operators.PlanWalk.freeCheckpoint(comp)
-        graft.operators.PlanWalk.freeCheckpoint(sel)
-        chosen = nextChosen
-        comp = nextComp
+        val nextCross = cross
+          .join(lbl.select(col("c").as("cu"), col("c2").as("cu2")),
+            Seq("cu"), "left")
+          .join(lbl.select(col("c").as("cv"), col("c2").as("cv2")),
+            Seq("cv"), "left")
+          .select(col("u"), col("v"), col("w"),
+            coalesce(col("cu2"), col("cu")).as("cu"),
+            coalesce(col("cv2"), col("cv")).as("cv"))
+          .filter(col("cu") =!= col("cv"))
+          .localCheckpoint(eager = true, storageLevel = ser)
+        graft.operators.PlanWalk.freeCheckpoint(cross)
+        cross = nextCross
+        graft.operators.PlanWalk.freeCheckpoint(lbl)
       }
-      graft.operators.PlanWalk.freeCheckpoint(cross)
       round += 1
     }
     if (!done) throw new IllegalStateException(
       s"boruvka did not converge in $maxRounds rounds — raise maxRounds " +
         "(components at least halve per round, so this means > " +
         s"2^$maxRounds initial components or a bug)")
-    chosen
+    if (chosenParts.isEmpty)
+      edges.select(col("u"), col("v"), col("w")).limit(0)
+    else chosenParts.reduce(_ unionByName _)
   }
 
   /** q161: the minimum spanning forest of the q146 weighted co-purchase

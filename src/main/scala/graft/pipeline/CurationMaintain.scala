@@ -182,180 +182,211 @@ object CurationMaintain {
     val corpusU = docs.filter(col("source") =!= "src0")
     val evalSet = docs.filter(col("source") === "src0")
 
-    // ---- tier 1+2: quality (batch-only new work) + dirty-group keeper
-    val qAll = st.flags.select(col("doc_id"), col("n_tokens"), col("pass"))
-      .unionByName(QualityRules.qualityFlags(batch)
-        .select(col("doc_id"), col("n_tokens"), col("pass")))
-      .localCheckpoint()
-    val dirtyGroup = corpusU.select(col("doc_id"), col("text"))
-      .join(batch.select(col("text")).distinct(), Seq("text"), "left_semi")
-    val exactDirtyIds = dirtyGroup.select(col("doc_id")).localCheckpoint()
-    val keepRecomp = dirtyGroup
-      .join(qAll.select(col("doc_id"), col("pass")), Seq("doc_id"))
-      .withColumn("keeper",
-        min(when(col("pass"), col("doc_id")))
-          .over(Window.partitionBy(col("text"))))
-      .select(col("doc_id"),
-        (col("pass") && col("doc_id") === col("keeper")).as("keep"))
-    val keepAll = st.flags.join(exactDirtyIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("keep"))
-      .unionByName(keepRecomp)
-
-    // ---- tier 3: decontamination — corpus-side df cap crossings. A
-    // shingle can CROSS only if the batch raised its df, so the union
-    // df is computed for BATCH shingles only (batch-sized join against
-    // the STORED df table — never a corpus re-aggregate), and the
-    // capped-union view is assembled dirty-scoped from the STORED
-    // capped index: dirty docs' stored rows minus newly-over-cap
-    // shingles, plus the batch's under-cap rows.
-    val shBatch = Dedup.shingles(batch, K).localCheckpoint()
-    val dfBatch = shBatch.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("batch_df"))
-    def batchUnionDf(dfStored: DataFrame): DataFrame =
-      dfBatch.join(dfStored, Seq("shingle"), "left_outer")
-        .select(col("shingle"),
-          coalesce(col("base_df"), lit(0L)).as("base_df"),
-          (coalesce(col("base_df"), lit(0L)) + col("batch_df")).as("df"))
-        .localCheckpoint()
-    val dfCU = batchUnionDf(st.dfCorpus)
-    val crossingC = dfCU.filter(col("base_df") <= MaxDf && col("df") > MaxDf)
-      .select(col("shingle"))
-    // crossing shingles were under the cap in base, so their base rows
-    // live in the STORED capped index — the semi is complete
-    val contamDirty = st.shCorpusCapped.join(crossingC, Seq("shingle"),
-        "left_semi")
-      .select(col("doc_id")).unionByName(batchIds).distinct()
-      .localCheckpoint()
-    val overCapC = dfCU.filter(col("df") > MaxDf).select(col("shingle"))
-    val shCU = st.shCorpusCapped.join(crossingC, Seq("shingle"), "left_anti")
-      .unionByName(shBatch.join(overCapC, Seq("shingle"), "left_anti"))
-    val shE = Dedup.shingles(evalSet, K).localCheckpoint()
-    val evalSizes = shE.groupBy(col("doc_id").as("eval_id"))
-      .agg(count(lit(1)).as("n_eval_sh"))
-    val contamRecompIds = shCU.join(contamDirty, Seq("doc_id"), "left_semi")
-      .as("c")
-      .join(shE.as("e"), col("c.shingle") === col("e.shingle"))
-      .groupBy(col("c.doc_id").as("doc_id"), col("e.doc_id").as("eval_id"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(evalSizes, "eval_id")
-      .filter(round(col("n_common").cast("double") / col("n_eval_sh"), 4)
-        >= ContainThreshold)
-      .select(col("doc_id")).distinct()
-    val contamAll = st.flags.join(contamDirty, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("contaminated"))
-      .unionByName(contamDirty
-        .join(contamRecompIds.withColumn("c2", lit(true)), Seq("doc_id"),
-          "left")
-        .select(col("doc_id"),
-          coalesce(col("c2"), lit(false)).as("contaminated")))
+    // The five tiers are INDEPENDENT given `batch` (tiers 3 and 4 also
+    // share the batch shingle table): each is a chain of eager
+    // `localCheckpoint` materializations plus (tiers 4/5) a CC loop, and
+    // running them sequentially left the cluster idle through every
+    // chain's tail. Overlap them from the driver (guide §2.6): tier 1+2
+    // and tier 5 run beside the shingle-table build, then the two
+    // shingle consumers (tier 3, tier 4) run beside each other. The
+    // dataflow below is the sequential body verbatim, only grouped.
+    val ((qAll, exactDirtyIds, keepAll), (scopeMedia, mediaU),
+        ((contamDirty, contamAll), (scopeText, clustersU))) =
+      graft.tools.Overlap.par3(
+      {
+        // ---- tier 1+2: quality (batch-only new work) + dirty-group keeper
+        val qAll = st.flags.select(col("doc_id"), col("n_tokens"), col("pass"))
+          .unionByName(QualityRules.qualityFlags(batch)
+            .select(col("doc_id"), col("n_tokens"), col("pass")))
+          .localCheckpoint()
+        val dirtyGroup = corpusU.select(col("doc_id"), col("text"))
+          .join(batch.select(col("text")).distinct(), Seq("text"), "left_semi")
+        val exactDirtyIds = dirtyGroup.select(col("doc_id")).localCheckpoint()
+        val keepRecomp = dirtyGroup
+          .join(qAll.select(col("doc_id"), col("pass")), Seq("doc_id"))
+          .withColumn("keeper",
+            min(when(col("pass"), col("doc_id")))
+              .over(Window.partitionBy(col("text"))))
+          .select(col("doc_id"),
+            (col("pass") && col("doc_id") === col("keeper")).as("keep"))
+        val keepAll = st.flags.join(exactDirtyIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("keep"))
+          .unionByName(keepRecomp)
+        (qAll, exactDirtyIds, keepAll)
+      },
+      {
+        // ---- tier 5: media — the q217 insert mirror
+        val newMedia = unionMediaEdges
+          .join(batchIds.select(col("doc_id").as("id_a")), Seq("id_a"),
+            "left_semi")
+          .unionByName(unionMediaEdges
+            .join(batchIds.select(col("doc_id").as("id_b")), Seq("id_b"),
+              "left_semi"))
+          .distinct().localCheckpoint()
+        val newEnds = ends(newMedia).distinct()
+        val dirtyMediaClusters = st.mediaPlan.join(newEnds, Seq("doc_id"),
+            "left_semi")
+          .select(col("cluster_id")).distinct()
+        val scopeMedia = st.mediaPlan
+          .join(dirtyMediaClusters, Seq("cluster_id"), "left_semi")
+          .select(col("doc_id")).unionByName(newEnds).distinct()
+          .localCheckpoint()
+        val mediaU = st.mediaPlan
+          .join(dirtyMediaClusters, Seq("cluster_id"), "left_anti")
+          .select(col("doc_id"), col("cluster_id"), col("keeper"),
+            col("action"), col("n_members"), col("modalities"))
+          .unionByName(MediaDedup.planFromEdges(st.mediaEdges
+            .join(scopeMedia.select(col("doc_id").as("id_a")), Seq("id_a"),
+              "left_semi")
+            .unionByName(newMedia)))
+        (scopeMedia, mediaU)
+      },
+      {
+        val shBatch = Dedup.shingles(batch, K).localCheckpoint()
+        val dfBatch = shBatch.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("batch_df"))
+        def batchUnionDf(dfStored: DataFrame): DataFrame =
+          dfBatch.join(dfStored, Seq("shingle"), "left_outer")
+            .select(col("shingle"),
+              coalesce(col("base_df"), lit(0L)).as("base_df"),
+              (coalesce(col("base_df"), lit(0L)) + col("batch_df")).as("df"))
+            .localCheckpoint()
+        graft.tools.Overlap.par2(
+        {
+          // ---- tier 3: decontamination — corpus-side df cap crossings. A
+          // shingle can CROSS only if the batch raised its df, so the union
+          // df is computed for BATCH shingles only (batch-sized join against
+          // the STORED df table — never a corpus re-aggregate), and the
+          // capped-union view is assembled dirty-scoped from the STORED
+          // capped index: dirty docs' stored rows minus newly-over-cap
+          // shingles, plus the batch's under-cap rows.
+          val dfCU = batchUnionDf(st.dfCorpus)
+          val crossingC = dfCU.filter(col("base_df") <= MaxDf
+              && col("df") > MaxDf)
+            .select(col("shingle"))
+          // crossing shingles were under the cap in base, so their base rows
+          // live in the STORED capped index — the semi is complete
+          val contamDirty = st.shCorpusCapped.join(crossingC, Seq("shingle"),
+              "left_semi")
+            .select(col("doc_id")).unionByName(batchIds).distinct()
+            .localCheckpoint()
+          val overCapC = dfCU.filter(col("df") > MaxDf).select(col("shingle"))
+          val shCU = st.shCorpusCapped.join(crossingC, Seq("shingle"),
+              "left_anti")
+            .unionByName(shBatch.join(overCapC, Seq("shingle"), "left_anti"))
+          val shE = Dedup.shingles(evalSet, K).localCheckpoint()
+          val evalSizes = shE.groupBy(col("doc_id").as("eval_id"))
+            .agg(count(lit(1)).as("n_eval_sh"))
+          val contamRecompIds = shCU.join(contamDirty, Seq("doc_id"),
+              "left_semi")
+            .as("c")
+            .join(shE.as("e"), col("c.shingle") === col("e.shingle"))
+            .groupBy(col("c.doc_id").as("doc_id"),
+              col("e.doc_id").as("eval_id"))
+            .agg(count(lit(1)).as("n_common"))
+            .join(evalSizes, "eval_id")
+            .filter(round(col("n_common").cast("double") / col("n_eval_sh"), 4)
+              >= ContainThreshold)
+            .select(col("doc_id")).distinct()
+          val contamAll = st.flags.join(contamDirty, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("contaminated"))
+            .unionByName(contamDirty
+              .join(contamRecompIds.withColumn("c2", lit(true)), Seq("doc_id"),
+                "left")
+              .select(col("doc_id"),
+                coalesce(col("c2"), lit(false)).as("contaminated")))
+          (contamDirty, contamAll)
+        },
+        {
+          // ---- tier 4: the pair view maintains like q213, then the scoped
+          // CC relabel (only components adjacent to a changed pair). Same
+          // stored-state discipline as tier 3: batch-scoped union df,
+          // capped-union view assembled from the stored capped index with a
+          // tiny crossing anti-join — the only corpus-scale work left is the
+          // dirty×clean candidate join through the inverted index itself.
+          val dfAU = batchUnionDf(st.dfAll)
+          val crossingA = dfAU.filter(col("base_df") <= MaxDf
+              && col("df") > MaxDf)
+            .select(col("shingle"))
+          val dirtyDocsA = st.shCapped.join(crossingA, Seq("shingle"),
+              "left_semi")
+            .select(col("doc_id")).unionByName(batchIds).distinct()
+            .localCheckpoint()
+          val overCapA = dfAU.filter(col("df") > MaxDf).select(col("shingle"))
+          val shAUbase = st.shCapped.join(crossingA, Seq("shingle"),
+            "left_anti")
+          val shBatchCapped = shBatch.join(overCapA, Seq("shingle"),
+            "left_anti")
+          // batch docs are all dirty, so the clean side is base-only; the
+          // dirty side is dirty base rows ∪ the batch's under-cap rows
+          val shD = shAUbase.join(dirtyDocsA, Seq("doc_id"), "left_semi")
+            .unionByName(shBatchCapped)
+          val shC2 = shAUbase.join(dirtyDocsA, Seq("doc_id"), "left_anti")
+          val dc = shD.as("a").join(shC2.as("b"),
+              col("a.shingle") === col("b.shingle"))
+            .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+          val dd = shD.as("a").join(shD.as("b"),
+              col("a.shingle") === col("b.shingle")
+                && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          val common = dc.unionByName(dd)
+            .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+          val participants = common.select(col("id_a").as("doc_id"))
+            .unionByName(common.select(col("id_b").as("doc_id"))).distinct()
+          val sizes = shAUbase.unionByName(shBatchCapped)
+            .join(participants, Seq("doc_id"), "left_semi")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+          // the q40 threshold semantics VERBATIM (rounded quotient, not the
+          // q213 integer test — the stored view is q40's)
+          val recompPairs = common
+            .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")),
+              Seq("id_a"))
+            .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")),
+              Seq("id_b"))
+            .withColumn("jaccard", round(col("n_common").cast("double")
+              / (col("n_a") + col("n_b") - col("n_common")), 4))
+            .filter(col("jaccard") >= JaccardThreshold)
+            .select(col("id_a"), col("id_b"), col("jaccard"))
+            .localCheckpoint()
+          val keptPairs = st.pairs
+            .join(dirtyDocsA.select(col("doc_id").as("id_a")), Seq("id_a"),
+              "left_anti")
+            .join(dirtyDocsA.select(col("doc_id").as("id_b")), Seq("id_b"),
+              "left_anti")
+          val maintainedPairs = keptPairs.unionByName(recompPairs)
+            .localCheckpoint()
+          // changed pairs = recomputed ∪ stored-with-a-dirty-endpoint; every
+          // base component merged/split by the batch touches one of their
+          // endpoints, so this is the exact relabel frontier
+          val storedChanged = st.pairs
+            .join(dirtyDocsA.select(col("doc_id").as("id_a")), Seq("id_a"),
+              "left_semi")
+            .unionByName(st.pairs
+              .join(dirtyDocsA.select(col("doc_id").as("id_b")), Seq("id_b"),
+                "left_semi"))
+          val changedEnds = ends(recompPairs).unionByName(ends(storedChanged))
+            .distinct().localCheckpoint()
+          val dirtyClusterIds = st.clusters.join(changedEnds, Seq("doc_id"),
+              "left_semi")
+            .select(col("cluster_id")).distinct()
+          val scopeText = st.clusters.join(dirtyClusterIds, Seq("cluster_id"),
+              "left_semi")
+            .select(col("doc_id")).unionByName(changedEnds).distinct()
+            .localCheckpoint()
+          val clustersU = st.clusters
+            .join(dirtyClusterIds, Seq("cluster_id"), "left_anti")
+            .unionByName(Dedup.connectedComponents(maintainedPairs
+              .join(scopeText.select(col("doc_id").as("id_a")), Seq("id_a"),
+                "left_semi")
+              .select(col("id_a"), col("id_b"))))
+          (scopeText, clustersU)
+        })
+      })
     val flagsU = qAll.join(keepAll, Seq("doc_id"))
       .join(contamAll, Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("pass"), col("keep"),
         col("contaminated"))
-
-    // ---- tier 4: the pair view maintains like q213, then the scoped
-    // CC relabel (only components adjacent to a changed pair). Same
-    // stored-state discipline as tier 3: batch-scoped union df,
-    // capped-union view assembled from the stored capped index with a
-    // tiny crossing anti-join — the only corpus-scale work left is the
-    // dirty×clean candidate join through the inverted index itself.
-    val dfAU = batchUnionDf(st.dfAll)
-    val crossingA = dfAU.filter(col("base_df") <= MaxDf && col("df") > MaxDf)
-      .select(col("shingle"))
-    val dirtyDocsA = st.shCapped.join(crossingA, Seq("shingle"), "left_semi")
-      .select(col("doc_id")).unionByName(batchIds).distinct()
-      .localCheckpoint()
-    val overCapA = dfAU.filter(col("df") > MaxDf).select(col("shingle"))
-    val shAUbase = st.shCapped.join(crossingA, Seq("shingle"), "left_anti")
-    val shBatchCapped = shBatch.join(overCapA, Seq("shingle"), "left_anti")
-    // batch docs are all dirty, so the clean side is base-only; the
-    // dirty side is dirty base rows ∪ the batch's under-cap rows
-    val shD = shAUbase.join(dirtyDocsA, Seq("doc_id"), "left_semi")
-      .unionByName(shBatchCapped)
-    val shC2 = shAUbase.join(dirtyDocsA, Seq("doc_id"), "left_anti")
-    val dc = shD.as("a").join(shC2.as("b"),
-        col("a.shingle") === col("b.shingle"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-    val dd = shD.as("a").join(shD.as("b"),
-        col("a.shingle") === col("b.shingle")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val common = dc.unionByName(dd)
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
-    val participants = common.select(col("id_a").as("doc_id"))
-      .unionByName(common.select(col("id_b").as("doc_id"))).distinct()
-    val sizes = shAUbase.unionByName(shBatchCapped)
-      .join(participants, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // the q40 threshold semantics VERBATIM (rounded quotient, not the
-    // q213 integer test — the stored view is q40's)
-    val recompPairs = common
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")),
-        Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")),
-        Seq("id_b"))
-      .withColumn("jaccard", round(col("n_common").cast("double")
-        / (col("n_a") + col("n_b") - col("n_common")), 4))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-      .localCheckpoint()
-    val keptPairs = st.pairs
-      .join(dirtyDocsA.select(col("doc_id").as("id_a")), Seq("id_a"),
-        "left_anti")
-      .join(dirtyDocsA.select(col("doc_id").as("id_b")), Seq("id_b"),
-        "left_anti")
-    val maintainedPairs = keptPairs.unionByName(recompPairs)
-      .localCheckpoint()
-    // changed pairs = recomputed ∪ stored-with-a-dirty-endpoint; every
-    // base component merged/split by the batch touches one of their
-    // endpoints, so this is the exact relabel frontier
-    val storedChanged = st.pairs
-      .join(dirtyDocsA.select(col("doc_id").as("id_a")), Seq("id_a"),
-        "left_semi")
-      .unionByName(st.pairs
-        .join(dirtyDocsA.select(col("doc_id").as("id_b")), Seq("id_b"),
-          "left_semi"))
-    val changedEnds = ends(recompPairs).unionByName(ends(storedChanged))
-      .distinct().localCheckpoint()
-    val dirtyClusterIds = st.clusters.join(changedEnds, Seq("doc_id"),
-        "left_semi")
-      .select(col("cluster_id")).distinct()
-    val scopeText = st.clusters.join(dirtyClusterIds, Seq("cluster_id"),
-        "left_semi")
-      .select(col("doc_id")).unionByName(changedEnds).distinct()
-      .localCheckpoint()
-    val clustersU = st.clusters
-      .join(dirtyClusterIds, Seq("cluster_id"), "left_anti")
-      .unionByName(Dedup.connectedComponents(maintainedPairs
-        .join(scopeText.select(col("doc_id").as("id_a")), Seq("id_a"),
-          "left_semi")
-        .select(col("id_a"), col("id_b"))))
-
-    // ---- tier 5: media — the q217 insert mirror
-    val newMedia = unionMediaEdges
-      .join(batchIds.select(col("doc_id").as("id_a")), Seq("id_a"),
-        "left_semi")
-      .unionByName(unionMediaEdges
-        .join(batchIds.select(col("doc_id").as("id_b")), Seq("id_b"),
-          "left_semi"))
-      .distinct().localCheckpoint()
-    val newEnds = ends(newMedia).distinct()
-    val dirtyMediaClusters = st.mediaPlan.join(newEnds, Seq("doc_id"),
-        "left_semi")
-      .select(col("cluster_id")).distinct()
-    val scopeMedia = st.mediaPlan
-      .join(dirtyMediaClusters, Seq("cluster_id"), "left_semi")
-      .select(col("doc_id")).unionByName(newEnds).distinct()
-      .localCheckpoint()
-    val mediaU = st.mediaPlan
-      .join(dirtyMediaClusters, Seq("cluster_id"), "left_anti")
-      .select(col("doc_id"), col("cluster_id"), col("keeper"),
-        col("action"), col("n_members"), col("modalities"))
-      .unionByName(MediaDedup.planFromEdges(st.mediaEdges
-        .join(scopeMedia.select(col("doc_id").as("id_a")), Seq("id_a"),
-          "left_semi")
-        .unionByName(newMedia)))
 
     // ---- compose: recompute the union of every tier's dirty scope,
     // carry everything else verbatim from the stored plan
