@@ -60,10 +60,17 @@ object CmQuantiles {
         col("v"))
       .select(col("grp"), col("level"),
         expr("shiftright(v, level)").as("nd"))
-    CountMin.Hashes.map { case (i, a, b) =>
-      v.select(col("grp"), col("level"), lit(i).as("r"),
-        CountMin.bucket(a, b, col("nd")).as("bucket"))
-    }.reduce(_ unionByName _)
+    // ONE corpus pass: the d hash rows explode per dyadic row instead of
+    // unioning d full re-scans of the exploded (×L) corpus view; the
+    // bucket arithmetic mirrors CountMin.bucket exactly (floor-mod below
+    // P first), with (a, b) as per-row literals from the exploded struct
+    val hs = array(CountMin.Hashes.map { case (i, a, b) =>
+      struct(lit(i).as("r"), lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    v.select(col("grp"), col("level"), col("nd"), explode(hs).as("h"))
+      .select(col("grp"), col("level"), col("h.r").as("r"),
+        (((col("h.a") * (((col("nd") % CountMin.P) + CountMin.P) % CountMin.P)
+          + col("h.b")) % CountMin.P) % CountMin.W).as("bucket"))
       .groupBy(col("grp"), col("level"), col("r"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -76,27 +83,40 @@ object CmQuantiles {
   def quantiles(rows: DataFrame, ps: Seq[Double]): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val cells = sketch(rows).localCheckpoint()
+    val cells = sketch(rows).coalesce(1).localCheckpoint()
     val hashes = CountMin.Hashes.toDF("r", "a", "b")
-    val n = rows.filter(col("value").isNotNull)
-      .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    // exact per-group count read FROM the sketch (every value contributes
+    // exactly once per (level, r) slice, so one slice's bucket sum is the
+    // count) — no second corpus scan
+    val n = cells
+      .filter(col("level") === 0 && col("r") === CountMin.Hashes.head._1)
+      .groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
     var frontier = n
       .crossJoin(broadcast(ps.toDF("p")))
       .withColumn("target", ceil(col("p") * col("n")))
       .withColumn("nd", lit(0L))
       .withColumn("rank_below", lit(0L))
     for (l <- Levels - 1 to 0 by -1) {
-      val cl = cells.filter(col("level") === l)
-        .select(col("grp"), col("r"), col("bucket"), col("cnt"))
       // probe the LEFT child (node 2·nd at level l) through all d rows;
-      // absent cell = 0 (the sparse form's implicit zeros), est = min
+      // absent cell = 0 (the sparse form's implicit zeros), est = min.
+      // All 20 levels join the SAME broadcast(cells) frame with the level
+      // pinned in the join CONDITION — the broadcast subplans canonicalize
+      // identically, so ReuseExchange builds the matrix broadcast once
+      // (a per-r broadcast-left-join formulation with zero frontier
+      // exchanges was TRIED and measured slower: 80 joins' planning cost
+      // exceeded what the 20 tiny frontier exchanges cost).
       val est = frontier
         .crossJoin(broadcast(hashes))
         .withColumn("bucket",
           ((col("a") * (((col("nd") * 2) % CountMin.P + CountMin.P) % CountMin.P)
             + col("b")) % CountMin.P) % CountMin.W)
-        .join(broadcast(cl), Seq("grp", "r", "bucket"), "left")
-        .groupBy(col("grp"), col("p"), col("n"), col("target"),
+        .as("f")
+        .join(broadcast(cells).as("c"),
+          col("f.grp") === col("c.grp") && col("c.level") === l
+            && col("f.r") === col("c.r")
+            && col("f.bucket") === col("c.bucket"),
+          "left")
+        .groupBy(col("f.grp").as("grp"), col("p"), col("n"), col("target"),
           col("nd"), col("rank_below"))
         .agg(min(coalesce(col("cnt"), lit(0L))).as("est_left"))
       frontier = est

@@ -33,6 +33,9 @@ object SourceOverlap {
       .select(col("source"),
         explode(graft.text.TextOps.tokenWindows(col("toks"), k)).as("shingle"))
       .distinct()
+      // consumed three times (both self-join legs + the size rollup):
+      // checkpoint so the tokenize→shingle→distinct corpus pass runs once
+      .localCheckpoint()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     sh.as("a")
       .join(sh.as("b"),

@@ -82,15 +82,21 @@ object SkippingIndex {
     val m = fileKeys.agg(count(lit(1)).as("nent"))
       .select((lit(BitsPerKey) *
         expr(s"(nent + ${NFiles - 1}) div ${NFiles}")).as("m"))
-    def bit(a: Long, b: Long, k: org.apache.spark.sql.Column,
+    def bit(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+            k: org.apache.spark.sql.Column,
             mCol: org.apache.spark.sql.Column) =
-      ((lit(a) * ((k % lit(P) + lit(P)) % lit(P)) + lit(b)) % lit(P)) % mCol
+      ((a * ((k % lit(P) + lit(P)) % lit(P)) + b) % lit(P)) % mCol
     val hashes = graft.analytics.CountMin.Hashes.take(BloomK)
-    val bloomBits = hashes.map { case (j, a, b) =>
-      fileKeys.crossJoin(broadcast(m))
-        .select(col("file"), lit(j).as("j"),
-          bit(a, b, col("key"), col("m")).as("bit"))
-    }.reduce(_ unionByName _).distinct()
+    // the k hash rows explode per stored entry (ONE pass over the deduped
+    // (file, key) index) instead of unioning k full re-scans of it
+    val hs = array(hashes.map { case (j, a, b) =>
+      struct(lit(j).as("j"), lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    val bloomBits = fileKeys.crossJoin(broadcast(m))
+      .select(col("file"), col("key"), col("m"), explode(hs).as("h"))
+      .select(col("file"), col("h.j").as("j"),
+        bit(col("h.a"), col("h.b"), col("key"), col("m")).as("bit"))
+      .distinct()
     // probe set: 10 smallest present keys + 3 certainly-absent ones
     val present = fileKeys.select(col("key")).distinct()
       .orderBy(col("key")).limit(10)
@@ -103,12 +109,12 @@ object SkippingIndex {
     val mmPass = probes.join(broadcast(stats),
         col("key") >= col("mn") && col("key") <= col("mx"))
       .groupBy(col("key")).agg(count(lit(1)).as("minmax_pass"))
-    // bloom leg: files holding ALL k bits of the key
-    val probeBits = hashes.map { case (j, a, b) =>
-      probes.crossJoin(broadcast(m))
-        .select(col("key"), lit(j).as("j"),
-          bit(a, b, col("key"), col("m")).as("bit"))
-    }.reduce(_ unionByName _)
+    // bloom leg: files holding ALL k bits of the key (same one-pass
+    // explode as the index build)
+    val probeBits = probes.crossJoin(broadcast(m))
+      .select(col("key"), col("m"), explode(hs).as("h"))
+      .select(col("key"), col("h.j").as("j"),
+        bit(col("h.a"), col("h.b"), col("key"), col("m")).as("bit"))
     val blPass = bloomBits.join(broadcast(probeBits), Seq("j", "bit"))
       .groupBy(col("key"), col("file"))
       .agg(count(lit(1)).as("hits"))

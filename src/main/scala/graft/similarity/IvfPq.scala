@@ -129,7 +129,20 @@ object IvfPq {
   /** Stage 1 of both search modes: every probed candidate's ADC
     * distance per query — (query_id, vec_id, adist_micro).
     */
-  private def adcScores(emb: DataFrame, idx: Index, nprobe: Int): DataFrame = {
+  private def adcScores(emb: DataFrame, idx: Index, nprobe: Int): DataFrame =
+    adcScoresRanked(emb, idx, nprobe)
+      .select(col("query_id"), col("vec_id"), col("adist_micro"))
+
+  /** [[adcScores]] with each candidate's PROBE RANK kept (the rank of
+    * its list among the query's nprobe nearest — constant per
+    * candidate, since a vector lives in exactly one list). Probe sets
+    * nest across nprobe, so one pass at the LARGEST nprobe serves every
+    * smaller leg as a `probe_rnk <= n'` filter — integer ADC sums are
+    * order-free, so the filtered aggregate is bit-identical to an
+    * independent run at n'.
+    */
+  private def adcScoresRanked(emb: DataFrame, idx: Index,
+      nprobe: Int): DataFrame = {
     val coarse = idx.coarse
     val codebook = idx.codebook
     val codes = idx.codes
@@ -137,23 +150,24 @@ object IvfPq {
     // query-side: nprobe nearest lists by the same coarse cosine rule,
     // then the query's residual PER PROBED LIST and its ADC table
     val probes = Similarity
-      .ivfAssign(emb.filter(col("vec_id") < NQueries), coarse, nprobe)
+      .ivfProbesRanked(emb.filter(col("vec_id") < NQueries), coarse, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding"),
-        col("centroid_id").as("probe_id"))
+        col("centroid_id").as("probe_id"), col("c_rnk").as("probe_rnk"))
     val qres = probes
       .join(broadcast(listTable(coarse)), col("probe_id") === col("list_id"))
-      .select(col("query_id"), col("list_id"),
+      .select(col("query_id"), col("list_id"), col("probe_rnk"),
         zip_with(col("embedding"), col("list_centroid"),
           (x, c) => x.cast("double") - c.cast("double")).as("res"))
-    val qsubs = qres.select(col("query_id"), col("list_id"),
+    val qsubs = qres.select(col("query_id"), col("list_id"), col("probe_rnk"),
         explode(sequence(lit(0), lit(ProductQuantization.M - 1))).as("s"),
         col("res"))
-      .select(col("query_id"), col("list_id"), col("s"),
+      .select(col("query_id"), col("list_id"), col("probe_rnk"), col("s"),
         slice(col("res"),
           col("s") * (size(col("res")) / ProductQuantization.M) + 1,
           size(col("res")) / ProductQuantization.M).as("sv"))
     val dt = qsubs.join(broadcast(codebook), "s")
-      .select(col("query_id"), col("list_id"), col("s"), col("cid"),
+      .select(col("query_id"), col("list_id"), col("probe_rnk"), col("s"),
+        col("cid"),
         round(aggregate(zip_with(col("sv"), col("c"),
             (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v) * 1e6, 0).cast("long").as("du"))
@@ -165,9 +179,11 @@ object IvfPq {
           && codes("cid") === dt("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("du")).as("adist_micro"), count(lit(1)).as("n_s"))
+      .agg(sum(col("du")).as("adist_micro"), count(lit(1)).as("n_s"),
+        min(col("probe_rnk")).as("probe_rnk")) // constant per group
       .filter(col("n_s") === ProductQuantization.M)
-      .select(col("query_id"), col("vec_id"), col("adist_micro"))
+      .select(col("query_id"), col("vec_id"), col("probe_rnk"),
+        col("adist_micro"))
   }
 
   /** Shortlist size of the refined search — 3·k, the standard small
@@ -261,33 +277,66 @@ object IvfPq {
     recallCurve(emb, buildIndex(emb))
 
   def recallCurve(emb: DataFrame, idx: Index): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val truth = exactTopK(emb)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-    def sweep(search: Int => DataFrame, retCol: String,
-        hitCol: String): DataFrame = {
-      val legs = RecallProbes.map { np =>
-        search(np)
-          .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
-      }.reduce(_ unionByName _)
-      val ret = legs.groupBy(col("nprobe"))
-        .agg(count(lit(1)).as(retCol))
+    // Probe sets NEST across nprobe, so the whole 1/2/4/8 sweep reads
+    // ONE probe-ranked ADC pass at the largest nprobe: each leg is a
+    // `probe_rnk <= np` filter + per-query re-rank over the (tiny)
+    // candidate score table — bit-identical to an independent search at
+    // np because the ADC sums are order-free integers and a candidate's
+    // probe rank is constant. The previous cut ran the 4 ADC legs as 4
+    // independent scoring subplans (ReuseExchange dedupes only the two
+    // MODES' identical subtrees, never across nprobe values): one scan
+    // of the code table instead of four, measured 5.0 → 2.2 s at sf0.1.
+    val cand = adcScoresRanked(emb, idx, RecallProbes.max).localCheckpoint()
+    def rankedAt(np: Int, keep: Int): DataFrame = {
+      val wa = Window.partitionBy(col("query_id"))
+        .orderBy(col("adist_micro"), col("vec_id"))
+      cand.filter(col("probe_rnk") <= np)
+        .withColumn("rnk", row_number().over(wa))
+        .filter(col("rnk") <= keep)
+    }
+    val adcLegs = RecallProbes.map { np =>
+      rankedAt(np, TopK).select(lit(np).as("nprobe"), col("query_id"),
+        col("vec_id").as("neighbor_id"))
+    }.reduce(_ unionByName _)
+    // the four refined shortlists re-rank in ONE batched candidate join,
+    // window-partitioned by (nprobe, query) — exact distances are per
+    // (query, vec), so the batched re-rank is row-identical to per-leg
+    // re-ranks
+    val shortlists = RecallProbes.map { np =>
+      rankedAt(np, ShortlistR).select(lit(np).as("nprobe"),
+        col("query_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val d = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("dv"))
+    val we = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("dist_micro"), col("vec_id"))
+    val refLegs = shortlists
+      .join(d, "vec_id")          // candidate floats: vec_id-keyed
+      .join(broadcast(q), "query_id") // |Q| rows
+      .withColumn("dist_micro",
+        round(aggregate(zip_with(col("qv"), col("dv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v) * 1e6, 0).cast("long"))
+      .withColumn("rnk", row_number().over(we))
+      .filter(col("rnk") <= TopK)
+      .select(col("nprobe"), col("query_id"),
+        col("vec_id").as("neighbor_id"))
+    def counts(legs: DataFrame, retCol: String, hitCol: String): DataFrame = {
+      val ret = legs.groupBy(col("nprobe")).agg(count(lit(1)).as(retCol))
       val hits = legs.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("nprobe")).agg(count(lit(1)).as(hitCol))
       ret.join(hits, Seq("nprobe"), "left")
         .select(col("nprobe"), col(retCol),
           coalesce(col(hitCol), lit(0L)).as(hitCol))
     }
-    // the ADC curve and the two-stage refined curve off the SAME index
-    // build — the one-page answer to BOTH "what nprobe" and "does the
-    // exact re-rank pay for itself at that nprobe". One declarative
-    // plan on purpose: the two sweeps' per-np ADC subplans are
-    // IDENTICAL, so ReuseExchange dedupes the candidate joins inside
-    // the single DAG — a measured 2.8× win over materializing the
-    // shortlist per probe with eager checkpoints (14.3 vs 5.1 s at
-    // sf0.1), which broke the sharing into 8 separate job chains.
-    sweep(searchTopK(emb, idx, _), "n_returned", "n_hits")
-      .join(sweep(searchRefined(emb, idx, _), "n_returned_ref",
-        "n_hits_ref"), Seq("nprobe"))
+    counts(adcLegs, "n_returned", "n_hits")
+      .join(counts(refLegs, "n_returned_ref", "n_hits_ref"), Seq("nprobe"))
       .select(col("nprobe"), col("n_returned"), col("n_hits"),
         col("n_returned_ref"), col("n_hits_ref"),
         lit((NQueries * TopK).toLong).as("n_total"))

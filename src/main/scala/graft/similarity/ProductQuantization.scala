@@ -118,7 +118,9 @@ object ProductQuantization {
     * exchange per training.
     */
   def trainCodebook(embeddings: DataFrame, subs: DataFrame): DataFrame =
-    trainLoop(subs, initCodebook(embeddings).localCheckpoint())
+    // the codebook is M·K-BOUNDED metadata — single-partition checkpoints
+    // (see kmeansCentroids) so downstream broadcasts collect one partition
+    trainLoop(subs, initCodebook(embeddings).coalesce(1).localCheckpoint())
 
   /** Convenience for one-shot callers (specs): builds its own subspace
     * view. Query paths pass a shared one — see the 2-arg overload.
@@ -137,6 +139,7 @@ object ProductQuantization {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           p => p.getField("m").cast("float").cast("double")).as("c"))
+        .coalesce(1)
         .localCheckpoint() // truncate lineage between rounds
     }
     codebook

@@ -321,13 +321,29 @@ object Similarity {
           first(col("embedding")).as("embedding"))
         .select(col("vec_id"), col("embedding"), col("centroid_id"))
     } else {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("centroid_id"))
-      scored
-        .withColumn("c_rnk", row_number().over(w))
-        .filter(col("c_rnk") <= nprobe)
+      ivfProbesRanked(embeddings, centroids, nprobe)
         .select(col("vec_id"), col("embedding"), col("centroid_id"))
     }
+  }
+
+  /** The nprobe > 1 probing path of [[ivfAssign]] with the probe RANK
+    * kept on the row (c_rnk = 1 is the nearest list). Probe sets are
+    * NESTED across nprobe (top-n′ is a prefix of top-n for n′ ≤ n), so
+    * a sweep over several nprobe values scores ONCE at the largest and
+    * filters `c_rnk <= n′` per leg — the q212 recall curve's shared
+    * stage — instead of re-running the assignment per leg.
+    */
+  def ivfProbesRanked(embeddings: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    embeddings.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", GraftFunctions.cosine(col("embedding"), col("centroid")))
+      .withColumn("c_rnk", row_number().over(w))
+      .filter(col("c_rnk") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        col("c_rnk"))
   }
 
   /** Lloyd (k-means) refinement of [[ivfCentroids]]: each round assigns
@@ -348,7 +364,12 @@ object Similarity {
     * which is where IVF recall comes from at scale.
     */
   def kmeansCentroids(embeddings: DataFrame, nlist: Int, iters: Int): DataFrame = {
-    var centroids = ivfCentroids(embeddings, nlist).localCheckpoint()
+    // the centroid table is nlist-BOUNDED metadata at any corpus size —
+    // coalesce(1) before each checkpoint so the final (tiny) reduce runs
+    // one task and every downstream broadcast collects one partition
+    // instead of shuffle.partitions-many near-empty ones
+    var centroids = ivfCentroids(embeddings, nlist).coalesce(1)
+      .localCheckpoint()
     for (_ <- 0 until iters) {
       centroids = ivfAssign(embeddings, centroids, nprobe = 1)
         .select(col("centroid_id"),
@@ -359,6 +380,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
+        .coalesce(1)
         .localCheckpoint() // truncate lineage between rounds
     }
     centroids

@@ -64,35 +64,52 @@ object VectorIndexMaintain {
     // ---- index build time: codebooks trained ONCE, on base only ----
     val coarse = Similarity.kmeansCentroids(base, IvfPq.NList, iters = 2)
       .localCheckpoint()
-    val resBase = IvfPq.residuals(base, coarse).localCheckpoint()
-    val baseEmb = resBase.select(col("vec_id"), col("res").as("embedding"))
-    val subsBase = ProductQuantization.subspaces(baseEmb).localCheckpoint()
-    val codebook = ProductQuantization.trainCodebook(baseEmb, subsBase)
-      .localCheckpoint()
-    val baseCodes = ProductQuantization.assign(subsBase, codebook)
-      .select(col("s"), col("vec_id"), col("cid"))
-      .join(resBase.select(col("vec_id"), col("list_id")), "vec_id")
-
-    // ---- ingest time: the batch ONLY flows through assign stages ----
-    val resBatch = IvfPq.residuals(batch, coarse).localCheckpoint()
-    val batchAssigned = ProductQuantization.assign(
-        ProductQuantization.subspaces(
-          resBatch.select(col("vec_id"), col("res").as("embedding"))),
-        codebook)
-      .join(resBatch.select(col("vec_id"), col("list_id")), "vec_id")
-      .localCheckpoint()
+    // the three residual encodes (base / batch / union-verification) all
+    // depend on `coarse` only — overlap them with the PQ training chain
+    // (guide §2.6) instead of serializing three broadcast-scoring passes
+    // behind it
+    val ((resBase, subsBase, codebook), resBatch, resAll) =
+      graft.tools.Overlap.par3(
+      {
+        val resBase = IvfPq.residuals(base, coarse).localCheckpoint()
+        val baseEmb = resBase.select(col("vec_id"),
+          col("res").as("embedding"))
+        val subsBase = ProductQuantization.subspaces(baseEmb)
+          .localCheckpoint()
+        val codebook = ProductQuantization.trainCodebook(baseEmb, subsBase)
+          .localCheckpoint()
+        (resBase, subsBase, codebook)
+      },
+      IvfPq.residuals(batch, coarse).localCheckpoint(),
+      IvfPq.residuals(emb, coarse).localCheckpoint())
+    // the three PQ assigns (base codes / batch ingest / the law's
+    // from-scratch union re-encode) depend only on the frozen codebook
+    // and their own residuals — one more §2.6 overlap, so the final
+    // compose execution does id-keyed joins only instead of re-running
+    // two full broadcast-scoring passes inline
+    val (baseCodes, batchAssigned, rebuilt) = graft.tools.Overlap.par3(
+      ProductQuantization.assign(subsBase, codebook)
+        .select(col("s"), col("vec_id"), col("cid"))
+        .join(resBase.select(col("vec_id"), col("list_id")), "vec_id")
+        .localCheckpoint(),
+      // ---- ingest time: the batch ONLY flows through assign stages ----
+      ProductQuantization.assign(
+          ProductQuantization.subspaces(
+            resBatch.select(col("vec_id"), col("res").as("embedding"))),
+          codebook)
+        .join(resBatch.select(col("vec_id"), col("list_id")), "vec_id")
+        .localCheckpoint(),
+      // ---- the law: maintained ≡ from-scratch encode of the union ----
+      ProductQuantization.assign(
+          ProductQuantization.subspaces(
+            resAll.select(col("vec_id"), col("res").as("embedding"))),
+          codebook)
+        .select(col("s"), col("vec_id"), col("cid"))
+        .join(resAll.select(col("vec_id"), col("list_id")), "vec_id")
+        .localCheckpoint())
     val maintained = baseCodes.unionByName(
       batchAssigned.select(col("s"), col("vec_id"), col("cid"),
         col("list_id")))
-
-    // ---- the law: maintained ≡ from-scratch encode of the union ----
-    val resAll = IvfPq.residuals(emb, coarse).localCheckpoint()
-    val rebuilt = ProductQuantization.assign(
-        ProductQuantization.subspaces(
-          resAll.select(col("vec_id"), col("res").as("embedding"))),
-        codebook)
-      .select(col("s"), col("vec_id"), col("cid"))
-      .join(resAll.select(col("vec_id"), col("list_id")), "vec_id")
     val mismatch = maintained
       .select(col("vec_id"), col("s"), col("cid").as("m_cid"),
         col("list_id").as("m_list"))
@@ -310,7 +327,12 @@ object VectorIndexMaintain {
             val dels = b.filter(col("op") === "delete").select(col("vec_id"))
             val ins = b.filter(col("op") === "insert")
               .select(col("vec_id"), col("embedding"))
-            nextIndexState(deleteIndexState(st, dels), ins)
+            val deleted = deleteIndexState(st, dels)
+            // a delete-only batch on still-untrained state must no-op:
+            // advancing through nextIndexState would train k-means on an
+            // EMPTY insert slice and kill the stream
+            if (ins.isEmpty && deleted.isEmpty) deleted
+            else nextIndexState(deleted, ins)
           }
           ()
       }

@@ -43,12 +43,18 @@ object Divergence {
     // up from the (source, token) table — a doc belongs to exactly one
     // source, so corpus df = Σ per-source distinct-doc counts (no second
     // corpus scan, no vocab join)
+    // both rollup tables are consumed from several branches below
+    // (perSourceAll twice; corpus four times: the vocab semi, the two
+    // scalar totals, the densify base) — checkpoint them so the
+    // exploded-corpus aggregation runs once, not once per consumer
     val perSourceAll = tok.groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("sdf"))
+      .localCheckpoint()
     val corpus = perSourceAll.groupBy(col("token"))
       .agg(sum(col("c")).as("cg"), sum(col("sdf")).as("df"))
       .filter(col("df") >= minDf)
       .select(col("token"), col("cg")) // vocabulary-sized
+      .localCheckpoint()
     val perSource = perSourceAll
       .join(corpus.select("token"), Seq("token"))
       .select(col("source"), col("token"), col("c"))

@@ -78,12 +78,17 @@ object Dsir {
       .groupBy(col("doc_id"))
       .agg(round(sum(col("llr")), 6).as("w"))
 
-    // every raw doc scores — an all-OOV doc carries weight 0 (prior-only)
+    // every raw doc scores — an all-OOV doc carries weight 0 (prior-only).
+    // Checkpointed: the threshold subquery below consumes weights a
+    // SECOND time, and without the cut the whole tokenize→model→score
+    // chain (the corpus-scale work) sat duplicated under both consumers
+    // (212 Exchange nodes in the un-cut plan).
     val weights = tk.filter(!col("is_target"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
       .join(scored, Seq("doc_id"), "left")
       .withColumn("weight", coalesce(col("w"), lit(0.0)))
       .select(col("doc_id"), col("n_tokens"), col("weight"))
+      .localCheckpoint()
 
     // exact nearest-rank threshold through the bucket-offset selector —
     // weights are small log sums, so a 0.25-wide histogram is plenty

@@ -78,7 +78,10 @@ object JobProfile {
       val t1 = pass(rec = false)
       rows.clear()
       val t2 = pass(rec = true)
-      println(f"\n===== $name pass1=$t1%.2f s pass2=$t2%.2f s (profiled) =====")
+      // two extra unprofiled passes: host-load noise at this scale swamps
+      // ±1 s effects, so report the bench-style min as the stable number
+      val tmin = math.min(math.min(t2, pass(rec = false)), pass(rec = false))
+      println(f"\n===== $name pass1=$t1%.2f s pass2=$t2%.2f s min=$tmin%.2f s (profiled) =====")
       import scala.jdk.CollectionConverters._
       val all = rows.asScala.toSeq.sortBy(_._1)
       val bySite = all.groupBy(_._3).map { case (site, js) =>
